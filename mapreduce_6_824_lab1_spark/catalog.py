@@ -1,0 +1,75 @@
+"""Table loading for the fixture star schema + extension tables.
+
+Input model of the reference: a set of files, one map task per file
+(MIT 6.824 Lab 1 feeds ``pg-*.txt`` to map tasks; SURVEY.md §1.1). Spark's
+FileScan gives the same split-per-task behavior natively on parquet, with
+predicate pushdown and column pruning on top — so "loading" here is just
+``spark.read.parquet`` plus correctness-critical session conf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+
+def configure(spark: SparkSession) -> None:
+    """Apply correctness-critical runtime conf to a (possibly foreign) session.
+
+    The driver supplies its own SparkSession to ``queries()`` callables, so we
+    cannot rely on :func:`session.get_spark` having built it.
+    """
+    from mapreduce_6_824_lab1_spark.session import RUNTIME_CONFS
+
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Convert the raw nanosecond-long ``ts`` to a µs TimestampType column.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` reads parquet TIMESTAMP(NANOS)
+    as raw longs (Spark's TimestampType is µs); ``div 1000`` truncates
+    exactly like DuckDB's ns→µs read, so both engines see identical values.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (parquet scan; Catalyst prunes/pushes down)."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_events(df)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load several fixture tables as a dict of DataFrames."""
+    configure(spark)
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,10 @@
+"""Operator library. Importing this package registers every query + oracle."""
+
+import mapreduce_6_824_lab1_spark.operators.text  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.mapreduce  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.relational  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.temporal  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.dedup  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.similarity  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.text_analysis  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.multimodal  # noqa: F401

@@ -1,0 +1,324 @@
+"""Deduplication operators (LLM-data-pipeline extension, SURVEY.md §2.C).
+
+Four rungs of the dedup ladder, each the idiomatic Spark formulation:
+
+- exact            — hash groupBy on the dedup key (one shuffle, partial agg)
+- n-gram Jaccard   — exact near-dup via shingle inverted-index self-join
+- MinHash + LSH    — banded signatures → candidate pairs → exact verify
+- SimHash          — 64-bit fingerprint, chunk-banded hamming join
+
+All hashing is ``xxhash64`` (seeded, deterministic, JVM built-in) — no
+Python in any hot path. The Jaccard query is exact and oracle-checked; the
+sketch-based ones are deterministic but use Spark-specific hash functions
+DuckDB cannot reproduce, so they carry rows-only checks plus unit tests
+asserting they find the same planted near-dup pairs as the exact query.
+
+Fixture note: ``documents.text`` has a 31-word vocabulary, so WORD-SET
+similarity saturates (30k of 125k possible pairs ≥0.8). Word TRIGRAM
+shingles separate cleanly: exactly 25 planted pairs score ≥0.2, and the next
+cluster is below it — threshold pinned at 0.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup — deterministic survivor via min(doc_id) per group (a raw
+# dropDuplicates keeps an arbitrary row; group-by keeps the hash-ability).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT lang, source,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS group_size
+FROM documents
+GROUP BY lang, source
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by (lang, source): keep lowest doc_id per group.
+
+    100 TB: this is ONE hash shuffle with map-side partial min/count. For
+    dedup by full text at scale, group by ``xxhash64(text)`` instead so the
+    shuffle key is 8 bytes, then resolve rare collisions within groups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle machinery
+# ---------------------------------------------------------------------------
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.6
+
+# Spark-side word-trigram shingles from the pinned tokenization.
+_SHINGLES_EXPR = (
+    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, -1)), "
+    "i -> concat_ws(' ', element_at(split(text, ' '), i+1), "
+    "element_at(split(text, ' '), i+2), element_at(split(text, ' '), i+3)))"
+)
+
+# DuckDB-side identical construction.
+_SHINGLES_SQL = (
+    "list_transform(range(0, len(string_split(text, ' ')) - 2), "
+    "i -> string_split(text, ' ')[i+1] || ' ' || "
+    "string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3])"
+)
+
+
+def shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index input."""
+    return (
+        docs.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup — the golden standard the sketches approximate
+# ---------------------------------------------------------------------------
+
+NGRAM_ORACLE = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+    FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor((common * 1.0 / (sa.n + sb.n - common)) * 10000 + 0.5) / 10000 AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by word-trigram Jaccard ≥ 0.6.
+
+    Plan: shingle explode → self-join on shingle (inverted index — only
+    docs SHARING a shingle ever meet, never all-pairs) → count common →
+    join sizes → filter. 100 TB: hot shingles behave like skewed join keys;
+    the standard mitigation is dropping shingles with document-frequency
+    above a cap (they contribute candidates, not discrimination) before the
+    join — at fixture vocab we keep all. This exact query is the oracle for
+    the MinHash approximation below.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingled(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", hround(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH — the 100 TB near-dup path
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 64
+NUM_BANDS = 16  # 16 bands × 4 rows: P(candidate) ≈ 1-(1-s^4)^16 — s=0.6 → 0.90
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 signatures aren't in DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH candidates + exact Jaccard verify.
+
+    Pipeline (all built-ins, fully deterministic):
+      1. shingles (doc_id, shingle) distinct;
+      2. per shingle, the NUM_HASHES-vector ``xxhash64(seed_i, shingle)``;
+      3. per doc, element-wise min over shingle vectors = MinHash signature —
+         expressed as explode(hash_idx) + groupBy(doc, idx).min;
+      4. band id = idx div rows_per_band; band key = hash of the band's mins;
+      5. docs sharing any band key become candidate pairs (self-join on the
+         band key — the ONLY join, and it is sparse);
+      6. exact Jaccard verify of candidates (same formula as the exact query).
+
+    100 TB: all-pairs never materializes; the band join's fan-out is bounded
+    by bucket sizes, and signatures are 64×8 bytes per doc regardless of doc
+    length. Verified in tests to recover the planted pairs of
+    ``dedup_ngram_jaccard`` (recall ≥ 0.9 expected at s≥0.6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingled(docs)
+
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    hashes = F.array(
+        *[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(NUM_HASHES)]
+    )
+    sig = (
+        sh.select("doc_id", F.posexplode(hashes).alias("idx", "h"))
+        .groupBy("doc_id", "idx")
+        .agg(F.min("h").alias("minhash"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
+            ).alias("band_key")
+        )
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact verification of the candidate set
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        candidates.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", hround(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — constant-size fingerprint, hamming-distance near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks equal
+SIMHASH_MAX_HAMMING = 3
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 fingerprints aren't in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints + chunk-banded hamming-distance pairs.
+
+    Per doc: for each distinct shingle, hash to 64 bits; per bit position sum
+    ±1 contributions; fingerprint bit = sign of the sum. Near-dups = pairs
+    with hamming(fp_a, fp_b) ≤ 3, found by joining on any equal 16-bit chunk
+    (pigeonhole guarantee — never an all-pairs comparison).
+
+    100 TB: fingerprints are 8 bytes/doc; the chunk join touches only docs
+    agreeing on 16 consecutive bits (expected bucket size n/2^16 per chunk).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingled(docs)
+
+    h = F.xxhash64(F.lit(-1), F.col("shingle"))
+    contrib = F.array(
+        *[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    bitsums = (
+        sh.select("doc_id", F.posexplode(contrib).alias("bit", "c"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+    )
+    fp = bitsums.groupBy("doc_id").agg(
+        F.sum(
+            # shiftleft() the builtin only takes a literal count; the SQL
+            # expression form accepts a column
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("fp")
+    )
+
+    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("fp"), i * chunk_width)
+                        .bitwiseAND(F.lit((1 << chunk_width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "fp", "c.chunk_id", "c.chunk")
+
+    ca = chunks.alias("ca")
+    cb = chunks.alias("cb")
+    hamming = F.bit_count(F.col("ca.fp").bitwiseXOR(F.col("cb.fp")))
+    return (
+        ca.join(
+            cb,
+            (F.col("ca.chunk_id") == F.col("cb.chunk_id"))
+            & (F.col("ca.chunk") == F.col("cb.chunk"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"),
+            F.col("cb.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over the ``embeddings`` table (extension surface).
+
+Vector math is pure higher-order array functions (``zip_with`` +
+``aggregate``) — JVM-side, codegen'd, no UDF. float32 elements are cast to
+double BEFORE any arithmetic on BOTH engines so folds are bit-identical
+(FIXTURES.md), and every score is rounded before hashing.
+
+Scale ladder:
+- ``similarity_topk``  — exact brute-force top-k for ONE probe: a map-only
+  scan + TakeOrderedAndProject; this is the right plan at ANY corpus size
+  for single-query lookup (it's a scan, not a join).
+- ``similarity_join``  — exact all-pairs ≥ threshold, label-partitioned; at
+  100 TB replace with LSH bucketing (random-hyperplane signs) so only
+  bucket-mates meet — exactly what ``similarity_ivf`` demonstrates.
+- ``similarity_ivf``   — IVF-style: deterministic sign-bit coarse quantizer
+  → candidates from the probe's cell only. Fully SQL-expressible, so even
+  the approximate path is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+PROBE_VEC_ID = 0
+TOP_K = 10
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Σ aᵢ·bᵢ with double promotion before multiply (oracle-parity rule)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str | Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+# DuckDB fragments mirroring _dot/_norm exactly (same fold order, same casts).
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_aggregate(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID})
+SELECT vec_id, label,
+       floor(({_sql_dot("e.embedding", "probe.p")}
+             / ({_sql_norm("e.embedding")} * {_sql_norm("probe.p")})) * 1000000 + 0.5) / 1000000 AS cosine
+FROM embeddings e, probe
+WHERE vec_id != {PROBE_VEC_ID}
+ORDER BY {_sql_dot("e.embedding", "probe.p")}
+         / ({_sql_norm("e.embedding")} * {_sql_norm("probe.p")}) DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of probe vec_id=0 (brute force baseline).
+
+    Plan: broadcast 1-row probe → map-side cosine → TakeOrderedAndProject
+    (per-partition k-heaps; the driver merges k·P rows — no global sort,
+    no shuffle of the corpus). Ties broken by vec_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    cos = _dot("embedding", "p") / (_norm("embedding") * _norm("p"))
+    return (
+        e.crossJoin(broadcast(probe))
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", hround("cosine_raw", 6).alias("cosine"))
+    )
+
+
+SIM_JOIN_THRESHOLD = 0.3  # fixture cosines peak ~0.47 within-label; 0.3 → ~111 pairs at sf0.01
+
+
+@query(
+    "similarity_join",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       floor(({_sql_dot("a.embedding", "b.embedding")}
+             / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")})) * 1000000 + 0.5) / 1000000
+           AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_sql_dot("a.embedding", "b.embedding")}
+      / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")})
+      >= {SIM_JOIN_THRESHOLD}
+""",
+)
+def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.3 within each label (embedding near-dup pass).
+
+    The label equi-join key keeps this a partitioned self-join, not a
+    cartesian. 100 TB: the label would be an LSH bucket id (random-hyperplane
+    sign signature) instead of a class label — same plan shape, bounded
+    bucket fan-out; see similarity_ivf for the quantizer.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot("a.embedding", "b.embedding") / (
+        _norm("a.embedding") * _norm("b.embedding")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= SIM_JOIN_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            hround("cosine_raw", 6).alias("cosine"),
+        )
+    )
+
+
+IVF_BITS = 4  # 16 cells; sign of dims 1..4 = deterministic coarse quantizer
+
+
+def _cell(col: str) -> Column:
+    bits = [
+        (F.element_at(col, i + 1) >= 0).cast("int") * (1 << i)
+        for i in range(IVF_BITS)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+_SQL_CELL = " + ".join(
+    f"(CASE WHEN {{t}}.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(IVF_BITS)
+)
+
+
+@query(
+    "similarity_ivf",
+    oracle=f"""
+WITH cells AS (
+    SELECT vec_id, label, embedding,
+           {_SQL_CELL.format(t="embeddings")} AS cell
+    FROM embeddings
+),
+probe AS (SELECT embedding AS p, cell AS pcell FROM cells WHERE vec_id = {PROBE_VEC_ID})
+SELECT vec_id, label, cell,
+       floor(({_sql_dot("c.embedding", "probe.p")}
+             / ({_sql_norm("c.embedding")} * {_sql_norm("probe.p")})) * 1000000 + 0.5) / 1000000 AS cosine
+FROM cells c, probe
+WHERE c.cell = probe.pcell AND vec_id != {PROBE_VEC_ID}
+ORDER BY {_sql_dot("c.embedding", "probe.p")}
+         / ({_sql_norm("c.embedding")} * {_sql_norm("probe.p")}) DESC, vec_id
+LIMIT {TOP_K}
+""",
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search only the probe's coarse-quantizer cell.
+
+    The quantizer is the sign pattern of the first 4 dimensions (data-
+    independent, deterministic — a fixed random-hyperplane LSH). Scan cost
+    drops to ~1/16 of the corpus at the cost of recall; the unit test
+    measures recall against ``similarity_topk``. 100 TB: partition the
+    corpus BY cell on write, and a probe prunes to one partition — this is
+    partition pruning doing ANN.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.withColumn("cell", _cell("embedding"))
+    probe = cells.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p"), F.col("cell").alias("pcell")
+    )
+    cos = _dot("embedding", "p") / (_norm("embedding") * _norm("p"))
+    return (
+        cells.join(broadcast(probe), F.col("cell") == F.col("pcell"))
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .withColumn("cosine_raw", cos)
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", "cell", hround("cosine_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,161 @@
+"""Time-window semantics on the ``events`` stream-analogue table.
+
+The reference is batch-only (MIT 6.824 Lab 1; /root/reference/README.md:1-2),
+so this surface comes from the driver's extension mandate. Batch-mode
+``F.window`` / ``F.session_window`` are the SAME functions Structured
+Streaming uses — the streaming variants in
+:mod:`mapreduce_6_824_lab1_spark.streaming` reuse these aggregations
+verbatim, which is exactly how a 100 TB pipeline shares logic between its
+backfill (batch) and live (streaming) paths.
+
+Oracle parity notes: ``events.ts`` is microsecond precision; every output
+timestamp is formatted to a second-precision string on BOTH sides
+(SURVEY.md §7.3c). Session gap boundary is pinned STRICT (< gap merges):
+Spark merges events whose window [ts, ts+gap) overlaps the session, i.e.
+``next_ts - prev_ts < gap``; the oracle's lag/cumsum uses ``<`` likewise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window aggregation — shared by batch and streaming."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@query("window_tumbling", oracle=TUMBLING_ORACLE)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 1-hour tumbling window.
+
+    100 TB: one hash shuffle on (hour, type) with map-side partials; window
+    assignment is a pure projection (no expand — tumbling = 1 window/row).
+    """
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "window_sliding",
+    oracle=f"""
+SELECT strftime(base - k * INTERVAL 15 MINUTE, '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM (
+    -- make_timestamp keeps the value timezone-naive (to_timestamp would
+    -- produce TIMESTAMPTZ and strftime would then depend on session tz)
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000)
+               AS base,
+           event_type, value
+    FROM events
+) e, (SELECT unnest([0, 1, 2, 3]) AS k) ks
+GROUP BY 1, 2
+""",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event lands in 4 windows).
+
+    Spark expands each row into window_len/slide copies (Expand) then hash
+    aggregates; the oracle mirrors that expansion explicitly. 100 TB: the 4×
+    expand happens AFTER scan-side filters, and partial agg collapses it
+    before the shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+SESSION_GAP_MIN = 30
+
+SESSION_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     < INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 0 ELSE 1 END AS new_s
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       count(*) AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@query("window_session", oracle=SESSION_ORACLE)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization per user with a 30-minute inactivity gap.
+
+    Uses native ``session_window`` (merging-window state machine). The oracle
+    derives identical sessions with the classic lag/gap/cumsum pattern — the
+    two formulations agreeing is itself the correctness check for the gap
+    boundary. 100 TB: one shuffle on user_id; sessions merge locally
+    per key. Streaming variant: same groupBy with a watermark
+    (see streaming module notes).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

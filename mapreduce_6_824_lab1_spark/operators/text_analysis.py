@@ -1,0 +1,342 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.C EXT).
+
+Language-ID heuristic, quality scoring, token counting, fingerprinting,
+n-grams, TF-IDF — each expressed with built-in columnar expressions only
+(regexp, higher-order list functions, windows), so every one of them is
+oracle-checked against DuckDB. No Python touches a row anywhere here.
+
+Scale: every query is scan → narrow per-row expressions → at most one hash
+aggregation; the per-row lambdas run inside whole-stage codegen. TF-IDF's
+document-frequency side is tiny (vocab-bounded) and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.text import SQL_TOKENS, tokens_col, words_of
+from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Corpus statistics per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+WITH base AS (
+    SELECT lang, count(*) AS n_docs,
+           floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars,
+           floor((avg(len({SQL_TOKENS}))) * 100 + 0.5) / 100 AS avg_words
+    FROM documents GROUP BY lang
+),
+vocab AS (
+    SELECT lang, count(DISTINCT word) AS vocab
+    FROM (SELECT lang, unnest({SQL_TOKENS}) AS word FROM documents) t
+    GROUP BY lang
+)
+SELECT base.lang, n_docs, avg_chars, avg_words, vocab
+FROM base JOIN vocab ON base.lang = vocab.lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        hround(F.avg("n_chars"), 2).alias("avg_chars"),
+        hround(F.avg(F.size(tokens_col())), 2).alias("avg_words"),
+    )
+    vocab = (
+        words_of(docs, "lang")
+        .groupBy("lang")
+        .agg(F.countDistinct("word").alias("vocab"))
+    )
+    return base.join(vocab, "lang").select(
+        "lang", "n_docs", "avg_chars", "avg_words", "vocab"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top bigrams per language
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 5
+
+_BIGRAMS_EXPR = (
+    "transform(sequence(0, greatest(size(split(text, ' ')) - 2, -1)), "
+    "i -> concat_ws(' ', element_at(split(text, ' '), i+1), "
+    "element_at(split(text, ' '), i+2)))"
+)
+_BIGRAMS_SQL = (
+    "list_transform(range(0, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])"
+)
+
+
+@query(
+    "text_ngrams",
+    oracle=f"""
+SELECT lang, bigram, cnt, rnk
+FROM (
+    SELECT lang, bigram, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rnk
+    FROM (
+        SELECT lang, bigram, count(*) AS cnt
+        FROM (SELECT lang, unnest({_BIGRAMS_SQL}) AS bigram FROM documents) t
+        GROUP BY lang, bigram
+    ) c
+) r
+WHERE rnk <= {NGRAM_TOP_K}
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per lang; ties broken by bigram text."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NGRAM_TOP_K)
+        .select("lang", "bigram", "cnt", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting — whitespace tokens + alpha-run ("BPE-ish") tokens
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+SELECT doc_id,
+       len({SQL_TOKENS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+       n_chars
+FROM documents
+""",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias(
+            "n_alpha_tokens"
+        ),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length / stopword / word-length heuristics
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a")
+_STOP_SQL = "('the', 'a')"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id, lang,
+       n_words,
+       floor((stop_ratio) * 10000 + 0.5) / 10000 AS stop_ratio,
+       floor((avg_word_len) * 10000 + 0.5) / 10000 AS avg_word_len,
+       floor((0.5 * least(n_words / 50.0, 1.0)
+             + 0.3 * (1.0 - stop_ratio)
+             + 0.2 * least(avg_word_len / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+FROM (
+    SELECT doc_id, lang,
+           len({SQL_TOKENS}) AS n_words,
+           len(list_filter({SQL_TOKENS}, x -> x IN {_STOP_SQL}))
+               * 1.0 / len({SQL_TOKENS}) AS stop_ratio,
+           (n_chars - (len({SQL_TOKENS}) - 1)) * 1.0 / len({SQL_TOKENS})
+               AS avg_word_len
+    FROM documents
+) t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality score from length, stopword ratio, mean word length.
+
+    avg_word_len uses the single-space invariant: total word chars =
+    n_chars - (n_words - 1) separators.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_words = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: (x == STOPWORDS[0]) | (x == STOPWORDS[1])))
+        / n_words
+    )
+    avg_word_len = (F.col("n_chars") - (n_words - 1)) / n_words
+    quality = (
+        0.5 * F.least(n_words / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * F.least(avg_word_len / 8.0, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        hround(stop_ratio, 4).alias("stop_ratio"),
+        hround(avg_word_len, 4).alias("avg_word_len"),
+        hround(quality, 4).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic — character-class n-gram-free heuristic. The fixture
+# corpus is synthetic word soup with a shared vocabulary, so a REAL char-ngram
+# classifier has no signal; the operator demonstrates the shape (per-doc
+# char-statistics → rule-based class) with a deterministic, oracle-able rule.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_langid",
+    oracle="""
+SELECT doc_id, lang,
+       floor((vowel_ratio) * 10000 + 0.5) / 10000 AS vowel_ratio,
+       CASE WHEN vowel_ratio >= 0.40 THEN 'vowel_heavy'
+            WHEN vowel_ratio >= 0.30 THEN 'balanced'
+            ELSE 'consonant_heavy' END AS char_class
+FROM (
+    SELECT doc_id, lang,
+           length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0
+               / length(replace(text, ' ', '')) AS vowel_ratio
+    FROM documents
+) t
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vowel_ratio = F.length(F.regexp_replace("text", "[^aeiou]", "")) / F.length(
+        F.regexp_replace("text", " ", "")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        hround(vowel_ratio, 4).alias("vowel_ratio"),
+        F.when(vowel_ratio >= 0.40, "vowel_heavy")
+        .when(vowel_ratio >= 0.30, "balanced")
+        .otherwise("consonant_heavy")
+        .alias("char_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint — polynomial rolling hash over the token stream
+# ---------------------------------------------------------------------------
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform({SQL_TOKENS},
+                   x -> CAST(ascii(substr(x, 1, 1)) * 100 + length(x) AS BIGINT))),
+           (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash of the token stream (content drift
+    detection: same bag-of-words, different order ⇒ different fingerprint).
+
+    Word code = ascii(first char)·100 + length — cheap, engine-neutral, and
+    the fold is bounded by FP_MOD so the BIGINT never overflows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        tokens_col(),
+        lambda x: (F.ascii(F.substring(x, 1, 1)) * 100 + F.length(x)).cast("bigint"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — explicit formula (exact, oracle-able; MLlib HashingTF would not be)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+WITH tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM documents) t
+    GROUP BY doc_id, word
+),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf,
+           floor((tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0)) * 1000000 + 0.5) / 1000000 AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+)
+SELECT doc_id, word, tf, tfidf, rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word) AS rnk
+    FROM scored
+) r
+WHERE rnk <= {TFIDF_TOP_K}
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, smoothed idf = ln((1+N)/(1+df)) + 1.
+
+    100 TB: df is vocab-bounded (tiny) and broadcast; N rides along as a
+    broadcast 1-row aggregate — no collect, no driver-side constant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        words_of(docs, "doc_id")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            hround(
+                F.col("tf") * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tf", "tfidf", "rnk")
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the config choices below are the ones that
+matter at cluster scale (AQE re-planning, skew-join splitting, partition
+coalescing) and are harmless locally. The driver may hand us an arbitrary
+session, so anything correctness-critical (session time zone) is *also*
+re-applied per-query in :mod:`catalog` via runtime conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs that correctness depends on. Applied both at session
+# build time and defensively on driver-supplied sessions (catalog.configure).
+RUNTIME_CONFS: dict[str, str] = {
+    # Oracle parity: DuckDB timestamps are naive; pin Spark to UTC so
+    # timestamp arithmetic and formatting agree (SURVEY.md §7.3c).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting and
+    # broadcast-join demotion/promotion. Core of the 100 TB story — the
+    # static shuffle.partitions number only sets the upper bound.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas interchange (toPandas, mapInPandas batches).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType (µs)
+    # cannot hold; read nanos as raw longs and convert in catalog.load_table
+    # (ns div 1000 == DuckDB's ns→µs truncation, keeping oracle parity).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "mapreduce-6-824-lab1-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

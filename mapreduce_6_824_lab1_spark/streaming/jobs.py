@@ -1,0 +1,95 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (MIT 6.824 Lab 1 — /root/reference/README.md:1-2);
+the driver mandates a streaming surface over the ``events`` stream-analogue
+table. Pattern: ``readStream`` (file source) → the SAME transformation
+functions the batch queries use → ``writeStream`` to a memory sink with an
+``availableNow`` trigger. Because availableNow drains the full input and the
+sink is read after termination, results are deterministic and each streaming
+query is checked against the SAME DuckDB oracle as its batch twin — the
+lab's own "distributed vs sequential golden diff" pattern, one more time.
+
+Late-data / state notes for the real cluster (documented, not oracle-able in
+a batch driver — SURVEY.md §2.C):
+- bound state with ``withWatermark("ts", "10 minutes")`` before windowed
+  aggs in append mode (complete mode used here retains all windows);
+- streaming dedup at scale: ``dropDuplicatesWithinWatermark(["event_id"])``
+  so the seen-keys state is GC'd past the watermark;
+- custom stateful ops (e.g. streaming sessionization beyond
+  ``session_window``): ``applyInPandasWithState`` with a per-user timeout.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_6_824_lab1_spark.catalog import configure, normalize_events
+from mapreduce_6_824_lab1_spark.operators.temporal import (
+    TS_FMT_SPARK,
+    TUMBLING_ORACLE,
+    tumbling_agg,
+)
+from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema must be explicit)."""
+    configure(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # File-stream sources require a directory; glob-filter to the events file.
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_events(src)
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink and return the table."""
+    name = f"mr_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_tumbling", oracle=TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling counts — literally reuses the batch
+    ``tumbling_agg`` transformation, same oracle as ``window_tumbling``."""
+    src = _events_stream(spark, sf_dir)
+    return _run_to_memory(tumbling_agg(src), spark, mode="complete")
+
+
+@query(
+    "stream_grep",
+    oracle=f"""
+SELECT event_id, user_id,
+       strftime(ts, '{"%Y-%m-%d %H:%M:%S"}') AS ts_s,
+       floor((value) * 100 + 0.5) / 100 AS value
+FROM events
+WHERE event_type = 'error' AND value >= 100
+""",
+)
+def stream_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming filter+project (the paper's distributed grep as a
+    stream): append mode, no state, trivially scales to any rate."""
+    src = _events_stream(spark, sf_dir)
+    out = src.filter((F.col("event_type") == "error") & (F.col("value") >= 100)).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        hround("value", 2).alias("value"),
+    )
+    return _run_to_memory(out, spark, mode="append")

@@ -1,0 +1,49 @@
+"""Coverage for the rows-only (no-oracle) queries: they must run, produce a
+stable schema, and their approximations must agree with the exact twins."""
+
+from __future__ import annotations
+
+from mapreduce_6_824_lab1_spark import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates + exact verify must recover the planted near-dup pairs
+    found by the exact n-gram Jaccard query (the lab's golden-diff pattern)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    assert approx <= exact, f"false positives survived verify: {approx - exact}"
+    # 16 bands × 4 rows at s≥0.6 ⇒ per-pair detection ≥ 0.90; planted pairs
+    # score ≥ 0.98 where detection is ~1. Allow one miss.
+    assert len(approx) >= len(exact) - 1, (
+        f"recall too low: {len(approx)}/{len(exact)}"
+    )
+
+
+def test_simhash_runs_and_is_symmetric_free(spark):
+    df = QUERIES["dedup_simhash"](spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns == ["doc_a", "doc_b", "hamming"]
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 3
+
+
+def test_approx_distinct_within_bounds(spark):
+    exact = {
+        r.event_type: r.n_users
+        for r in QUERIES["agg_distinct"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(3, 0.1 * v), (k, approx[k], v)
