@@ -204,10 +204,12 @@ def term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exact TeraSort architecture, at any scale. The driver's value hash is
 # order-insensitive, so we materialize the global rank to make the total
 # order observable (unique tie-break keys ⇒ deterministic ranks).
-# Scale note: the rank materialization via a single-partition window is the
-# test-only observer; at 100 TB you keep the data range-partitioned and
-# derive ranks with zipWithIndex-style per-partition offsets instead.
+# The rank itself is computed the scale-correct way: range partition, local
+# row_number per partition, plus broadcast per-partition offsets — a global
+# single-partition window would serialize the whole table through one task.
 # ---------------------------------------------------------------------------
+
+SORT_KEYS = ("l_shipdate", "l_orderkey", "l_linenumber")
 
 
 @query(
@@ -221,9 +223,24 @@ FROM lineitem
 )
 def distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    return li.select(
-        F.row_number().over(w).alias("rn"),
+    keys = [F.col(k) for k in SORT_KEYS]
+    # Range partitioning preserves global order across partition ids:
+    # partition i's keys all sort before partition i+1's.
+    ranged = li.repartitionByRange(32, *keys).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy(*keys)
+    local = ranged.withColumn("local_rn", F.row_number().over(w_local))
+    # per-partition row counts → exclusive prefix sums (64 rows: trivial)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        (F.col("offset") + F.col("local_rn")).alias("rn"),
         "l_orderkey",
         "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),

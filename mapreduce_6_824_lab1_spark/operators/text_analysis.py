@@ -68,10 +68,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_TOP_K = 5
 
-_BIGRAMS_EXPR = (
-    "transform(sequence(0, greatest(size(split(text, ' ')) - 2, -1)), "
-    "i -> concat_ws(' ', element_at(split(text, ' '), i+1), "
-    "element_at(split(text, ' '), i+2)))"
+# zip_with over shifted slices — same construction (and same speed rationale)
+# as the trigram shingles in operators/dedup.py.
+_BIGRAMS_FROM_TOKS = (
+    "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+    "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+    "(x, y) -> concat(x, ' ', y))"
 )
 _BIGRAMS_SQL = (
     "list_transform(range(0, len(string_split(text, ' ')) - 1), "
@@ -99,7 +101,8 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 word bigrams per lang; ties broken by bigram text."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
-        docs.select("lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bigram"))
+        docs.select("lang", F.split("text", " ").alias("toks"))
+        .select("lang", F.explode(F.expr(_BIGRAMS_FROM_TOKS)).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
