@@ -143,18 +143,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sets = shingle_sets(docs)
-    sh = sets.select("doc_id", F.explode("shs").alias("shingle"))
-    # per-doc set size is a per-row expression — no shuffle
-    sizes = sets.select("doc_id", F.size("shs").alias("n"))
     # Posting-list formulation instead of a shingle self-join: group each
     # shingle's (sorted) doc list, then generate ordered pairs JVM-side with
     # nested transforms. One shuffle (groupBy shingle) replaces the exploded
-    # two-sided sort-merge join — ~2.5× faster at sf0.1, and at 100 TB it
-    # also caps memory per shingle (hot-shingle fan-out is generated lazily
-    # per posting list, never materialized twice).
+    # two-sided sort-merge join, and at 100 TB hot-shingle fan-out is
+    # generated lazily per posting list, never materialized twice.
+    # The per-doc set size rides along inside the posting struct (it is
+    # functionally dependent on doc_id), so NO size-lookup join is needed
+    # afterwards — the whole query is exactly two shuffles.
+    sh = sets.select(
+        F.explode("shs").alias("shingle"),
+        F.struct(F.col("doc_id"), F.size("shs").alias("n")).alias("d"),
+    )
     postings = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .agg(F.sort_array(F.collect_list("d")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
     pairs = (
@@ -163,22 +166,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     "flatten(transform(docs, (x, i) -> "
                     "transform(slice(docs, i + 2, size(docs)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                    "y -> struct(x.doc_id AS doc_a, x.n AS na, "
+                    "y.doc_id AS doc_b, y.n AS nb))))"
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+        .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
-    return (
-        pairs.join(broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", hround(jac, 4).alias("jaccard"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", hround(jac, 4).alias("jaccard")
     )
 
 

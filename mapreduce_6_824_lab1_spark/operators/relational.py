@@ -359,12 +359,15 @@ GROUP BY j.event_id, m.md
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the latest prior order of its user.
 
-    Spark has no native ASOF; the idiomatic pattern is range-join + window
-    rank (ties broken by o_orderkey so the winner is deterministic —
-    SURVEY.md §2.C stretch row). 100 TB: both sides hash-shuffle on the user
-    key, then the per-key window is local; for dense per-key history, a
-    union + last(ignorenulls) over a merged time-ordered stream avoids the
-    intermediate join blow-up.
+    Spark has no native ASOF; the pattern here is range-join + argmax
+    aggregation: ``max(struct(o_orderdate, o_orderkey))`` picks the latest
+    order with a deterministic o_orderkey tie-break, as a HASH aggregation
+    with map-side partials — measurably faster than the equivalent
+    row_number() window (which must sort every event's candidate set).
+    100 TB: both sides hash-shuffle on the user key; partial aggregation
+    collapses each event's candidates before the event_id shuffle. For
+    dense per-key history, a union + last(ignorenulls) over a merged
+    time-ordered stream avoids the intermediate join blow-up entirely.
     """
     t = load_tables(spark, sf_dir, ("events", "orders"))
     j = t["events"].join(
@@ -372,16 +375,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") == F.col("o_custkey"))
         & (F.col("o_orderdate") <= F.col("ts")),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        j.groupBy("event_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
         .select(
             "event_id",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.col("m.o_orderkey").alias("o_orderkey"),
+            F.date_format("m.o_orderdate", "yyyy-MM-dd").alias("order_day"),
         )
     )
 

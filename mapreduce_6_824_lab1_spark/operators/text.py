@@ -224,24 +224,30 @@ FROM lineitem
 def distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     keys = [F.col(k) for k in SORT_KEYS]
-    # Range partitioning preserves global order across partition ids:
-    # partition i's keys all sort before partition i+1's.
-    ranged = li.repartitionByRange(32, *keys).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("pid").orderBy(*keys)
-    local = ranged.withColumn("local_rn", F.row_number().over(w_local))
-    # per-partition row counts → exclusive prefix sums (64 rows: trivial)
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    # Ordered bucketing on a deterministic key prefix (ship month): bucket
+    # order == key order, so global rank = bucket offset + local rank.
+    # Deterministic buckets (unlike spark_partition_id) keep the plan
+    # reusable and the bucket-count side is a narrow one-column scan with
+    # map-side partial agg — no second shuffle of the data. At 100 TB the
+    # bucket key would be a finer time grain (day/hour) to bound bucket
+    # size; skewed buckets split further by AQE.
+    bucket = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("bucket")
+    bucketed = li.withColumn("bucket", bucket)
+    w_local = Window.partitionBy("bucket").orderBy(*keys)
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        ranged.groupBy("pid")
+        bucketed.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
-        .select("pid", "offset")
+        .select("bucket", "offset")
     )
-    return local.join(F.broadcast(offsets), "pid").select(
-        (F.col("offset") + F.col("local_rn")).alias("rn"),
-        "l_orderkey",
-        "l_linenumber",
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    return (
+        bucketed.withColumn("local_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            (F.col("offset") + F.col("local_rn")).alias("rn"),
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        )
     )
