@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is fully materialized with a noop-format write (all partitions
+computed, nothing collected to the driver — the honest way to time a
+distributed plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_6_824_lab1_spark import QUERIES  # noqa: E402
+from mapreduce_6_824_lab1_spark.session import get_spark  # noqa: E402
+
+# Representative cross-section of the operator surface: MapReduce apps,
+# star joins, windows, sessionization, dedup, similarity, text analytics.
+HEADLINE = [
+    "wordcount",
+    "inverted_index",
+    "distributed_sort",
+    "filter_project",
+    "agg_hash",
+    "join_inner_equi",
+    "join_asof",
+    "window_analytic",
+    "window_session",
+    "window_sliding",
+    "topk",
+    "scalar_json",
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+    "text_tfidf",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="mr-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing once so per-query times measure the plans,
+    # not first-touch costs
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[key](spark, sf_dir))
+        times[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

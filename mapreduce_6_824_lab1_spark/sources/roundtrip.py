@@ -1,0 +1,114 @@
+"""Source/sink round-trips: text, CSV, JSON (SURVEY.md §2.C scans table).
+
+The reference's entire I/O surface is plain-text files in, plain-text files
+out (``pg-*.txt`` → ``mr-out-*``; MIT 6.824 Lab 1 spec — the local checkout
+is the 2-line stub). Spark's equivalents are the DataFrameReader/Writer
+formats. Each round-trip query WRITES a fixture table to a scratch directory
+in the target format, READS it back with an explicit schema, and aggregates
+the re-read data; the oracle computes the same aggregate from the original
+parquet — so a value mismatch pinpoints encode/decode fidelity bugs, not
+just "file exists".
+
+Scale note: writers shard one file per task (the ``mr-X-Y`` pattern, handled
+by Spark's output committer); the scratch dir is per-call so concurrent runs
+never collide.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import sql_hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+# The aggregate computed after every round-trip (and by the oracles on the
+# pristine parquet): if any row/field is corrupted in flight, these diverge.
+_DOC_AGG_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       {sql_hround("sum(length(text))", 2)} AS total_text_len
+FROM documents
+GROUP BY lang
+"""
+
+
+def _doc_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.floor(F.sum(F.length("text")) * 100 + 0.5) / 100).alias(
+            "total_text_len"
+        ),
+    )
+
+
+def _scratch() -> str:
+    return tempfile.mkdtemp(prefix="mr_spark_roundtrip_")
+
+
+@query("source_roundtrip_csv", oracle=_DOC_AGG_ORACLE)
+def source_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        docs.write.mode("overwrite").option("header", True).csv(path)
+        back = (
+            spark.read.option("header", True)
+            .schema("doc_id long, text string, lang string, source string, n_chars long")
+            .csv(path)
+        )
+        out = _doc_agg(back)
+        # materialize before the scratch dir is removed; the returned frame
+        # must not reference the deleted files
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query("source_roundtrip_json", oracle=_DOC_AGG_ORACLE)
+def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        docs.write.mode("overwrite").json(path)
+        back = spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).json(path)
+        out = _doc_agg(back)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "source_roundtrip_text",
+    oracle=f"""
+SELECT count(*) AS n_lines,
+       sum(len(string_split(line, ' '))) AS n_words
+FROM (SELECT text AS line FROM documents) t
+""",
+)
+def source_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal lab shape: text lines out, text lines back in, word count.
+
+    ``spark.read.text`` is exactly the lab's map-task input model — one
+    file split per task, one line per record.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        docs.select("text").write.mode("overwrite").text(path)
+        back = spark.read.text(path)  # column: value
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.size(F.split("value", " "))).alias("n_words"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

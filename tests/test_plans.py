@@ -1,0 +1,82 @@
+"""Physical-plan regression tests — the 100 TB contract.
+
+Results matching the oracle is necessary but not sufficient: these tests pin
+the plan SHAPES that make the queries viable at scale (broadcast joins on
+dims, predicate pushdown into the parquet scan, column pruning, no
+row-at-a-time Python in hot paths)."""
+
+from __future__ import annotations
+
+from mapreduce_6_824_lab1_spark import QUERIES
+from mapreduce_6_824_lab1_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+)
+from tests.conftest import SF_DIR
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = QUERIES["join_inner_equi"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # nation and region must broadcast; the orders side must not shuffle
+    # for the join (only the final aggregate shuffles).
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_explicit_broadcast_join(spark):
+    df = QUERIES["join_broadcast"](spark, SF_DIR)
+    assert has_broadcast_hash_join(df, min_count=2)
+
+
+def test_theta_join_broadcasts_band_table(spark):
+    df = QUERIES["join_theta_range"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["filter_project"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "l_returnflag" in pushed, pushed
+
+
+def test_column_pruning_on_scan(spark):
+    df = QUERIES["topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # orders scan must read only the three projected columns
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "o_orderdate" not in m[0] and "o_orderpriority" not in m[0], m
+
+
+def test_topk_uses_take_ordered(spark):
+    df = QUERIES["topk"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    # Python only appears where mandated (mapInPandas in multimodal, RDD in
+    # udf_mapreduce); every relational/text/window plan must stay JVM-side.
+    for key in (
+        "wordcount",
+        "agg_hash",
+        "join_inner_equi",
+        "window_analytic",
+        "dedup_ngram_jaccard",
+        "similarity_topk",
+        "text_tfidf",
+    ):
+        plan = formatted_plan(QUERIES[key](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+
+
+def test_window_functions_share_one_window_node(spark):
+    plan = formatted_plan(QUERIES["window_analytic"](spark, SF_DIR))
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2, plan
+
+
+def test_multimodal_uses_arrow_python(spark):
+    # the one sanctioned Python path must be Arrow-batched (mapInPandas),
+    # never row-at-a-time BatchEvalPython
+    plan = formatted_plan(QUERIES["multimodal_features"](spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
