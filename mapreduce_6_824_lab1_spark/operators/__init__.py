@@ -3,6 +3,7 @@
 import mapreduce_6_824_lab1_spark.operators.text  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.mapreduce  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.relational  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.relational2  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.temporal  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.dedup  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.similarity  # noqa: F401

@@ -1,0 +1,234 @@
+"""Second relational wave: distribution windows, statistical aggregates,
+pivot, conditional scalars, and the salted-join skew pattern.
+
+All exact, all oracle-paired. The salted join deserves the note: its RESULT
+is identical to a plain join (salting is a physical rewrite), so the oracle
+is the plain SQL — which is precisely the point: you can de-skew a 100 TB
+join without changing its semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from mapreduce_6_824_lab1_spark.catalog import load_table, load_tables
+from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Distribution window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_distribution",
+    oracle=f"""
+SELECT c_custkey, c_nationkey,
+       ntile(4)       OVER w AS quartile,
+       {sql_hround("percent_rank() OVER w", 6)} AS pct_rank,
+       {sql_hround("cume_dist() OVER w", 6)} AS cume,
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per nation, deterministic via the
+    unique c_custkey tie-break. One shuffle; all three share one Window node."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        hround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        hround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_hround("stddev_samp(l_quantity)", 4)} AS sd_qty,
+       {sql_hround("var_samp(l_quantity)", 4)} AS var_qty,
+       {sql_hround("covar_samp(l_quantity, l_extendedprice)", 2)} AS covar_qp,
+       {sql_hround("corr(l_quantity, l_extendedprice)", 6)} AS corr_qp,
+       {sql_hround("min(l_extendedprice)", 2)} AS min_price,
+       {sql_hround("max(l_extendedprice)", 2)} AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance/covariance/correlation per return flag.
+
+    All are single-pass mergeable aggregates (Welford-style partials) —
+    the same shuffle profile as sum/count at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        hround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        hround(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        hround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        hround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        hround(F.min("l_extendedprice"), 2).alias("min_price"),
+        hround(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle=f"""
+SELECT event_type,
+       {sql_hround("quantile_cont(value, 0.50)", 4)} AS p50,
+       {sql_hround("quantile_cont(value, 0.90)", 4)} AS p90,
+       {sql_hround("quantile_cont(value, 0.99)", 4)} AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). Exact percentiles buffer per group — at 100 TB swap
+    in ``approx_percentile`` (t-digest sketch, mergeable, bounded memory);
+    kept exact here for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        hround(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        hround(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+        hround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user. Pivot values are pinned explicitly —
+    letting Spark discover them needs an extra distinct-collect job AND
+    makes the output schema data-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null where a (user, type) pair never occurred; counts are 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional / null-handling scalars
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_conditional",
+    oracle=f"""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'large'
+            WHEN o_totalprice >= 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       greatest(o_totalprice, 150000.0) AS floor_price,
+       least(CAST(year(o_orderdate) AS BIGINT), 1998) AS capped_year,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+           AS is_priority
+FROM orders
+""",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+        F.least(F.year("o_orderdate").cast("bigint"), F.lit(1998)).alias(
+            "capped_year"
+        ),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted join — the skew mitigation pattern, result-identical to plain join
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+SELECT user_id, c_mktsegment,
+       count(*) AS n_events,
+       {sql_hround("sum(value)", 2)} AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY user_id, c_mktsegment
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join with explicit salting.
+
+    Probe side gets a deterministic salt (hash of a unique column mod B);
+    build side is replicated B× with every salt value, then the join key is
+    (key, salt) — a hot key's rows now spread across B reducers instead of
+    one. AQE's skew-join split does this adaptively for sort-merge joins;
+    the manual form is for when you must pre-commit (e.g. writing bucketed
+    output). The oracle is the PLAIN join: salting must never change results.
+    """
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    salted_events = t["events"].withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    salts = spark.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    replicated_cust = t["customer"].crossJoin(broadcast(salts))
+    return (
+        salted_events.join(
+            replicated_cust,
+            (F.col("user_id") == F.col("c_custkey"))
+            & (salted_events["salt"] == replicated_cust["salt"]),
+        )
+        .groupBy("user_id", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+    )

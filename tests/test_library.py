@@ -1,0 +1,52 @@
+"""Unit tests for library functions not (fully) exercised via queries():
+the generic lab-shaped map_reduce runner and the multimodal codec stubs."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.operators.mapreduce import map_reduce
+from mapreduce_6_824_lab1_spark.operators.multimodal import (
+    decode_image_batch,
+    sample_video_frames,
+)
+from tests.conftest import SF_DIR
+
+
+def test_map_reduce_runs_arbitrary_user_functions(spark):
+    """The lab's contract: mapF(key, contents) -> [KV], reduceF(k, vs) -> str.
+    Longest-word-per-lang through the generic runner."""
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def map_f(lang: str, text: str):
+        return [(lang, w) for w in text.split(" ")]
+
+    def reduce_f(lang: str, words: list[str]) -> str:
+        return max(words, key=lambda w: (len(w), w))
+
+    out = {
+        r.key: r.value
+        for r in map_reduce(docs, map_f, reduce_f, "lang", "text").collect()
+    }
+    # cross-check against a declarative formulation
+    from pyspark.sql import functions as F
+
+    expect = {
+        r.lang: r.w
+        for r in docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("lang")
+        .agg(F.max(F.struct(F.length("w").alias("l"), F.col("w"))).alias("m"))
+        .select("lang", F.col("m.w").alias("w"))
+        .collect()
+    }
+    assert out == expect
+
+
+def test_multimodal_codec_stubs_raise(spark):
+    with pytest.raises(NotImplementedError):
+        next(decode_image_batch(iter([])))
+    with pytest.raises(NotImplementedError):
+        next(sample_video_frames(iter([])))
