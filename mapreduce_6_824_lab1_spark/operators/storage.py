@@ -1,0 +1,123 @@
+"""Storage-layout operators: bucketed joins and partitioned sinks.
+
+These are the two write-side levers that remove whole shuffles/scans at
+100 TB, demonstrated end-to-end (write → read → query) with exact oracles
+over the pristine parquet:
+
+- bucketing: both join sides pre-hashed into the same bucket count on the
+  join key ⇒ sort-merge join with NO Exchange on either side (asserted in
+  tests/test_plans.py). This is the MapReduce ``ihash(key) % R``
+  intermediate-file layout (lab worker.go), persisted as a table property.
+- partitioned writes: directory-per-value layout ⇒ partition PRUNING at
+  read time — a predicate on the partition column skips whole directories,
+  the scan never opens them.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_6_824_lab1_spark.catalog import load_table, load_tables
+from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+N_BUCKETS = 8
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n_items,
+       {sql_hround("sum(l_extendedprice)", 2)} AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two tables bucketed on the join key: zero-shuffle sort-merge.
+
+    Both sides are written with ``bucketBy(8, orderkey).sortBy(orderkey)``;
+    the subsequent join's plan has no Exchange above either scan — at 100 TB
+    this converts every repeated fact-fact join on the same key into a
+    map-side merge. Bucket files land in the session warehouse dir.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    for name in ("mr_bucketed_lineitem", "mr_bucketed_orders"):
+        # a previous session may have left the warehouse directory behind
+        # without a catalog entry; clear both so the write never collides
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            os.path.join(wh.removeprefix("file:"), name), ignore_errors=True
+        )
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("mr_bucketed_lineitem")
+    )
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("mr_bucketed_orders")
+    )
+    li = spark.table("mr_bucketed_lineitem")
+    o = spark.table("mr_bucketed_orders")
+    # force the sort-merge strategy (at tiny test SFs Catalyst would
+    # broadcast the orders side and never exercise the bucket alignment;
+    # at fact-fact scale SMJ is what runs anyway)
+    return (
+        li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            hround(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle=f"""
+SELECT month(o_orderdate) AS o_month,
+       count(*) AS n_orders,
+       {sql_hround("sum(o_totalprice)", 2)} AS revenue
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY 1
+""",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by year, read back with a partition filter.
+
+    The year predicate is satisfied by directory pruning (PartitionFilters
+    on the scan; no data files outside 1997 are opened). This layout is how
+    a 100 TB fact table makes time-range queries scan-proportional to the
+    range, not the table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="mr_spark_part_")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    out = back.groupBy(F.month("o_orderdate").alias("o_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        hround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    # detach from the scratch dir (it outlives the call only by accident)
+    return spark.createDataFrame(out.collect(), out.schema)

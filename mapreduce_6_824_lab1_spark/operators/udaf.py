@@ -1,0 +1,67 @@
+"""Grouped-map pandas UDAF — the lab's reduceF as an Arrow-batched operator.
+
+``reduceF(key, values) -> result`` with all of a key's values visible at
+once is exactly Spark's ``applyInPandas`` contract (SURVEY.md §2 UDF note).
+The demonstration statistic is the median absolute deviation: robust, needs
+the full value set (not expressible as a mergeable aggregate), and has EXACT
+cross-engine parity because numpy's linear-interpolation median equals
+DuckDB's ``quantile_cont(0.5)`` on identical doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import sql_hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+_OUT_SCHEMA = "user_id long, n long, med double, mad double"
+
+
+def _mad(pdf: pd.DataFrame) -> pd.DataFrame:
+    v = pdf["value"].to_numpy(dtype="float64")
+    med = float(np.median(v))
+    mad = float(np.median(np.abs(v - med)))
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n": [len(v)],
+            "med": [math.floor(med * 10000 + 0.5) / 10000],
+            "mad": [math.floor(mad * 10000 + 0.5) / 10000],
+        }
+    )
+
+
+@query(
+    "udaf_mad_pandas",
+    oracle=f"""
+WITH med AS (
+    SELECT user_id, quantile_cont(value, 0.5) AS m
+    FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       count(*) AS n,
+       {sql_hround("any_value(med.m)", 4)} AS med,
+       {sql_hround("quantile_cont(abs(e.value - med.m), 0.5)", 4)} AS mad
+FROM events e JOIN med ON e.user_id = med.user_id
+GROUP BY e.user_id
+""",
+)
+def udaf_mad_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median absolute deviation via applyInPandas (grouped map).
+
+    100 TB: one shuffle on the group key, then each group is a single Arrow
+    batch in Python — the correct shape for non-mergeable statistics. Skewed
+    giant groups are this pattern's failure mode; mitigate by pre-reducing
+    cardinality upstream or switching to a mergeable sketch
+    (approx_percentile) when exactness isn't required.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        _mad, schema=_OUT_SCHEMA
+    )

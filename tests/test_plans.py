@@ -80,3 +80,29 @@ def test_multimodal_uses_arrow_python(spark):
     # never row-at-a-time BatchEvalPython
     plan = formatted_plan(QUERIES["multimodal_features"](spark, SF_DIR))
     assert "MapInPandas" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    df = QUERIES["join_bucketed"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # bucket-aligned SMJ: the only Exchange allowed is the final aggregate's
+    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    # inspect the pruned scan directly (the query returns a detached frame)
+    import tempfile
+    from pyspark.sql import functions as F
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    path = tempfile.mkdtemp(prefix="mr_plan_part_")
+    o.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year"
+    ).mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "o_year" in plan, plan
