@@ -239,6 +239,47 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS missing_customer,
+       CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END AS missing_order,
+       count(o.o_orderkey) AS n_orders
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal >= 5000) c
+FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate <  TIMESTAMP '1998-01-01') o
+  ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2, 3
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls arising on BOTH sides (high-balance
+    customers × 1997 orders). Full outer cannot broadcast — always a
+    shuffle join; at 100 TB both sides hash-partition once on the key."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"].filter(F.col("c_acctbal") >= 5000).select("c_custkey")
+    o = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_custkey", "o_orderkey")
+    )
+    j = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "outer")
+    return j.groupBy(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias(
+            "missing_customer"
+        ),
+        F.when(F.col("o_custkey").isNull(), 1).otherwise(0).alias(
+            "missing_order"
+        ),
+    ).agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@query(
     "join_semi_anti",
     oracle="""
 SELECT c_custkey, 'has_orders' AS tag FROM customer
@@ -394,13 +435,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_ranking",
     oracle="""
-SELECT n_nationkey, c_custkey, floor((c_acctbal) * 100 + 0.5) / 100 AS acctbal, rn, rnk
+SELECT n_nationkey, c_custkey, floor((c_acctbal) * 100 + 0.5) / 100 AS acctbal, rn, rnk, drnk
 FROM (
     SELECT n_nationkey, c_custkey, c_acctbal,
            row_number() OVER (PARTITION BY c_nationkey
                               ORDER BY c_acctbal DESC, c_custkey) AS rn,
            rank()       OVER (PARTITION BY c_nationkey
-                              ORDER BY c_acctbal DESC, c_custkey) AS rnk
+                              ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS drnk
     FROM customer JOIN nation ON c_nationkey = n_nationkey
 ) t
 WHERE rn <= 3
@@ -413,8 +456,9 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["customer"]
         .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("rnk", F.rank().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select(
             "n_nationkey",
@@ -422,6 +466,7 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround("c_acctbal", 2).alias("acctbal"),
             "rn",
             "rnk",
+            "drnk",
         )
     )
 
@@ -563,13 +608,13 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
-        F.length(F.trim(F.col("o_orderpriority"))).alias("prio_len"),
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.quarter("o_orderdate").alias("o_quarter"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_95"
-        ),
+        F.length(F.trim(F.col("o_orderpriority"))).cast("long").alias("prio_len"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
         hround(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
         hround(F.log(F.col("o_totalprice") + 1), 4).alias("log_price"),
     )
@@ -625,7 +670,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         "label",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         hround(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         hround(
             F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 6

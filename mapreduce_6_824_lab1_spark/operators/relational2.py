@@ -42,7 +42,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         hround(F.percent_rank().over(w), 6).alias("pct_rank"),
         hround(F.cume_dist().over(w), 6).alias("cume"),
     )

@@ -115,7 +115,9 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
-    out = back.groupBy(F.month("o_orderdate").alias("o_month")).agg(
+    out = back.groupBy(
+        F.month("o_orderdate").cast("long").alias("o_month")
+    ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         hround(F.sum("o_totalprice"), 2).alias("revenue"),
     )

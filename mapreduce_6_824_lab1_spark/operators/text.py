@@ -192,7 +192,7 @@ def term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TERM_VECTOR_K)
         .select("lang", "word", "cnt", "rnk")
     )

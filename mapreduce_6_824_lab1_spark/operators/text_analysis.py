@@ -108,7 +108,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= NGRAM_TOP_K)
         .select("lang", "bigram", "cnt", "rnk")
     )
@@ -133,10 +133,10 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(tokens_col()).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias(
-            "n_alpha_tokens"
-        ),
+        F.size(tokens_col()).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+        .cast("long")
+        .alias("n_alpha_tokens"),
         "n_chars",
     )
 
@@ -192,7 +192,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         hround(stop_ratio, 4).alias("stop_ratio"),
         hround(avg_word_len, 4).alias("avg_word_len"),
         hround(quality, 4).alias("quality"),
@@ -339,7 +339,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "word", "tf", "tfidf", "rnk")
     )

@@ -31,7 +31,9 @@ from mapreduce_6_824_lab1_spark.registry import query
 _DOC_AGG_ORACLE = f"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       -- DuckDB sum(BIGINT) is HUGEINT (reaches pandas as float64);
+       -- cast back so the dtype matches Spark's int64
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        {sql_hround("sum(length(text))", 2)} AS total_text_len
 FROM documents
 GROUP BY lang
@@ -90,7 +92,7 @@ def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_roundtrip_text",
     oracle=f"""
 SELECT count(*) AS n_lines,
-       sum(len(string_split(line, ' '))) AS n_words
+       CAST(sum(len(string_split(line, ' '))) AS BIGINT) AS n_words
 FROM (SELECT text AS line FROM documents) t
 """,
 )
