@@ -232,3 +232,79 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram — fixed-width bucketing via arithmetic (engine-neutral)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_WIDTH = 50_000.0
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+SELECT CAST(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       {sql_hround(f"min(o_totalprice)", 2)} AS lo,
+       {sql_hround(f"max(o_totalprice)", 2)} AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals. Bucketing is a pure projection
+    (floor-div) so the whole histogram is one partial-agg shuffle of ≤
+    n_buckets rows per task — histograms at 100 TB cost one narrow scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / HIST_BUCKET_WIDTH)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.min("o_totalprice"), 2).alias("lo"),
+            hround(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query("agg_approx_percentile")  # no oracle: t-digest sketch is impl-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the mergeable-sketch percentile for 100 TB (exact
+    interpolated percentiles must buffer whole groups; the sketch streams).
+    Rows-only check; the unit test bounds it against the exact quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("approx_p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode / lateral expansion over array columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_explode",
+    oracle=f"""
+SELECT vec_id,
+       CAST(generate_subscripts(embedding[1:8], 1) - 1 AS INTEGER) AS pos,
+       {sql_hround("CAST(unnest(embedding[1:8]) AS DOUBLE)", 6)} AS val
+FROM embeddings
+""",
+)
+def scalar_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the leading embedding dims: the UDTF/lateral-view shape
+    (one input row → many output rows with position), engine-neutral."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        hround(F.col("v").cast("double"), 6).alias("val"),
+    )

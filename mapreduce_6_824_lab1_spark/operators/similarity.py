@@ -174,21 +174,22 @@ SELECT vec_id, label, cell,
        floor(({_sql_dot("c.embedding", "probe.p")}
              / ({_sql_norm("c.embedding")} * {_sql_norm("probe.p")})) * 1000000 + 0.5) / 1000000 AS cosine
 FROM cells c, probe
-WHERE c.cell = probe.pcell AND vec_id != {PROBE_VEC_ID}
+WHERE bit_count(xor(c.cell, probe.pcell)) <= 1 AND vec_id != {PROBE_VEC_ID}
 ORDER BY {_sql_dot("c.embedding", "probe.p")}
          / ({_sql_norm("c.embedding")} * {_sql_norm("probe.p")}) DESC, vec_id
 LIMIT {TOP_K}
 """,
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: search only the probe's coarse-quantizer cell.
+    """IVF-style ANN with multi-probe: search the probe's coarse-quantizer
+    cell plus its hamming-1 neighbors (5 of 16 cells ⇒ ~1/3 of the corpus,
+    much better recall than single-cell probing).
 
     The quantizer is the sign pattern of the first 4 dimensions (data-
-    independent, deterministic — a fixed random-hyperplane LSH). Scan cost
-    drops to ~1/16 of the corpus at the cost of recall; the unit test
-    measures recall against ``similarity_topk``. 100 TB: partition the
-    corpus BY cell on write, and a probe prunes to one partition — this is
-    partition pruning doing ANN.
+    independent, deterministic — a fixed random-hyperplane LSH). The unit
+    test measures recall against the exact ``similarity_topk``. 100 TB:
+    partition the corpus BY cell on write and multi-probe becomes reading a
+    handful of partitions — partition pruning doing ANN.
     """
     e = load_table(spark, sf_dir, "embeddings")
     cells = e.withColumn("cell", _cell("embedding"))
@@ -197,7 +198,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot("embedding", "p") / (_norm("embedding") * _norm("p"))
     return (
-        cells.join(broadcast(probe), F.col("cell") == F.col("pcell"))
+        cells.join(
+            broadcast(probe),
+            F.bit_count(F.col("cell").bitwiseXOR(F.col("pcell"))) <= 1,
+        )
         .filter(F.col("vec_id") != PROBE_VEC_ID)
         .withColumn("cosine_raw", cos)
         .orderBy(F.desc("cosine_raw"), "vec_id")

@@ -25,4 +25,5 @@ def test_all_queries_registered():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "agg_approx_distinct",
+        "agg_approx_percentile",
     }, f"unexpected rows-only queries: {rows_only}"

@@ -47,3 +47,28 @@ def test_approx_distinct_within_bounds(spark):
     assert set(exact) == set(approx)
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(3, 0.1 * v), (k, approx[k], v)
+
+
+def test_approx_percentile_within_bounds(spark):
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in QUERIES["agg_percentiles"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: (r.approx_p50, r.approx_p90)
+        for r in QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (p50, p90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - p50) <= max(5.0, 0.1 * p50), (k, a50, p50)
+        assert abs(a90 - p90) <= max(5.0, 0.1 * p90), (k, a90, p90)
+
+
+def test_ivf_recall_against_exact_topk(spark):
+    exact = [r.vec_id for r in QUERIES["similarity_topk"](spark, SF_DIR).collect()]
+    ivf = {r.vec_id for r in QUERIES["similarity_ivf"](spark, SF_DIR).collect()}
+    recall = len(set(exact) & ivf) / len(exact)
+    # multi-probe over 5/16 cells; sign-agreement correlates with cosine,
+    # so recall well above the 5/16 ≈ 0.31 random baseline is expected
+    assert recall >= 0.4, (recall, exact, sorted(ivf))
