@@ -676,3 +676,71 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 6
         ).alias("l2_norm"),
     )
+
+
+@query(
+    "join_asof_merge",
+    oracle="""
+WITH j AS (
+    SELECT e.event_id, o.o_orderkey, o.o_orderdate
+    FROM events e
+    JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+),
+m AS (SELECT event_id, max(o_orderdate) AS md FROM j GROUP BY event_id)
+SELECT j.event_id, max(j.o_orderkey) AS o_orderkey,
+       strftime(m.md, '%Y-%m-%d') AS order_day
+FROM j JOIN m ON j.event_id = m.event_id AND j.o_orderdate = m.md
+GROUP BY j.event_id, m.md
+""",
+)
+def join_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the merged-stream pattern — same semantics (and same
+    oracle) as ``join_asof``, different physical shape.
+
+    Union orders and events into one time-ordered stream per user, then
+    ``last(order, ignorenulls)`` over an unbounded-preceding frame carries
+    the latest order forward to each event row. No join ever materializes
+    the (event × candidate-orders) blow-up: cost is one shuffle of
+    |events| + |orders| rows and a per-user sort — the right shape when
+    per-key order history is dense. Two independent formulations agreeing
+    with one oracle is itself a correctness check.
+    """
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    orders_side = t["orders"].select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),  # orders sort before events at equal t
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("o_orderdate", "o_orderkey").alias("ord"),
+    )
+    events_side = t["events"].select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None)
+        .cast("struct<o_orderdate:timestamp,o_orderkey:bigint>")
+        .alias("ord"),
+    )
+    merged = orders_side.unionByName(events_side)
+    # within equal (t, is_event=0) the struct's (o_orderdate, o_orderkey)
+    # ordering makes `last` pick the max orderkey deterministically
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_event", F.col("ord.o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_ord", F.last("ord", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("is_event") == 1) & F.col("last_ord").isNotNull())
+        .select(
+            "event_id",
+            F.col("last_ord.o_orderkey").alias("o_orderkey"),
+            F.date_format("last_ord.o_orderdate", "yyyy-MM-dd").alias(
+                "order_day"
+            ),
+        )
+    )

@@ -208,3 +208,44 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", "cell", hround("cosine_raw", 6).alias("cosine"))
     )
+
+
+@query("similarity_mllib_lsh")  # rows-only: LSH hash values are impl-specific
+def similarity_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via MLlib's BucketedRandomProjectionLSH (seeded, deterministic).
+
+    The library alternative to the hand-rolled sign-bit quantizer of
+    ``similarity_ivf``: random-hyperplane projections bucketed at a fixed
+    width, ``approxNearestNeighbors`` probing with multi-probe across
+    hash tables. Distances are Euclidean (MLlib's metric for this family);
+    the unit test checks k results with ascending nonnegative distances and
+    overlap with the exact neighbor set. At 100 TB you'd persist
+    ``model.transform(corpus)`` bucketed-by-hash and probe via bucket join
+    (``approxSimilarityJoin``) instead of per-query scans.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=8,
+        seed=42,
+    )
+    model = lsh.fit(vecs)
+    probe = vecs.filter(F.col("vec_id") == PROBE_VEC_ID).head()
+    neighbors = model.approxNearestNeighbors(
+        vecs.filter(F.col("vec_id") != PROBE_VEC_ID), probe.features, TOP_K
+    )
+    return neighbors.select(
+        "vec_id",
+        "label",
+        (F.floor(F.col("distCol") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "euclidean_dist"
+        ),
+    )

@@ -93,3 +93,39 @@ def stream_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround("value", 2).alias("value"),
     )
     return _run_to_memory(out, spark, mode="append")
+
+
+WATERMARK_DELAY_MIN = 10
+
+
+@query(
+    "stream_tumbling_watermark",
+    oracle=f"""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM events, mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= mx.m - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregation with a 10-minute watermark — the
+    late-data-bounded form every production stream runs (state for a window
+    is dropped once the watermark passes its end; events later than the
+    delay are discarded instead of reopening state).
+
+    Under availableNow the final flush batch advances the watermark to
+    max(ts) − delay and append emits exactly the finalized windows — so the
+    oracle is the batch aggregation restricted to windows whose end ≤ that
+    watermark. The trailing open window is withheld by design; at 100 TB
+    that bounded state (≈ windows/key in flight) is the difference between
+    a stream that runs forever and one that OOMs.
+    """
+    src = _events_stream(spark, sf_dir).withWatermark(
+        "ts", f"{WATERMARK_DELAY_MIN} minutes"
+    )
+    return _run_to_memory(tumbling_agg(src), spark, mode="append")

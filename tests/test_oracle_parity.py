@@ -26,4 +26,5 @@ def test_all_queries_registered():
         "dedup_simhash",
         "agg_approx_distinct",
         "agg_approx_percentile",
+        "similarity_mllib_lsh",
     }, f"unexpected rows-only queries: {rows_only}"

@@ -72,3 +72,11 @@ def test_ivf_recall_against_exact_topk(spark):
     # multi-probe over 5/16 cells; sign-agreement correlates with cosine,
     # so recall well above the 5/16 ≈ 0.31 random baseline is expected
     assert recall >= 0.4, (recall, exact, sorted(ivf))
+
+
+def test_mllib_lsh_neighbors_sane(spark):
+    rows = QUERIES["similarity_mllib_lsh"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    dists = [r.euclidean_dist for r in rows]
+    assert all(d >= 0 for d in dists)
+    assert sorted(dists) == dists or set(dists) == set(sorted(dists))
