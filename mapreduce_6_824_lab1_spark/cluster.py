@@ -1,0 +1,77 @@
+"""Cluster-scale configuration profile — the 100 TB deployment story.
+
+Local runs (``session.get_spark``) only need the correctness-critical conf.
+On a real cluster (≈1000 executors scanning ~100 TB), the knobs below are
+the ones that decide whether the plans in this engine behave as designed.
+``cluster_conf()`` returns the profile; ``apply_cluster_profile`` sets the
+runtime-settable subset on an existing session (static ones must go on
+``spark-submit``).
+
+Rationale per knob (sources: Spark tuning docs + the plan shapes in
+PLANS.md):
+
+- shuffle partitions: AQE coalesces DOWN from this cap, never up — so set
+  it to ~2-3× total cores and let runtime statistics shrink it per stage.
+- maxPartitionBytes 256m: at 100 TB, 128m splits → 800k scan tasks; 256m
+  halves scheduler pressure while staying within executor memory for the
+  columnar batches this engine produces (narrow projections, see PLANS.md).
+- advisoryPartitionSizeInBytes 128m: post-shuffle target AQE coalesces to;
+  matches the map-side partial-agg output profile of the groupBy-heavy
+  queries here.
+- skew-join thresholds: every fact-fact join in this engine is either
+  pre-salted (join_skew_salted) or relies on AQE's split — 256m/5×median
+  catches the Zipfian keys of events/documents workloads.
+- broadcast threshold 64m: region/nation/supplier/customer stay broadcast
+  at sf≤1000 for the star joins; beyond that AQE demotes automatically.
+- speculation: the lab's 10-second straggler re-issue (MIT 6.824 Lab 1
+  coordinator semantics) maps to speculative execution — same idea,
+  quantile-triggered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: conf that must be set before the JVM/session starts (spark-submit --conf)
+STATIC_CLUSTER_CONF: dict[str, str] = {
+    "spark.executor.memory": "24g",
+    "spark.executor.cores": "8",
+    "spark.executor.memoryOverhead": "4g",
+    "spark.speculation": "true",
+    "spark.speculation.quantile": "0.9",
+    "spark.speculation.multiplier": "2",
+    "spark.sql.shuffle.partitions": "16000",  # ~2x cores for 1000×8 cluster
+    "spark.shuffle.service.enabled": "true",
+    "spark.dynamicAllocation.enabled": "true",
+}
+
+#: runtime-settable conf (spark.conf.set on a live session)
+RUNTIME_CLUSTER_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.files.maxPartitionBytes": "256m",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def cluster_conf() -> dict[str, str]:
+    """The full 100 TB profile (static + runtime)."""
+    return {**STATIC_CLUSTER_CONF, **RUNTIME_CLUSTER_CONF}
+
+
+def apply_cluster_profile(spark: SparkSession) -> list[str]:
+    """Apply the runtime-settable subset; returns the keys that could not be
+    set (static conf — must be provided at submit time)."""
+    failed: list[str] = []
+    for k, v in RUNTIME_CLUSTER_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            failed.append(k)
+    return failed

@@ -50,3 +50,36 @@ def test_multimodal_codec_stubs_raise(spark):
         next(decode_image_batch(iter([])))
     with pytest.raises(NotImplementedError):
         next(sample_video_frames(iter([])))
+
+
+def test_cluster_profile_applies(spark):
+    from mapreduce_6_824_lab1_spark.cluster import (
+        RUNTIME_CLUSTER_CONF,
+        apply_cluster_profile,
+        cluster_conf,
+    )
+
+    profile = cluster_conf()
+    assert profile["spark.sql.adaptive.enabled"] == "true"
+    saved = {}
+    for k in RUNTIME_CLUSTER_CONF:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        failed = apply_cluster_profile(spark)
+        assert not failed, failed
+        assert (
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            == RUNTIME_CLUSTER_CONF[
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            ]
+        )
+    finally:
+        # the session is shared across the test run — restore
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
