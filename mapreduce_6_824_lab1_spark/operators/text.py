@@ -67,19 +67,20 @@ GROUP BY word
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # n_docs is derived from the collected set rather than countDistinct:
+    # a distinct aggregate alongside collect_set forces Catalyst's
+    # distinct-rewrite (Expand) plan — measured ~4× slower at sf0.1.
     return (
         words_of(docs, "doc_id")
         .groupBy("word")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .select(
+            "word",
+            F.size("docs").cast("long").alias("n_docs"),
             # numeric sort THEN stringify — lexicographic sort of "10" vs "2"
             # would diverge from the oracle's numeric list_sort.
             F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_set("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
+                ",", F.transform("docs", lambda x: x.cast("string"))
             ).alias("doc_list"),
         )
     )
