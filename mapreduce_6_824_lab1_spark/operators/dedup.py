@@ -195,17 +195,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline (all built-ins, fully deterministic):
       1. shingles (doc_id, shingle) distinct;
-      2. per shingle, the NUM_HASHES-vector ``xxhash64(seed_i, shingle)``;
-      3. per doc, element-wise min over shingle vectors = MinHash signature —
-         expressed as explode(hash_idx) + groupBy(doc, idx).min;
-      4. band id = idx div rows_per_band; band key = hash of the band's mins;
-      5. docs sharing any band key become candidate pairs (self-join on the
-         band key — the ONLY join, and it is sparse);
-      6. exact Jaccard verify of candidates (same formula as the exact query).
+      2. MinHash signature = 64 parallel ``min(xxhash64(seed_i, shingle))``
+         AGGREGATE EXPRESSIONS in one groupBy(doc_id) — NOT a 64× row
+         explosion; partial aggregation collapses each map partition to one
+         64-column row per doc before the shuffle;
+      3. per band, band key = hash of that band's 4 positional minhashes;
+      4. docs sharing any (band, key) become candidate pairs (the ONLY
+         join, and it is sparse);
+      5. exact Jaccard verify of candidates via array_intersect of the two
+         shingle sets — per-pair, no aggregation.
 
-    100 TB: all-pairs never materializes; the band join's fan-out is bounded
-    by bucket sizes, and signatures are 64×8 bytes per doc regardless of doc
-    length. Verified in tests to recover the planted pairs of
+    100 TB: all-pairs never materializes; signatures are 64×8 bytes per doc
+    regardless of doc length; shuffle volume is one signature row per doc.
+    Verified in tests to recover the planted pairs of
     ``dedup_ngram_jaccard`` (recall ≥ 0.9 expected at s≥0.6).
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -213,22 +215,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sets.select("doc_id", F.explode("shs").alias("shingle"))
 
     rows_per_band = NUM_HASHES // NUM_BANDS
-    hashes = F.array(
-        *[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(NUM_HASHES)]
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
     )
-    sig = (
-        sh.select("doc_id", F.posexplode(hashes).alias("idx", "h"))
-        .groupBy("doc_id", "idx")
-        .agg(F.min("h").alias("minhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
     )
-    bands = (
-        sig.withColumn("band", (F.col("idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
-            ).alias("band_key")
-        )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
@@ -245,26 +256,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verification of the candidate set
-    sizes = sets.select("doc_id", F.size("shs").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        candidates.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # exact verification: intersect the two shingle SETS per candidate pair —
+    # a per-row expression, no aggregation, joins are candidate-sized
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+    )
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = common / (F.size("shs_a") + F.size("shs_b") - common)
     return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", hround(jac, 4).alias("jaccard"))
     )
@@ -294,28 +298,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingled(docs)
 
+    # one aggregate expression per bit (sum of bit values) + a count, NOT a
+    # 64× posexplode: partial aggregation ships one 65-column row per doc
+    # per map partition. bit j of the fingerprint is set iff more than half
+    # the shingle hashes have bit j set (sum of ±1 contributions > 0).
     h = F.xxhash64(F.lit(-1), F.col("shingle"))
-    contrib = F.array(
+    perbit = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
         *[
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")).alias(
+                f"b{i}"
+            )
             for i in range(SIMHASH_BITS)
-        ]
+        ],
     )
-    bitsums = (
-        sh.select("doc_id", F.posexplode(contrib).alias("bit", "c"))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-    )
-    fp = bitsums.groupBy("doc_id").agg(
-        F.sum(
-            # shiftleft() the builtin only takes a literal count; the SQL
-            # expression form accepts a column
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("fp")
-    )
+    # assemble the fingerprint as one per-row expression over the 64 sums
+    # (bit 63's weight is the sign bit: 1<<63 overflows signed long, so its
+    # two's-complement value is used)
+    fp_expr = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        fp_expr = fp_expr + F.when(
+            2 * F.col(f"b{i}") > F.col("n_sh"), F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    fp = perbit.select("doc_id", fp_expr.alias("fp"))
 
     chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = fp.select(
