@@ -360,3 +360,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters — connected components over the verified pair graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE base AS ({NGRAM_ORACLE.replace("SELECT doc_a, doc_b,",
+                                              "SELECT doc_a, doc_b,")}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM base
+    UNION ALL
+    SELECT doc_b, doc_a FROM base
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach AS (
+    SELECT doc_id, doc_id AS r FROM nodes
+    UNION
+    SELECT reach.doc_id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT doc_id, min(r) AS cluster_rep
+FROM reach GROUP BY doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: every doc in a
+    duplicate cluster is labeled with the cluster's minimum doc_id (the
+    canonical survivor a dedup pass would keep).
+
+    Spark side: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels, until a round
+    changes nothing. Label count halves-or-better per round, so rounds are
+    O(log(diameter)); the convergence check is a scalar count per round
+    (the one legitimate use of a driver-side action in this engine —
+    iteration control, not data). The oracle computes the same components
+    with a recursive CTE. 100 TB: this is the alternating-algorithm shape
+    of large-graph CC (each round = one join + one aggregate, both on the
+    edge partitioning); checkpoint lineage every few rounds.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(edges["doc_a"].alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["nid"])
+            .select(
+                "doc_id",
+                F.least("label", "nlabel").alias("new_label"),
+                "label",
+            )
+        )
+        changed = updated.filter(
+            F.col("new_label") != F.col("label")
+        ).count()
+        labels = updated.select(
+            "doc_id", F.col("new_label").alias("label")
+        )
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
