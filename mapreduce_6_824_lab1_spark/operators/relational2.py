@@ -308,3 +308,42 @@ def scalar_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         hround(F.col("v").cast("double"), 6).alias("val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frames (value-based, vs the ROWS frames in window_analytic)
+# ---------------------------------------------------------------------------
+
+RANGE_DAYS = 30
+_RANGE_SECS = RANGE_DAYS * 86400
+
+
+@query(
+    "window_range_frame",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN {_RANGE_SECS} PRECEDING
+                            AND {_RANGE_SECS} FOLLOWING) AS n_nearby,
+       {sql_hround(f"sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) RANGE BETWEEN {_RANGE_SECS} PRECEDING AND {_RANGE_SECS} FOLLOWING)", 2)}
+           AS nearby_revenue
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per order, activity of the same customer
+    within ±30 days — the frame is defined by the ORDER BY value distance,
+    not row offsets (same-valued peers always share a frame). One shuffle
+    on the partition key, same as any window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-_RANGE_SECS, _RANGE_SECS)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_nearby"),
+        hround(F.sum("o_totalprice").over(w), 2).alias("nearby_revenue"),
+    )
