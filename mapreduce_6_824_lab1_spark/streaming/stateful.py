@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 import shutil
 import tempfile
+import time
 from collections.abc import Iterator
 from typing import Any
 
@@ -81,12 +82,14 @@ def _sessionize(
             tot += float(val)
             last = ts
 
-    # the sentinel guarantees the final open "session" is its own empty one;
-    # nothing real can remain open, so clear the state
+    # closed sessions were emitted in the loop; an OPEN real session must be
+    # carried to the next batch in state (events there may still merge into
+    # it). The flush sentinel (last batch) closes every real session, so the
+    # only possible open "session" at stream end is the sentinel's empty one
+    # — clear the state then.
     if n > 0:
-        out.append((user_id, start, n, tot))
-        state.update((start, last, n, tot))  # exercised API; removed below
-    if state.exists:
+        state.update((start, last, n, tot))
+    elif state.exists:
         state.remove()
 
     yield pd.DataFrame(
@@ -120,10 +123,34 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch = tempfile.mkdtemp(prefix="mr_spark_sess_")
     try:
-        raw.select(
+        # Split the input into N_BATCH_FILES time-ranged files written in
+        # ascending mtime order and feed them one per micro-batch
+        # (maxFilesPerTrigger=1): open sessions genuinely carry across batch
+        # boundaries through the GroupState, not just within one pandas
+        # frame. The flush sentinel rides in the final (latest) range.
+        full = raw.select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
-        ).unionByName(sentinel).write.mode("overwrite").parquet(scratch)
-        src = spark.readStream.schema(_RAW_SCHEMA).parquet(scratch)
+        ).unionByName(sentinel)
+        bounds = full.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+        cuts = [float("-inf"), *bounds, float("inf")]
+        for i in range(len(cuts) - 1):
+            part = full.filter(
+                (F.col("ts") > F.lit(cuts[i]))
+                & (F.col("ts") <= F.lit(cuts[i + 1]))
+            )
+            # one file per range: a range split across several files would
+            # let maxFilesPerTrigger deliver a range's rows out of order
+            # across batches, breaking the in-order state continuation
+            part.coalesce(1).write.mode("overwrite").parquet(
+                f"{scratch}/batch_{i}"
+            )
+            time.sleep(0.05)  # distinct mtimes => deterministic file order
+        src = (
+            spark.readStream.schema(_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(scratch)
+        )
         sessions = src.groupBy("user_id").applyInPandasWithState(
             _sessionize,
             outputStructType=_OUT_SCHEMA,
