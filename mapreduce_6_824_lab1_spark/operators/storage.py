@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark.catalog import load_table, load_tables
 from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
-from mapreduce_6_824_lab1_spark.registry import query
+from mapreduce_6_824_lab1_spark.registry import ORACLES, query
 
 N_BUCKETS = 8
 
@@ -123,3 +123,64 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # detach from the scratch dir (it outlives the call only by accident)
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned ANN: the similarity_ivf quantizer as a STORAGE layout
+# ---------------------------------------------------------------------------
+
+
+# same oracle as similarity_ivf: identical results, different storage path
+# (operators.similarity registers before this module — see operators/__init__)
+@query("similarity_ivf_partitioned", oracle=ORACLES["similarity_ivf"])
+def similarity_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN against a corpus WRITTEN partitioned by quantizer
+    cell: the probe's cells become a partition-column filter, so the scan
+    opens only the probed directories (5 of 16). Same oracle as
+    ``similarity_ivf`` — identical results, but at 100 TB the scan cost is
+    directory pruning instead of a full pass. The probe's cell set is
+    computed from the probe row alone (one tiny collect — index lookup,
+    not data movement).
+    """
+    from mapreduce_6_824_lab1_spark.operators.similarity import (
+        IVF_BITS,
+        PROBE_VEC_ID,
+        TOP_K,
+        _cell,
+        _dot,
+        _norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.withColumn("cell", _cell("embedding"))
+    path = tempfile.mkdtemp(prefix="mr_spark_ivf_")
+    try:
+        cells.write.partitionBy("cell").mode("overwrite").parquet(path)
+        corpus = spark.read.parquet(path)
+        probe_row = cells.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            "embedding", "cell"
+        ).head()
+        pcell = int(probe_row.cell)
+        probe_cells = [pcell] + [pcell ^ (1 << i) for i in range(IVF_BITS)]
+        probe = cells.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("embedding").alias("p")
+        )
+        cos = _dot("embedding", "p") / (_norm("embedding") * _norm("p"))
+        out = (
+            corpus.filter(F.col("cell").isin(probe_cells))  # partition pruning
+            .crossJoin(F.broadcast(probe))
+            .filter(F.col("vec_id") != PROBE_VEC_ID)
+            .withColumn("cosine_raw", cos)
+            .orderBy(F.desc("cosine_raw"), "vec_id")
+            .limit(TOP_K)
+            .select(
+                "vec_id",
+                "label",
+                F.col("cell").cast("int").alias("cell"),
+                (F.floor(F.col("cosine_raw") * 1000000 + F.lit(0.5)) / 1000000)
+                .alias("cosine"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
