@@ -48,19 +48,20 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side merge. Bucket files land in the session warehouse dir.
     """
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    # external tables with explicit /tmp locations: independent of the
+    # session's warehouse dir (the caller's cwd may not be writable, and
+    # spark.sql.warehouse.dir is static conf). The scratch dirs must outlive
+    # this call — the returned plan scans them — so they are not removed
+    # here; each run gets fresh mkdtemp dirs.
+    scratch = tempfile.mkdtemp(prefix="mr_spark_bucketed_")
     for name in ("mr_bucketed_lineitem", "mr_bucketed_orders"):
-        # a previous session may have left the warehouse directory behind
-        # without a catalog entry; clear both so the write never collides
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        shutil.rmtree(
-            os.path.join(wh.removeprefix("file:"), name), ignore_errors=True
-        )
     (
         t["lineitem"]
         .select("l_orderkey", "l_extendedprice")
         .write.bucketBy(N_BUCKETS, "l_orderkey")
         .sortBy("l_orderkey")
+        .option("path", os.path.join(scratch, "lineitem"))
         .mode("overwrite")
         .saveAsTable("mr_bucketed_lineitem")
     )
@@ -69,6 +70,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus")
         .write.bucketBy(N_BUCKETS, "o_orderkey")
         .sortBy("o_orderkey")
+        .option("path", os.path.join(scratch, "orders"))
         .mode("overwrite")
         .saveAsTable("mr_bucketed_orders")
     )

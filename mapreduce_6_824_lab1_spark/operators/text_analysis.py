@@ -177,10 +177,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars - (n_words - 1) separators.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n_words = F.size(toks)
+    # tokenize once into a projected column (repeated tokens_col() would
+    # re-split text per reference — the codegen CSE doesn't span lambdas)
+    toked = docs.select(
+        "doc_id", "lang", "n_chars", tokens_col().alias("toks")
+    )
+    n_words = F.size("toks")
     stop_ratio = (
-        F.size(F.filter(toks, lambda x: (x == STOPWORDS[0]) | (x == STOPWORDS[1])))
+        F.size(
+            F.filter(
+                "toks", lambda x: (x == STOPWORDS[0]) | (x == STOPWORDS[1])
+            )
+        )
         / n_words
     )
     avg_word_len = (F.col("n_chars") - (n_words - 1)) / n_words
@@ -189,7 +197,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (1.0 - stop_ratio)
         + 0.2 * F.least(avg_word_len / 8.0, F.lit(1.0))
     )
-    return docs.select(
+    return toked.select(
         "doc_id",
         "lang",
         n_words.cast("long").alias("n_words"),
