@@ -347,3 +347,43 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_nearby"),
         hround(F.sum("o_totalprice").over(w), 2).alias("nearby_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic scalars
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 10 DAY, '%Y-%m-%d') AS plus_10d,
+       strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_1m,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start
+FROM orders
+""",
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: day/month offsets, month end, day-of-week,
+    week truncation. DOW convention pinned to 0=Sunday (DuckDB's) — Spark's
+    dayofweek is 1=Sunday, so shift by one."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add("o_orderdate", 10), "yyyy-MM-dd").alias(
+            "plus_10d"
+        ),
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias(
+            "plus_1m"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    )

@@ -351,3 +351,33 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "word", "tf", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit distance — fuzzy string matching scalar
+# ---------------------------------------------------------------------------
+
+EDIT_PROBE = "join filter scan"
+
+
+@query(
+    "text_edit_distance",
+    oracle=f"""
+SELECT doc_id,
+       CAST(levenshtein(substr(text, 1, 20), '{EDIT_PROBE}') AS BIGINT)
+           AS edit_dist
+FROM documents
+""",
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance of each doc's prefix to a probe phrase — the
+    fuzzy-match scalar (both engines implement the same DP definition).
+    100 TB note: O(len²) per row — bound the operand length (as here) or
+    pre-filter candidates with n-gram overlap before exact distances."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 20), F.lit(EDIT_PROBE))
+        .cast("long")
+        .alias("edit_dist"),
+    )
