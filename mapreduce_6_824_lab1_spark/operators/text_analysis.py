@@ -381,3 +381,51 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("edit_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splitting — multiplicative-hash bucketing
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash: engine-neutral integer arithmetic, so the split
+# is reproducible ANYWHERE (unlike rand(seed) or xxhash64, which are
+# implementation-specific). Stable under re-runs and appends — a doc's split
+# never changes, which is the property training pipelines actually need.
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+SELECT CASE WHEN h < {int(0.90 * _MOD)} THEN 'train'
+            WHEN h < {int(0.95 * _MOD)} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM (SELECT doc_id, n_chars, (doc_id * {_KNUTH}) % {_MOD} AS h FROM documents) t
+GROUP BY 1
+""",
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split via deterministic multiplicative hashing
+    of the document key. Pure projection + one aggregate: at 100 TB the
+    split is free (no shuffle to assign, no stored split table) and any
+    job can recompute membership from the key alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_MOD))
+    split = (
+        F.when(h < int(0.90 * _MOD), "train")
+        .when(h < int(0.95 * _MOD), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            hround(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

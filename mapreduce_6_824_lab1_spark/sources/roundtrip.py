@@ -114,3 +114,52 @@ def source_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missing_chars,
+       CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars
+FROM (
+    SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 1
+) t
+GROUP BY lang
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an old batch lacking a
+    column, a new batch carrying it, read together with ``mergeSchema`` —
+    the missing column surfaces as nulls. This is the append-only data-lake
+    reality at 100 TB (schemas drift across years of writes); the oracle
+    recomputes the same union relationally.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        new_batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        )
+        old_batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang"
+        )  # written before n_chars existed
+        new_batch.write.parquet(f"{path}/batch_new")
+        old_batch.write.parquet(f"{path}/batch_old")
+        merged = spark.read.option("mergeSchema", True).parquet(
+            f"{path}/batch_new", f"{path}/batch_old"
+        )
+        out = merged.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_chars"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("total_chars"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
