@@ -1,0 +1,112 @@
+"""K-means over the embeddings table — the canonical *iterative* MapReduce
+application (each Lloyd iteration is one map (assign) + one reduce (mean)).
+
+Fully deterministic: centroids initialize to the vectors of vec_id 0..k-1,
+iterations are fixed-count, and assignment ties break toward the lower
+centroid id. Declared rows-only for the driver (centroid means accumulate
+float error in engine-specific order, so exact cross-engine hashing is not
+honest here); the unit test instead checks assignments and centroids against
+an independent numpy implementation of the same algorithm to 1e-6.
+
+Scale shape per iteration (the whole point):
+- centroids (k×64 doubles) broadcast to every task;
+- assignment is a map-only pass (no shuffle): argmin over k distances
+  computed with codegen'd higher-order array functions;
+- new centroids via ONE partial-aggregated shuffle of (cid, dim) sums —
+  the paper's combiner pattern; traffic is O(partitions · k · dim), never
+  O(rows). Driver holds only k centroids between iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+K = 8
+ITERATIONS = 3
+
+
+def _sq_dist(a, b) -> F.Column:
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map phase: nearest centroid per vector (broadcast k centroids,
+    argmin via min(struct(dist, cid)) — no shuffle of the corpus)."""
+    joined = vectors.crossJoin(broadcast(centroids))
+    d = _sq_dist("embedding", "centroid")
+    return (
+        joined.select(
+            "vec_id",
+            "embedding",
+            F.struct(d.alias("d"), F.col("cid").alias("cid")).alias("dc"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
+    )
+
+
+def recompute(assigned: DataFrame) -> DataFrame:
+    """Reduce phase: element-wise mean per centroid — posexplode to
+    (cid, dim, val), partial-agg sum/count, regroup to an ordered array."""
+    by_dim = assigned.select(
+        "cid", F.posexplode("embedding").alias("dim", "v")
+    ).groupBy("cid", "dim").agg(
+        F.sum(F.col("v").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return (
+        by_dim.withColumn("mean", F.col("s") / F.col("c"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean"))
+                ),
+                lambda x: x.mean,
+            ).alias("centroid")
+        )
+    )
+
+
+@query("kmeans_embeddings")  # rows-only: float accumulation order is
+# engine-specific; verified against a numpy reference in tests instead
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", "embedding")
+    centroids = (
+        e.filter(F.col("vec_id") < K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+    for _ in range(ITERATIONS):
+        assigned = assign(vectors, centroids)
+        centroids = recompute(assigned)
+    final = assign(vectors, centroids)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("centroid", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(centroids.select("cid", norm.alias("nrm")), "cid")
+        .select("cid", "n_members", hround(F.col("nrm"), 4).alias("centroid_norm"))
+    )

@@ -27,4 +27,5 @@ def test_all_queries_registered():
         "agg_approx_distinct",
         "agg_approx_percentile",
         "similarity_mllib_lsh",
+        "kmeans_embeddings",
     }, f"unexpected rows-only queries: {rows_only}"
