@@ -91,3 +91,26 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned items): top customers by returned revenue."""
     return _run_sql(spark, sf_dir, Q10_SQL)
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 180
+)
+GROUP BY c_custkey, c_name, o_orderkey
+"""
+
+
+@query("sql_tpch_q18", oracle=Q18_SQL)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): grouped IN-subquery with HAVING —
+    Catalyst rewrites the subquery to a left-semi join on the aggregated
+    lineitem; both engines parse the identical SQL text."""
+    return _run_sql(spark, sf_dir, Q18_SQL)

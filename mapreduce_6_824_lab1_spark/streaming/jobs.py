@@ -129,3 +129,35 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", f"{WATERMARK_DELAY_MIN} minutes"
     )
     return _run_to_memory(tumbling_agg(src), spark, mode="append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched against a static
+    dimension (broadcast per micro-batch — the static side is re-resolvable,
+    so no state is kept for it). The canonical streaming-enrichment shape;
+    the aggregation runs in complete mode on the enriched stream."""
+    from pyspark.sql.functions import broadcast
+
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+
+    src = _events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")  # static side
+    enriched = src.join(
+        broadcast(customer), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        hround(F.sum("value"), 2).alias("total_value"),
+    )
+    return _run_to_memory(agg, spark, mode="complete")
