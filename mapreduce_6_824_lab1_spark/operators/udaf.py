@@ -65,3 +65,43 @@ def udaf_mad_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
         _mad, schema=_OUT_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — Spark 4's user-defined TABLE function API
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_tokenize",
+    oracle=f"""
+SELECT doc_id, word,
+       CAST(length(word) AS BIGINT) AS word_len
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 50) t
+""",
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lab's mapF as a literal Python UDTF: one input row in, many
+    typed rows out, via Spark 4's ``@udtf`` lateral-join API.
+
+    Kept off the hot path by construction (50 docs): per-row Python is the
+    demonstration of the API shape — the production tokenizer is the
+    codegen'd split/explode in functions/text.py, and the oracle here is
+    the same relational expansion.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word string, word_len bigint")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for w in text.split(" "):
+                yield doc_id, w, len(w)
+
+    spark.udtf.register("mr_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter("doc_id < 50").createOrReplaceTempView("mr_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.word, t.word_len "
+        "FROM mr_udtf_docs, LATERAL mr_tokenize(doc_id, text) t"
+    )
