@@ -114,3 +114,31 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst rewrites the subquery to a left-semi join on the aggregated
     lineitem; both engines parse the identical SQL text."""
     return _run_sql(spark, sf_dir, Q18_SQL)
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       floor((sum(volume)) * 100 + 0.5) / 100 AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_tpch_q7", oracle=Q7_SQL)
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the nation table joined TWICE under
+    different aliases with a disjunctive cross-nation predicate."""
+    return _run_sql(spark, sf_dir, Q7_SQL)

@@ -161,3 +161,61 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.sum("value"), 2).alias("total_value"),
     )
     return _run_to_memory(agg, spark, mode="complete")
+
+
+STREAM_JOIN_WINDOW_MIN = 30
+
+
+@query(
+    "stream_stream_join",
+    oracle=f"""
+SELECT e.event_id AS err_id, p.event_id AS pur_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts_s
+FROM events e
+JOIN events p ON e.user_id = p.user_id
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+  AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: purchases
+    within 30 minutes after an error by the same user. Both sides carry
+    watermarks — that's what lets the join GC its buffered state once the
+    other side can no longer produce matches (the unbounded-state trap of
+    naive stream joins). availableNow drains both sides fully, so the
+    result equals the batch self-join oracle."""
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pur_id"),
+            F.col("user_id").alias("pur_user"),
+            F.col("ts").alias("pur_ts"),
+        )
+        .withWatermark("pur_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("err_user") == F.col("pur_user"))
+        & (F.col("pur_ts") > F.col("err_ts"))
+        & (
+            F.col("pur_ts")
+            <= F.col("err_ts") + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+        ),
+    ).select(
+        "err_id",
+        "pur_id",
+        F.col("err_user").alias("user_id"),
+        F.date_format("err_ts", TS_FMT_SPARK).alias("err_ts_s"),
+    )
+    return _run_to_memory(joined, spark, mode="append")
