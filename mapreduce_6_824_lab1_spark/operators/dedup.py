@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from mapreduce_6_824_lab1_spark.catalog import load_table
 from mapreduce_6_824_lab1_spark.functions.numeric import hround

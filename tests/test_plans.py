@@ -86,7 +86,6 @@ def test_bucketed_join_has_no_exchange(spark):
     df = QUERIES["join_bucketed"](spark, SF_DIR)
     plan = formatted_plan(df)
     # bucket-aligned SMJ: the only Exchange allowed is the final aggregate's
-    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
