@@ -58,7 +58,12 @@ def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def recompute(assigned: DataFrame) -> DataFrame:
     """Reduce phase: element-wise mean per centroid — posexplode to
-    (cid, dim, val), partial-agg sum/count, regroup to an ordered array."""
+    (cid, dim, val), partial-agg sum/count, regroup to an ordered array.
+
+    A centroid that attracts no vectors drops out (standard Lloyd's
+    degenerate case; with k=8 over a gaussian-ish corpus and nearest-vector
+    init it does not occur at the fixture scales — the reference test would
+    fail loudly if it ever did)."""
     by_dim = assigned.select(
         "cid", F.posexplode("embedding").alias("dim", "v")
     ).groupBy("cid", "dim").agg(
