@@ -387,3 +387,87 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_start"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 temporal history — change-data-capture without a table format
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_history",
+    oracle="""
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                         '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       event_type AS state,
+       CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM events
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an event stream:
+    each change gets a [valid_from, valid_to) interval via lead(), the open
+    row marked current. This is the CDC-materialization pattern for
+    dimension tables when no transactional table format is available —
+    point-in-time lookups become a BETWEEN predicate. One shuffle on the
+    entity key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.col("event_type").alias("state"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — wide → long reshaping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric,
+       floor((value) * 10000 + 0.5) / 10000 AS value
+FROM (
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+) t
+""",
+)
+def scalar_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape with the native ``unpivot`` (inverse of
+    agg_pivot's shape). Physical plan is an Expand — same row-multiplying
+    projection the sliding window uses; no shuffle at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.withColumnsRenamed(
+        {"l_quantity": "quantity", "l_discount": "discount", "l_tax": "tax"}
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "discount", "tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        hround(F.col("value"), 4).alias("value"),
+    )
