@@ -64,6 +64,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.6
+# Hot-shingle document-frequency cap: a shingle appearing in more than this
+# many documents (a boilerplate phrase, a stopword run) is dropped before
+# pair generation. Such shingles contribute candidate VOLUME quadratically
+# (df² pairs) but no discrimination — near-dup pairs share many shingles, so
+# losing one ultra-common shingle cannot push a true pair below threshold in
+# practice, while keeping it makes the posting-list fan-out the scale
+# bottleneck. Fixture max df is 25 at sf0.1, so 1000 leaves the oracle
+# result bit-identical; the cap is mirrored in the oracle SQL (HAVING).
+SHINGLE_DF_CAP = 1000
 
 # Spark-side word-trigram shingles. Tokenize ONCE into a `toks` column, then
 # build trigrams with zip_with over shifted slices — measured ~5× faster than
@@ -114,9 +123,15 @@ WITH sh AS (
     FROM documents
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+kept AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING count(*) <= {SHINGLE_DF_CAP}
+),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN kept k ON a.shingle = k.shingle
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -128,28 +143,27 @@ WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
 """
 
 
-@query("dedup_ngram_jaccard", oracle=NGRAM_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs by word-trigram Jaccard ≥ 0.6.
+def jaccard_pairs(
+    sets: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Exact Jaccard pair generation over (doc_id, shs) shingle sets.
 
-    Plan: shingle explode → self-join on shingle (inverted index — only
-    docs SHARING a shingle ever meet, never all-pairs) → count common →
-    join sizes → filter. 100 TB: hot shingles behave like skewed join keys;
-    the standard mitigation is dropping shingles with document-frequency
-    above a cap (they contribute candidates, not discrimination) before the
-    join — at fixture vocab we keep all. This exact query is the oracle for
-    the MinHash approximation below.
+    Posting-list formulation instead of a shingle self-join: group each
+    shingle's (sorted) doc list, then generate ordered pairs JVM-side with
+    nested transforms. One shuffle (groupBy shingle) replaces the exploded
+    two-sided sort-merge join, and at 100 TB hot-shingle fan-out is
+    generated lazily per posting list, never materialized twice.
+    The per-doc set size rides along inside the posting struct (it is
+    functionally dependent on doc_id), so NO size-lookup join is needed
+    afterwards — the whole query is exactly two shuffles.
+
+    Posting lists longer than ``df_cap`` are dropped before pair generation:
+    a shingle in >cap docs would emit ~df²/2 pairs (quadratic skew) while
+    discriminating nothing. ``n`` stays the FULL set size, so capped Jaccard
+    is a (tight) lower bound of true Jaccard and matches the capped oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sets = shingle_sets(docs)
-    # Posting-list formulation instead of a shingle self-join: group each
-    # shingle's (sorted) doc list, then generate ordered pairs JVM-side with
-    # nested transforms. One shuffle (groupBy shingle) replaces the exploded
-    # two-sided sort-merge join, and at 100 TB hot-shingle fan-out is
-    # generated lazily per posting list, never materialized twice.
-    # The per-doc set size rides along inside the posting struct (it is
-    # functionally dependent on doc_id), so NO size-lookup join is needed
-    # afterwards — the whole query is exactly two shuffles.
     sh = sets.select(
         F.explode("shs").alias("shingle"),
         F.struct(F.col("doc_id"), F.size("shs").alias("n")).alias("d"),
@@ -157,7 +171,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("d")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .filter((F.size("docs") > 1) & (F.size("docs") <= df_cap))
     )
     pairs = (
         postings.select(
@@ -175,9 +189,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+    return pairs.filter(jac >= threshold).select(
         "doc_a", "doc_b", hround(jac, 4).alias("jaccard")
     )
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by word-trigram Jaccard ≥ 0.6.
+
+    Plan: shingle explode → posting lists (inverted index — only docs
+    SHARING a shingle ever meet, never all-pairs) → pair-gen → count common
+    → filter. Hot shingles behave like skewed join keys, so posting lists
+    with document frequency > SHINGLE_DF_CAP are dropped before pair-gen
+    (see ``jaccard_pairs``); the oracle applies the same cap via HAVING.
+    This exact query is the oracle for the MinHash approximation below.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(shingle_sets(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -391,17 +420,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate cluster is labeled with the cluster's minimum doc_id (the
     canonical survivor a dedup pass would keep).
 
-    Spark side: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels, until a round
-    changes nothing. Label count halves-or-better per round, so rounds are
-    O(log(diameter)); the convergence check is a scalar count per round
-    (the one legitimate use of a driver-side action in this engine —
-    iteration control, not data). The oracle computes the same components
-    with a recursive CTE. 100 TB: this is the alternating-algorithm shape
-    of large-graph CC (each round = one join + one aggregate, both on the
-    edge partitioning); checkpoint lineage every few rounds.
+    Spark side: iterative min-label propagation (see
+    ``connected_components``). The oracle computes the same components with
+    a recursive CTE.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 50, checkpoint_every: int = 3
+) -> DataFrame:
+    """Min-label propagation CC over an undirected pair list (doc_a, doc_b).
+
+    Each round every node takes the min of its own label and its neighbors'
+    labels. Plain neighbor-min propagation moves a label ONE HOP per round,
+    so convergence needs ~diameter rounds (NOT O(log diameter) — that bound
+    belongs to pointer-doubling/large-star variants). Near-dup clusters are
+    dense (diameter is small regardless of cluster size), so a generous
+    round cap is safe; if the cap is ever hit without convergence the
+    function RAISES rather than silently returning partial components.
+
+    The convergence check is a scalar count per round — the one legitimate
+    use of a driver-side action in this engine: iteration control, not data.
+    100 TB: each round = one join + one aggregate on the edge partitioning;
+    ``labels`` is localCheckpoint()ed every ``checkpoint_every`` rounds so
+    join-on-join lineage cannot blow up plan compilation across rounds.
+
+    Returns (doc_id, cluster_rep).
+    """
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -412,7 +459,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(20):
+    converged = False
+    for round_no in range(1, max_rounds + 1):
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy(edges["doc_a"].alias("nid"))
@@ -432,7 +480,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.select(
             "doc_id", F.col("new_label").alias("label")
         )
+        if round_no % checkpoint_every == 0:
+            # truncate lineage: without this, round N's plan nests N joins
+            labels = labels.localCheckpoint()
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds (diameter exceeds the cap)"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))

@@ -1,0 +1,80 @@
+"""Scale-guard tests for the dedup operators: the hot-shingle document-
+frequency cap bounds pair generation, and connected-components converges on
+long paths (with lineage checkpointing) instead of silently returning
+partial labels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_6_824_lab1_spark.operators.dedup import (
+    connected_components,
+    jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_sets(spark):
+    """22 docs sharing one hot shingle: 20 otherwise-unique docs plus one
+    true near-dup pair (100, 101) overlapping on 8 of 10 other shingles."""
+    rows = []
+    for i in range(20):
+        rows.append((i, ["HOT", f"u{i}a", f"u{i}b", f"u{i}c"]))
+    rows.append((100, ["HOT"] + [f"X{j}" for j in range(9)]))
+    rows.append((101, ["HOT"] + [f"X{j}" for j in range(8)] + ["Y"]))
+    return spark.createDataFrame(rows, "doc_id long, shs array<string>")
+
+
+def test_hot_shingle_cap_bounds_pair_generation(planted_sets):
+    # threshold=0 exposes every generated candidate pair. Uncapped, the hot
+    # shingle alone fans out 22*21/2 = 231 pairs; capped at df<=5 only the
+    # true pair's private shingles generate candidates.
+    uncapped = jaccard_pairs(planted_sets, threshold=0.0, df_cap=10**9)
+    capped = jaccard_pairs(planted_sets, threshold=0.0, df_cap=5)
+    assert uncapped.count() == 231
+    assert capped.count() == 1
+
+
+def test_hot_shingle_cap_keeps_true_pairs(planted_sets):
+    # with the cap, common drops by the hot shingle (9→8) but n stays full,
+    # so jaccard = 8/(10+10-8); the true pair still clears threshold 0.6
+    got = jaccard_pairs(planted_sets, threshold=0.6, df_cap=5).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.doc_a, row.doc_b) == (100, 101)
+    assert row.jaccard == pytest.approx(8 / 12, abs=1e-4)
+    # uncapped, the hot shingle counts toward common: 9/(10+10-9)
+    full = jaccard_pairs(planted_sets, threshold=0.6, df_cap=10**9).collect()
+    assert full[0].jaccard == pytest.approx(9 / 11, abs=1e-4)
+
+
+def test_connected_components_long_path(spark):
+    # path graph 0-1-2-...-11: diameter 11 — propagation needs ~11 rounds,
+    # which crosses several checkpoint boundaries (checkpoint_every=3)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs, max_rounds=50).collect()
+    assert len(labels) == 12
+    assert {r.cluster_rep for r in labels} == {0}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=3)
+
+
+def test_connected_components_two_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
