@@ -25,6 +25,10 @@ from mapreduce_6_824_lab1_spark.session import get_spark  # noqa: E402
 
 # Representative cross-section of the operator surface: MapReduce apps,
 # star joins, windows, sessionization, dedup, similarity, text analytics.
+# Round 2 swap: join_asof -> join_asof_merge (same semantics, union +
+# last-ignorenulls plan instead of range-join candidate blow-up; measured
+# ~2x faster at sf0.1 and the scale-safe formulation). Totals before/after
+# the swap differ by that one slot; the other 14 queries are unchanged.
 HEADLINE = [
     "wordcount",
     "inverted_index",
@@ -32,7 +36,7 @@ HEADLINE = [
     "filter_project",
     "agg_hash",
     "join_inner_equi",
-    "join_asof",
+    "join_asof_merge",
     "window_analytic",
     "window_session",
     "window_sliding",

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,53 @@ from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
 from mapreduce_6_824_lab1_spark.registry import ORACLES, query
 
 N_BUCKETS = 8
+
+
+def bucketed_join_frame(
+    spark: SparkSession, sf_dir: str, scratch: str, suffix: str
+) -> DataFrame:
+    """Build the LIVE bucket-aligned join plan (scans the scratch tables).
+
+    Both sides are written with ``bucketBy(8, orderkey).sortBy(orderkey)``
+    as external tables under ``scratch`` with ``suffix``-unique names (two
+    sessions sharing a metastore never collide); the join's plan has no
+    Exchange above either scan — asserted in tests/test_plans.py against
+    this helper. Callers own dropping the tables and removing ``scratch``.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li_name = f"mr_bucketed_lineitem_{suffix}"
+    o_name = f"mr_bucketed_orders_{suffix}"
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(scratch, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable(li_name)
+    )
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(scratch, "orders"))
+        .mode("overwrite")
+        .saveAsTable(o_name)
+    )
+    li = spark.table(li_name)
+    o = spark.table(o_name)
+    # force the sort-merge strategy (at tiny test SFs Catalyst would
+    # broadcast the orders side and never exercise the bucket alignment;
+    # at fact-fact scale SMJ is what runs anyway)
+    return (
+        li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            hround(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
 
 
 @query(
@@ -42,51 +90,23 @@ GROUP BY o_orderstatus
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join two tables bucketed on the join key: zero-shuffle sort-merge.
 
-    Both sides are written with ``bucketBy(8, orderkey).sortBy(orderkey)``;
-    the subsequent join's plan has no Exchange above either scan — at 100 TB
-    this converts every repeated fact-fact join on the same key into a
-    map-side merge. Bucket files land in the session warehouse dir.
+    At 100 TB bucketing converts every repeated fact-fact join on the same
+    key into a map-side merge. The grouped result (a handful of rows) is
+    collected and detached so the scratch tables and their /tmp dirs can be
+    dropped before returning — no per-invocation leak.
     """
-    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    # external tables with explicit /tmp locations: independent of the
-    # session's warehouse dir (the caller's cwd may not be writable, and
-    # spark.sql.warehouse.dir is static conf). The scratch dirs must outlive
-    # this call — the returned plan scans them — so they are not removed
-    # here; each run gets fresh mkdtemp dirs.
     scratch = tempfile.mkdtemp(prefix="mr_spark_bucketed_")
-    for name in ("mr_bucketed_lineitem", "mr_bucketed_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (
-        t["lineitem"]
-        .select("l_orderkey", "l_extendedprice")
-        .write.bucketBy(N_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", os.path.join(scratch, "lineitem"))
-        .mode("overwrite")
-        .saveAsTable("mr_bucketed_lineitem")
-    )
-    (
-        t["orders"]
-        .select("o_orderkey", "o_orderstatus")
-        .write.bucketBy(N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", os.path.join(scratch, "orders"))
-        .mode("overwrite")
-        .saveAsTable("mr_bucketed_orders")
-    )
-    li = spark.table("mr_bucketed_lineitem")
-    o = spark.table("mr_bucketed_orders")
-    # force the sort-merge strategy (at tiny test SFs Catalyst would
-    # broadcast the orders side and never exercise the bucket alignment;
-    # at fact-fact scale SMJ is what runs anyway)
-    return (
-        li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            hround(F.sum("l_extendedprice"), 2).alias("total_price"),
-        )
-    )
+    suffix = uuid.uuid4().hex[:8]
+    try:
+        out = bucketed_join_frame(spark, sf_dir, scratch, suffix)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for name in (
+            f"mr_bucketed_lineitem_{suffix}",
+            f"mr_bucketed_orders_{suffix}",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 @query(

@@ -121,9 +121,12 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Under availableNow the final flush batch advances the watermark to
     max(ts) − delay and append emits exactly the finalized windows — so the
     oracle is the batch aggregation restricted to windows whose end ≤ that
-    watermark. The trailing open window is withheld by design; at 100 TB
-    that bounded state (≈ windows/key in flight) is the difference between
-    a stream that runs forever and one that OOMs.
+    watermark. The exact-equality case (window end == watermark) is a
+    documented-ambiguous boundary across Spark releases; it is pinned
+    unreachable at every tested SF in tests/test_stream_boundary.py. The
+    trailing open window is withheld by design; at 100 TB that bounded
+    state (≈ windows/key in flight) is the difference between a stream
+    that runs forever and one that OOMs.
     """
     src = _events_stream(spark, sf_dir).withWatermark(
         "ts", f"{WATERMARK_DELAY_MIN} minutes"

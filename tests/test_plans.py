@@ -83,12 +83,30 @@ def test_multimodal_uses_arrow_python(spark):
 
 
 def test_bucketed_join_has_no_exchange(spark):
-    df = QUERIES["join_bucketed"](spark, SF_DIR)
-    plan = formatted_plan(df)
-    # bucket-aligned SMJ: the only Exchange allowed is the final aggregate's
-    assert "SortMergeJoin" in plan, plan
-    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
-    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    # inspect the LIVE plan via the helper (the registered query collects
+    # and detaches so it can clean up its scratch tables before returning)
+    import shutil
+    import tempfile
+
+    from mapreduce_6_824_lab1_spark.operators.storage import (
+        bucketed_join_frame,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="mr_plan_bucketed_")
+    try:
+        df = bucketed_join_frame(spark, SF_DIR, scratch, "plantest")
+        plan = formatted_plan(df)
+        # bucket-aligned SMJ: the only Exchange allowed is the final agg's
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    finally:
+        for name in (
+            "mr_bucketed_lineitem_plantest",
+            "mr_bucketed_orders_plantest",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def test_partitioned_sink_prunes_partitions(spark):
