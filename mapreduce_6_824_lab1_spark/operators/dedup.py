@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark.catalog import load_table
-from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
 from mapreduce_6_824_lab1_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -493,3 +493,94 @@ def connected_components(
             "raise max_rounds (diameter exceeds the cap)"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup — the fifth rung of the dedup ladder: semantic
+# duplicates that share no text (translations, paraphrases) but sit close in
+# embedding space. LSH sign-bucketing keeps it off the all-pairs cliff.
+# ---------------------------------------------------------------------------
+
+EMB_DEDUP_THRESHOLD = 0.4  # fixture cosines peak ~0.51; >=0.4 ⇒ 13/12/134
+# same-bucket pairs at sf0.001/0.01/0.1, and no pair sits within 2e-4 of the
+# threshold at any tested SF (verified against all-pairs DuckDB scan), so the
+# cut is stable even across engines that DON'T share a fold order. Here both
+# sides share it, so cosines are bit-identical doubles and >= is exact.
+
+
+def _emb_dedup_oracle() -> str:
+    from mapreduce_6_824_lab1_spark.operators.similarity import (
+        _SQL_CELL,
+        _sql_dot,
+        _sql_norm,
+    )
+
+    cos = (
+        f"{_sql_dot('a.embedding', 'b.embedding')}"
+        f" / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
+    )
+    return f"""
+WITH cells AS (
+    SELECT vec_id, embedding, {_SQL_CELL.format(t="embeddings")} AS cell
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {cos} >= {EMB_DEDUP_THRESHOLD}
+)
+SELECT vec_b AS dup_id, min(vec_a) AS kept_id, count(*) AS n_matches,
+       {sql_hround("max(cos)", 6)} AS best_cosine
+FROM pairs GROUP BY vec_b
+"""
+
+
+@query("dedup_embedding", oracle=_emb_dedup_oracle())
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: mark vectors whose cosine to a lower-id
+    vector in the same LSH bucket is ≥ 0.4; keep the minimum matching id.
+
+    The bucket key is ``similarity._cell`` — the sign pattern of the first
+    4 dimensions, a fixed random-hyperplane LSH — so candidate generation is
+    an equi-join on ``cell``: ONE shuffle of the corpus by bucket, pair work
+    O(n²/2^bits) per bucket instead of O(n²) overall, then a partial-
+    aggregated groupBy on the duplicate id. Pair-level semantics (cluster
+    closure is ``dedup_clusters``' job): a kept vec may itself be a dup of
+    an even-smaller id — the greedy chain a streaming dedup pass produces.
+
+    100 TB: raise the bit count so buckets stay executor-sized (bits are a
+    knob, the plan shape is unchanged) and OR multiple independent sign
+    bands for recall, exactly like ``dedup_minhash_lsh``'s band join. Cosine
+    math is the shared ``zip_with``+``aggregate`` double fold (JVM codegen,
+    bit-identical to the oracle's list fold — FIXTURES.md), so even this
+    approximate path is hash-checked, not rows-only.
+    """
+    from mapreduce_6_824_lab1_spark.operators.similarity import (
+        _cell,
+        _dot,
+        _norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id", "embedding", _cell("embedding").alias("cell")
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cos = _dot("a.embedding", "b.embedding") / (
+        _norm("a.embedding") * _norm("b.embedding")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= EMB_DEDUP_THRESHOLD)
+    )
+    return pairs.groupBy(F.col("b.vec_id").alias("dup_id")).agg(
+        F.min("a.vec_id").alias("kept_id"),
+        F.count(F.lit(1)).alias("n_matches"),
+        hround(F.max("cos"), 6).alias("best_cosine"),
+    )

@@ -78,3 +78,39 @@ def test_connected_components_two_clusters(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_embedding_semantics(spark):
+    # invariants beyond oracle parity: every dup points to a smaller kept
+    # id, similarity clears the threshold, and the found pairs are a subset
+    # of the exact all-pairs result (LSH bucketing only ever loses recall,
+    # never invents a pair)
+    from mapreduce_6_824_lab1_spark.operators.dedup import (
+        EMB_DEDUP_THRESHOLD,
+        dedup_embedding,
+    )
+    from mapreduce_6_824_lab1_spark.operators.similarity import _dot, _norm
+
+    got = dedup_embedding(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) > 0
+    assert all(r.kept_id < r.dup_id for r in got)
+    assert all(EMB_DEDUP_THRESHOLD <= r.best_cosine <= 1.0 for r in got)
+
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot("a.embedding", "b.embedding") / (
+        _norm("a.embedding") * _norm("b.embedding")
+    )
+    exact = {
+        (r.ka, r.da)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= EMB_DEDUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("ka"), F.col("b.vec_id").alias("da")
+        )
+        .collect()
+    }
+    assert all((r.kept_id, r.dup_id) in exact for r in got)
