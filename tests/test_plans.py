@@ -123,3 +123,33 @@ def test_partitioned_sink_prunes_partitions(spark):
     back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
     plan = formatted_plan(back)
     assert "PartitionFilters" in plan and "o_year" in plan, plan
+
+
+def test_q6_predicates_push_to_scan(spark):
+    df = QUERIES["sql_tpch_q6"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+
+
+def test_q14_broadcasts_part(spark):
+    df = QUERIES["sql_tpch_q14"](spark, SF_DIR)
+    assert has_broadcast_hash_join(df, min_count=1)
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = formatted_plan(QUERIES["sql_tpch_q4"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_not_exists_becomes_anti_join(spark):
+    plan = formatted_plan(QUERIES["sql_tpch_q22"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+
+
+def test_dedup_embedding_single_pair_exchange(spark):
+    # candidate generation must be an equi-join on the LSH cell (shuffle or
+    # broadcast, never a cartesian), and the final groupBy must partial-agg
+    plan = formatted_plan(QUERIES["dedup_embedding"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
