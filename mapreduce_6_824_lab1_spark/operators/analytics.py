@@ -1,0 +1,204 @@
+"""Event analytics — funnel, cohort retention, multi-resolution rollup.
+
+The product-analytics layer a training-data/event pipeline runs on its
+``events`` table (reference has no equivalent — driver extension mandate,
+same lineage as the temporal/window surface). All three are pure built-in
+columnar plans: hash aggregates and equi-joins keyed on ``user_id`` or the
+time bucket — no Python, no window-function-over-everything.
+
+Scale notes per query are in each docstring; the common rule: everything
+aggregates per ``user_id`` (150 distinct per fixture, millions in prod)
+BEFORE any join, so shuffle traffic is O(users), not O(events).
+
+Oracle parity: ``events.ts`` goes through ``catalog.load_table`` (ns→µs
+normalization, FIXTURES.md); output timestamps are second-precision strings;
+week buckets are ``date_trunc('week', …)`` (ISO Monday) on both engines;
+week offsets are integer-day differences divided by 7 (cast to BIGINT) so
+no engine-specific "week diff" semantics are involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+FUNNEL_ORACLE = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+    WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+    WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+           (SELECT count(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+)
+"""
+
+
+@query("events_funnel", oracle=FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: users counted at step N only
+    if step N's event happened strictly AFTER their first step-N-1 event.
+
+    Plan: three per-user min-aggregates, each joined to the previous stage
+    on ``user_id`` — every join and aggregate shares the user_id hash
+    partitioning, so stages 2 and 3 reuse the shuffle. Traffic is O(users)
+    after the first aggregate. 100 TB: identical; the per-step filter
+    pushes ``event_type`` into the scan, and a longer funnel is just more
+    stages on the same key.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def stage(step_type: str, prev: DataFrame | None) -> DataFrame:
+        e = events.filter(F.col("event_type") == step_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    s1 = stage(FUNNEL_STEPS[0], None)
+    s2 = stage(FUNNEL_STEPS[1], s1)
+    s3 = stage(FUNNEL_STEPS[2], s2)
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("users")).withColumn(
+            "step", F.lit(i + 1)
+        ).withColumn("event_type", F.lit(FUNNEL_STEPS[i]))
+        for i, s in enumerate((s1, s2, s3))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select("step", "event_type", "users")
+
+
+COHORT_ORACLE = f"""
+WITH cohorts AS (
+    SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+    FROM events
+)
+SELECT strftime(c.cohort_week, '{TS_FMT_DUCK}') AS cohort_week,
+       CAST(datediff('day', c.cohort_week, a.active_week) / 7 AS BIGINT)
+           AS week_offset,
+       count(*) AS active_users
+FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, counted
+    in every later week they were active (the classic retention triangle).
+
+    Plan: per-user min-week aggregate + per-(user, week) distinct — both
+    shuffle once on user_id and the join reuses that partitioning; the
+    final count shuffles the tiny (cohort, offset) grid. 100 TB: the
+    distinct is the dominant cost and is exactly a partial-aggregated
+    dedup; nothing here is O(events²).
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.date_trunc("week", F.col("ts"))
+    cohorts = events.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", week.alias("active_week")
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", TS_FMT_SPARK).alias("cohort_week"),
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+ROLLUP_ORACLE = f"""
+WITH base AS (
+    SELECT date_trunc('hour', ts) AS hour_b, date_trunc('day', ts) AS day_b,
+           event_type, value
+    FROM events
+)
+SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+       strftime(coalesce(hour_b, day_b), '{TS_FMT_DUCK}') AS bucket,
+       event_type,
+       count(*) AS cnt,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM base
+GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
+"""
+
+
+@query("rollup_multires", oracle=ROLLUP_ORACLE)
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable-style continuous aggregate):
+    hourly AND daily per-type aggregates in ONE pass via GROUPING SETS.
+
+    Plan: a single Expand (×2) feeding one hash aggregate — one scan, one
+    shuffle, versus two full passes if the resolutions ran separately.
+    100 TB: this is how downsample hierarchies are built; adding weekly/
+    monthly costs one more Expand row, not another scan. Map-side partials
+    apply per grouping set.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        F.date_trunc("day", "ts").alias("day_b"),
+        "event_type",
+        "value",
+    )
+    return (
+        events.groupingSets(
+            [["hour_b", "event_type"], ["day_b", "event_type"]],
+            "hour_b",
+            "day_b",
+            "event_type",
+        )
+        .agg(
+            F.grouping("hour_b").alias("_ghour"),
+            F.count(F.lit(1)).alias("cnt"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.when(F.col("_ghour") == 0, F.lit("hour"))
+            .otherwise(F.lit("day"))
+            .alias("resolution"),
+            F.date_format(F.coalesce("hour_b", "day_b"), TS_FMT_SPARK).alias(
+                "bucket"
+            ),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )

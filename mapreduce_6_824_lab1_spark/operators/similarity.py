@@ -210,6 +210,71 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBES = 5  # batch = vec_id 0..4
+BATCH_K = 5
+
+
+@query(
+    "similarity_topk_batch",
+    oracle=f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+    WHERE vec_id < {N_PROBES}
+),
+scored AS (
+    SELECT probes.probe_id, e.vec_id, e.label,
+           {_sql_dot("e.embedding", "probes.p")}
+           / ({_sql_norm("e.embedding")} * {_sql_norm("probes.p")}) AS cos
+    FROM embeddings e CROSS JOIN probes
+    WHERE e.vec_id != probes.probe_id
+)
+SELECT probe_id, vec_id, label,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+FROM scored
+QUALIFY rank <= {BATCH_K}
+""",
+)
+def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving: exact cosine top-5 for a BATCH of 5 probe
+    vectors in one plan — the shape real retrieval pipelines run (N probes
+    per micro-batch), vs ``similarity_topk``'s single-probe lookup.
+
+    Plan: the probe batch broadcasts (crossJoin + filter — a few KB), so
+    scoring is map-side over the corpus scan; only the per-probe ranking
+    shuffles, keyed on probe_id, carrying corpus×N scored rows. 100 TB:
+    pre-prune before that shuffle with a per-partition top-k (the
+    TakeOrdered trick per probe) or cut candidates with the IVF cell join
+    (``similarity_ivf``) so the ranked set is buckets, not the corpus —
+    same final window, ~1000× less shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    cos = _dot("embedding", "p") / (_norm("embedding") * _norm("p"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos"), F.col("vec_id")
+    )
+    return (
+        e.crossJoin(broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BATCH_K)
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            "rank",
+            hround("cos", 6).alias("cosine"),
+        )
+    )
+
+
 @query("similarity_mllib_lsh")  # rows-only: LSH hash values are impl-specific
 def similarity_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MLlib's BucketedRandomProjectionLSH (seeded, deterministic).

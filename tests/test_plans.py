@@ -153,3 +153,18 @@ def test_dedup_embedding_single_pair_exchange(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+
+def test_rollup_multires_single_expand(spark):
+    # both resolutions must come from ONE scan + ONE Expand + ONE aggregate
+    plan = formatted_plan(QUERIES["rollup_multires"](spark, SF_DIR))
+    # formatted plans list each operator twice (tree line + detail header),
+    # so a single scan/expand appears at most twice
+    assert 1 <= plan.count("Expand") <= 2, plan
+    assert 1 <= plan.count("Scan parquet") <= 2, plan
+
+
+def test_topk_batch_broadcasts_probes(spark):
+    plan = formatted_plan(QUERIES["similarity_topk_batch"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
