@@ -138,8 +138,8 @@ FROM (
     JOIN customer ON c_custkey = o_custkey
     JOIN nation n1 ON s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')
+        OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6'))
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 """
@@ -148,8 +148,91 @@ GROUP BY supp_nation, cust_nation, l_year
 @query("sql_tpch_q7", oracle=Q7_SQL)
 def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): the nation table joined TWICE under
-    different aliases with a disjunctive cross-nation predicate."""
+    different aliases with a disjunctive cross-nation predicate. Fixture
+    nations are synthetic NATION_0..24 — NATION_6/NATION_9 is a pair with
+    trade volume in both directions across all 7 ship years (the original
+    FRANCE/GERMANY literals match nothing here and made the query
+    vacuously empty)."""
     return _run_sql(spark, sf_dir, Q7_SQL)
+
+
+Q8_SQL = """
+SELECT o_year,
+       floor((sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END)
+             / sum(volume)) * 1000000 + 0.5) / 1000000 AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1997-12-31'
+      AND p_type LIKE 'PROMO%'
+) allnations
+GROUP BY o_year
+"""
+
+
+@query("sql_tpch_q8", oracle=Q8_SQL)
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deepest star join in the suite
+    — 7 tables, nation aliased twice on different roles (customer region
+    gate vs supplier share), conditional-sum ratio per year."""
+    return _run_sql(spark, sf_dir, Q8_SQL)
+
+
+Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       floor(total_revenue * 100 + 0.5) / 100 AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("sql_tpch_q15", oracle=Q15_SQL)
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): aggregate-of-aggregate — a revenue CTE
+    consumed twice, once joined and once reduced to its max as a scalar
+    subquery (the view in the official query, inlined as a CTE)."""
+    return _run_sql(spark, sf_dir, Q15_SQL)
+
+
+Q17_SQL = """
+SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@query("sql_tpch_q17", oracle=Q17_SQL)
+def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG
+    subquery per part — Catalyst rewrites it to an aggregate + join on
+    p_partkey. Official form also gates p_container (column the fixture
+    lacks); the brand gate alone keeps the correlated-rewrite shape."""
+    return _run_sql(spark, sf_dir, Q17_SQL)
 
 
 # ---------------------------------------------------------------------------

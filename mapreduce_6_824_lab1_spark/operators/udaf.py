@@ -67,6 +67,57 @@ def udaf_mad_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_SCHEMA = "event_id long, event_type string, zscore double"
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    v = pdf["value"].to_numpy(dtype="float64")
+    mean = float(v.mean())
+    std = float(v.std(ddof=1))
+    z = (v - mean) / std
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy(),
+            "event_type": pdf["event_type"].to_numpy(),
+            "zscore": np.floor(z * 10000 + 0.5) / 10000,
+        }
+    )
+
+
+@query(
+    "pandas_normalize",
+    oracle=f"""
+SELECT event_id, event_type,
+       {sql_hround(
+           "(value - avg(value) OVER (PARTITION BY event_type))"
+           " / stddev_samp(value) OVER (PARTITION BY event_type)", 4)}
+           AS zscore
+FROM events
+""",
+)
+def pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature normalization via applyInPandas — the
+    N-rows-in/N-rows-out grouped TRANSFORM contract (``udaf_mad_pandas`` is
+    the N-in/1-out reduce): every event's value standardized against its
+    event_type's mean/stddev, the feature-scaling pass a training pipeline
+    runs before model ingestion.
+
+    Parity note: numpy's pairwise summation and DuckDB's streaming
+    aggregate differ only in ~1e-12 float error; outputs round to 4
+    decimals (ddof=1 matches ``stddev_samp``). 100 TB: one shuffle on the
+    group key, each group one Arrow batch; for giant groups switch to the
+    two-pass built-in form (broadcast per-group moments, map-side
+    normalize) — same result, no Python, documented here as the scale
+    escape hatch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_zscore, schema=_Z_SCHEMA)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Python UDTF — Spark 4's user-defined TABLE function API
 # ---------------------------------------------------------------------------

@@ -88,6 +88,24 @@ def source_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@query("source_roundtrip_orc", oracle=_DOC_AGG_ORACLE)
+def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the other columnar container Spark ships a native
+    vectorized reader for. Same fidelity contract as the CSV/JSON trips:
+    the oracle aggregates the pristine parquet, so any encode/decode drift
+    (type coercion, string encoding) fails the hash. ORC files carry their
+    own schema, so the read-back needs no explicit one."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        docs.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        out = _doc_agg(back)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @query(
     "source_roundtrip_text",
     oracle=f"""
