@@ -168,3 +168,10 @@ def test_topk_batch_broadcasts_probes(spark):
     plan = formatted_plan(QUERIES["similarity_topk_batch"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pipeline_broadcasts_drop_list(spark):
+    # the near-dup drop list must broadcast into the anti-join; the corpus
+    # itself must never become the build side
+    plan = formatted_plan(QUERIES["pipeline_training_data"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
