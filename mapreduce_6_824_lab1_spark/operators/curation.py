@@ -1,0 +1,235 @@
+"""Corpus-curation operators (LLM-data-pipeline extension, SURVEY.md §2.C).
+
+Three stages every large-scale pretraining pipeline runs between dedup and
+the trainer, each in its scale-correct Spark formulation:
+
+- decontaminate      — drop/flag corpus docs sharing any n-gram with a
+                       held-out eval set (broadcast the eval shingles: eval
+                       benchmarks are MBs, the corpus is the 100 TB side)
+- pack_sequences     — concatenate-and-chunk token packing: assign docs to
+                       fixed-token-budget training sequences via a windowed
+                       running sum (the batch form of what a dataloader's
+                       sequence packer does)
+- sample_stratified  — per-language hash-fraction downsampling (language
+                       rebalancing) in ONE corpus scan, deterministic and
+                       engine-portable unlike ``df.sampleBy``
+
+All three are pure built-in-function plans — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.operators.dedup import (
+    _SHINGLES_FROM_TOKS,
+    _SHINGLES_SQL,
+)
+from mapreduce_6_824_lab1_spark.operators.text_analysis import _KNUTH, _MOD
+from mapreduce_6_824_lab1_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Decontamination — the fixture's held-out "benchmark" is sources src0/src1;
+# everything else is the training corpus. A corpus doc is contaminated if it
+# shares ANY word-trigram shingle with any eval doc (the standard 13-gram
+# check scaled down to the fixture's 31-word vocabulary).
+# ---------------------------------------------------------------------------
+
+EVAL_SOURCES = ("src0", "src1")
+
+_EVAL_IN = "('" + "', '".join(EVAL_SOURCES) + "')"
+
+DECONTAMINATE_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, lang, source,
+           unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+    FROM documents
+),
+eval_shingles AS (
+    SELECT DISTINCT shingle FROM sh WHERE source IN {_EVAL_IN}
+)
+SELECT s.doc_id, s.lang, s.source, count(*) AS shared_shingles
+FROM sh s JOIN eval_shingles e USING (shingle)
+WHERE s.source NOT IN {_EVAL_IN}
+GROUP BY s.doc_id, s.lang, s.source
+"""
+
+
+@query("decontaminate", oracle=DECONTAMINATE_ORACLE)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus docs whose shingles overlap the held-out eval set.
+
+    Plan shape: the eval side collapses to a DISTINCT shingle set and is
+    broadcast into the corpus-side join — the corpus is scanned once,
+    map-side, with no corpus shuffle before the per-doc count aggregate.
+    100 TB: eval benchmarks are tiny (MBs of n-grams) regardless of corpus
+    size, so the broadcast never grows with the data; this is the same
+    shape production decontamination uses (broadcast bloom/exact n-gram
+    set). The per-doc count is one partial-agg shuffle on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(F.expr(_SHINGLES_FROM_TOKS))
+        ).alias("shingle"),
+    )
+    eval_shingles = (
+        sh.where(F.col("source").isin(*EVAL_SOURCES))
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.where(~F.col("source").isin(*EVAL_SOURCES))
+    return (
+        corpus.join(broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concatenate docs in deterministic (doc_id) order within
+# each (lang, source) group and chunk the stream into SEQ_LEN-token training
+# sequences: a doc's sequence id is its starting offset div SEQ_LEN.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 256
+
+PACK_ORACLE = f"""
+WITH tok AS (
+    SELECT lang, source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+offs AS (
+    SELECT lang, source, doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start_off
+    FROM tok
+)
+SELECT lang, source,
+       CAST(floor(start_off / {SEQ_LEN}) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM offs
+GROUP BY lang, source, seq_id
+"""
+
+
+@query("pack_sequences", oracle=PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing via a windowed running sum.
+
+    The window is partitioned by (lang, source) — packing only needs LOCAL
+    contiguity, never a global order, so there is no single-partition
+    window anywhere. 100 TB: groups here are corpus slices that can grow
+    unboundedly; since sequence boundaries are arbitrary, the scale move is
+    to refine the partition key with a doc_id bucket (``doc_id div B``) so
+    every window partition is bounded — same semantics, same plan, bounded
+    state. One shuffle for the window, one partial-agg shuffle for the
+    per-sequence rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = tok.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        offs.withColumn(
+            "seq_id",
+            F.floor(F.col("start_off") / SEQ_LEN).cast("long"),
+        )
+        .groupBy("lang", "source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — language rebalancing by per-stratum hash fractions.
+# Same Knuth multiplicative hash as sample_split (text_analysis.py), so the
+# kept set is append-stable and reproducible on any engine; df.sampleBy is
+# deliberately NOT used (seeded per-partition RNG => not engine-portable,
+# and resampling churns on repartition).
+# ---------------------------------------------------------------------------
+
+STRATA_FRACTIONS = {"en": 0.5, "de": 0.75}  # others keep everything
+
+_FRAC_CASE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {int(frac * _MOD)}"
+    for lang, frac in STRATA_FRACTIONS.items()
+) + f" ELSE {_MOD} END"
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+WITH h AS (
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ((doc_id * {_KNUTH}) % {_MOD}) < ({_FRAC_CASE_SQL}) AS kept
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(COALESCE(sum(n_tokens) FILTER (WHERE kept), 0) AS BIGINT)
+           AS kept_tokens
+FROM h
+GROUP BY lang
+"""
+
+
+@query("sample_stratified", oracle=SAMPLE_STRATIFIED_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hash-fraction downsampling, audited in one scan.
+
+    Keep doc iff ``hash(doc_id) < fraction(lang) * 2^32``. The whole query
+    is one map-side projection plus one partial-agg shuffle on lang — the
+    filter costs nothing extra because kept/total are counted in the same
+    aggregate pass (conditional aggregation, not two scans). 100 TB: no
+    stored sample table, no RNG state; re-running on a grown corpus keeps
+    every previously-kept doc (append-stable), which is what incremental
+    pipeline reruns need.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = F.lit(_MOD)
+    for lang, frac in STRATA_FRACTIONS.items():
+        cutoff = (
+            F.when(F.col("lang") == lang, int(frac * _MOD)).otherwise(cutoff)
+        )
+    kept = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_MOD)) < cutoff
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"), kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

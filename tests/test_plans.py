@@ -175,3 +175,19 @@ def test_pipeline_broadcasts_drop_list(spark):
     # itself must never become the build side
     plan = formatted_plan(QUERIES["pipeline_training_data"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    # the eval n-gram set must be the broadcast side; the corpus must never
+    # sort-merge against it (eval sets stay MB-sized at any corpus scale)
+    plan = formatted_plan(QUERIES["decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    # packing windows are partitioned by (lang, source) — a single-partition
+    # global window would serialize the corpus through one task
+    plan = formatted_plan(QUERIES["pack_sequences"](spark, SF_DIR))
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
