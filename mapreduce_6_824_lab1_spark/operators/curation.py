@@ -24,11 +24,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.functions.text import tokens_col
 from mapreduce_6_824_lab1_spark.operators.dedup import (
     _SHINGLES_FROM_TOKS,
     _SHINGLES_SQL,
+    JACCARD_THRESHOLD,
+    NGRAM_ORACLE,
+    SHINGLE_DF_CAP,
+    jaccard_pairs,
+    shingle_sets,
 )
-from mapreduce_6_824_lab1_spark.operators.text_analysis import _KNUTH, _MOD
+from mapreduce_6_824_lab1_spark.operators.text_analysis import (
+    _KNUTH,
+    _MOD,
+    _STOP_SQL,
+    STOPWORDS,
+)
 from mapreduce_6_824_lab1_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -232,4 +244,162 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive quality filtering — the threshold is a per-language quantile of
+# the corpus's own score distribution, not a hand-picked constant, so the
+# filter keeps the same fraction as the corpus mix drifts. Score formula is
+# the text_quality one (text_analysis.py), rounded to 4 decimals BEFORE the
+# quantile so both engines interpolate over bit-identical inputs.
+# ---------------------------------------------------------------------------
+
+QUALITY_CUT_P = 0.10
+
+_QUALITY_SQL = f"""
+    SELECT lang,
+           floor((0.5 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+                 + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                    x -> x IN {_STOP_SQL}))
+                          * 1.0 / len(string_split(text, ' ')))
+                 + 0.2 * least((n_chars - (len(string_split(text, ' ')) - 1))
+                               * 1.0 / len(string_split(text, ' ')) / 8.0,
+                               1.0)) * 10000 + 0.5) / 10000 AS quality
+    FROM documents
+"""
+
+QUALITY_FILTER_ORACLE = f"""
+WITH q AS ({_QUALITY_SQL}),
+thr AS (
+    SELECT lang, quantile_cont(quality, {QUALITY_CUT_P}) AS cutoff
+    FROM q GROUP BY lang
+)
+SELECT q.lang,
+       floor((any_value(thr.cutoff)) * 10000 + 0.5) / 10000 AS cutoff,
+       count(*) AS n_kept,
+       floor((avg(q.quality)) * 10000 + 0.5) / 10000 AS avg_quality_kept
+FROM q JOIN thr USING (lang)
+WHERE q.quality >= thr.cutoff
+GROUP BY q.lang
+"""
+
+
+@query("quality_filter_quantile", oracle=QUALITY_FILTER_ORACLE)
+def quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the worst-quality decile per language (adaptive threshold).
+
+    Two passes over the projected (lang, quality) pairs: one partial-agg
+    shuffle computes the 5-row per-language cutoff table, which broadcasts
+    back into the filter — the corpus itself shuffles only for the final
+    per-language rollup. 100 TB: exact ``percentile`` keeps all values per
+    group in memory; at scale swap to ``approx_percentile`` with a pinned
+    accuracy (same plan, sketch state instead) — kept exact here so the
+    DuckDB oracle can reproduce the interpolation bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("lang", "n_chars", tokens_col().alias("toks"))
+    n_words = F.size("toks")
+    stop_ratio = (
+        F.size(
+            F.filter(
+                "toks", lambda x: (x == STOPWORDS[0]) | (x == STOPWORDS[1])
+            )
+        )
+        / n_words
+    )
+    avg_word_len = (F.col("n_chars") - (n_words - 1)) / n_words
+    quality = hround(
+        0.5 * F.least(n_words / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * F.least(avg_word_len / 8.0, F.lit(1.0)),
+        4,
+    )
+    q = toked.select("lang", quality.alias("quality"))
+    thr = q.groupBy("lang").agg(
+        F.percentile("quality", QUALITY_CUT_P).alias("cutoff")
+    )
+    return (
+        q.join(broadcast(thr), "lang")
+        .where(F.col("quality") >= F.col("cutoff"))
+        .groupBy("lang")
+        .agg(
+            hround(F.any_value("cutoff"), 4).alias("cutoff"),
+            F.count(F.lit(1)).alias("n_kept"),
+            hround(F.avg("quality"), 4).alias("avg_quality_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup — admit a new batch (doc_id >= SPLIT) against
+# the already-ingested corpus (doc_id < SPLIT) without re-pairing the
+# corpus against itself: batch shingles probe the corpus's inverted index,
+# so candidate work scales with the BATCH, not the corpus squared.
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT = 400
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH pairs AS ({NGRAM_ORACLE})
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id >= {INCR_SPLIT}
+  AND NOT EXISTS (
+      SELECT 1 FROM pairs p
+      WHERE p.doc_b = d.doc_id AND p.jaccard >= {JACCARD_THRESHOLD}
+  )
+"""
+
+
+@query("dedup_incremental", oracle=DEDUP_INCREMENTAL_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit new docs unless they near-dup the corpus or an earlier new doc.
+
+    The truly incremental plan: corpus shingles become posting lists once
+    (at scale: a MAINTAINED inverted-index table, not recomputed per
+    batch), hot shingles above SHINGLE_DF_CAP are dropped exactly as in
+    ``dedup_ngram_jaccard``, and only BATCH shingles probe them — cross
+    candidates are O(batch x df), never corpus x corpus. Batch-internal
+    pairs reuse ``jaccard_pairs`` on the (small) batch alone. The oracle is
+    the global pair query restricted to rejected batch docs — identical
+    result because every cross pair has its batch doc on the doc_b side
+    (doc_a < doc_b and corpus ids precede batch ids).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs).withColumn("sz", F.size("shs"))
+    corpus = sets.where(F.col("doc_id") < INCR_SPLIT)
+    batch = sets.where(F.col("doc_id") >= INCR_SPLIT)
+
+    corpus_post = (
+        corpus.select("doc_id", "sz", F.explode("shs").alias("shingle"))
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+    )
+    batch_sh = batch.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sz").alias("b_sz"),
+        F.explode("shs").alias("shingle"),
+    )
+    cross = (
+        batch_sh.join(corpus_post, "shingle")
+        .groupBy("b_id", "b_sz", "doc_id", "sz")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(
+            F.col("shared")
+            / (F.col("b_sz") + F.col("sz") - F.col("shared"))
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("b_id").alias("rej_id"))
+    )
+    in_batch = jaccard_pairs(batch.select("doc_id", "shs")).select(
+        F.col("doc_b").alias("rej_id")
+    )
+    rejects = cross.union(in_batch).distinct()
+    return (
+        docs.where(F.col("doc_id") >= INCR_SPLIT)
+        .join(broadcast(rejects), docs.doc_id == rejects.rej_id, "left_anti")
+        .select("doc_id", "lang", "source")
     )
