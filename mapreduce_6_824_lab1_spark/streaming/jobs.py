@@ -50,17 +50,39 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events(src)
 
 
+# State-store partition count for the fixture streams. A streaming query
+# fixes its state partitioning from ``spark.sql.shuffle.partitions`` at
+# first start — an untuned 200-partition default means 200 state tasks
+# (each a Python worker round-trip for applyInPandasWithState) PER
+# MICRO-BATCH regardless of data volume: pure overhead at fixture scale,
+# and a real sizing decision at 100 TB (state partitions should track
+# executor parallelism and state volume, and cannot be changed after the
+# first checkpoint — size them deliberately, never by default).
+STATE_PARTITIONS = 16
+
+
 def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
-    """Drain a streaming DataFrame into a memory sink and return the table."""
+    """Drain a streaming DataFrame into a memory sink and return the table.
+
+    The streaming plan is only materialized at ``start()``, so scoping the
+    shuffle-partition override here covers every stream in the module; the
+    previous value is restored before any downstream batch aggregation of
+    the sink table runs.
+    """
     name = f"mr_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
