@@ -471,3 +471,48 @@ def scalar_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         hround(F.col("value"), 4).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type): parse the JSON props column ONCE
+# into a variant value, then extract typed fields with variant_get. Unlike
+# get_json_object (string re-parse per extraction), the parse cost is paid
+# once per row and extractions are O(1) binary reads — the right encoding
+# when a 100 TB event table carries semi-structured payloads read by many
+# queries. Output columns are plain SQL types so the DuckDB oracle (plain
+# JSON extraction) can reproduce them.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_high,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k,
+       floor((avg(CAST(json_extract_string(props, '$.k') AS BIGINT)))
+             * 100 + 0.5) / 100 AS avg_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+GROUP BY event_type
+""",
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured filter+agg through the VARIANT type."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("props_v")
+    ).select(
+        "event_type",
+        F.variant_get("props_v", "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.max("k").alias("max_k"),
+            hround(F.avg("k"), 2).alias("avg_k"),
+        )
+    )

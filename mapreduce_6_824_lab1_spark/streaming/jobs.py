@@ -244,3 +244,67 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("err_ts", TS_FMT_SPARK).alias("err_ts_s"),
     )
     return _run_to_memory(joined, spark, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink — the production pattern for streaming into systems the
+# built-in sinks don't cover (and for exactly-once parquet/table writes).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_foreach_batch",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+       count(*) AS cnt,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream purchases into batchId-keyed parquet dirs via foreachBatch.
+
+    Each micro-batch lands in ``batch_<id>/`` with mode=overwrite — the
+    canonical idempotent foreachBatch recipe: a retried batch re-runs with
+    the SAME id and overwrites its own directory instead of duplicating
+    rows, which upgrades at-least-once delivery to exactly-once output.
+    The hourly rollup happens on read-back (batch side), so the stream
+    itself is stateless append. 100 TB: this is how a stream feeds a
+    partitioned lakehouse table without a Delta-style sink — directory-
+    per-batch plus an atomic manifest/rename step.
+    """
+    import shutil
+    import tempfile
+
+    src = _events_stream(spark, sf_dir)
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="mr_spark_febatch_")
+    try:
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            bdf.write.mode("overwrite").parquet(f"{scratch}/batch_{batch_id}")
+
+        q = (
+            purchases.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.option("recursiveFileLookup", "true").parquet(
+            scratch
+        )
+        out = back.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias(
+                "hour_s"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        # detach from the scratch files before they are removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
