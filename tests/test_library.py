@@ -83,3 +83,16 @@ def test_cluster_profile_applies(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_stream_runner_restores_shuffle_partitions(spark):
+    # _run_to_memory pins state-store partitioning (STATE_PARTITIONS) for
+    # the duration of the stream only; the session's own setting must be
+    # back before any subsequent batch query plans.
+    from mapreduce_6_824_lab1_spark import QUERIES
+    from mapreduce_6_824_lab1_spark.streaming.jobs import STATE_PARTITIONS
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert before != str(STATE_PARTITIONS)  # the test would be vacuous
+    QUERIES["stream_grep"](spark, SF_DIR).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
