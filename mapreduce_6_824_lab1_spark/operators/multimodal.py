@@ -93,3 +93,81 @@ def sample_video_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         "video frame sampling requires a media library not present in this "
         "environment"
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling with a DETERMINISTIC FAKE decoder: the payload is treated
+# as fixed-size byte "frames" and every STRIDE-th frame is emitted. The
+# decode step is fake by documented environment constraint (no media libs),
+# but everything Spark-side is the real production shape: binary column in,
+# 1-row-in/N-rows-out Arrow-batched mapInPandas, typed per-frame schema out
+# — swapping the chunker for an actual codec changes no plumbing.
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_bytes long, byte_sum long"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Emit every FRAME_STRIDE-th FRAME_BYTES-sized chunk of each payload."""
+    for pdf in batches:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        sizes: list[int] = []
+        sums: list[int] = []
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                chunk = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                doc_ids.append(did)
+                idxs.append(idx)
+                sizes.append(len(chunk))
+                sums.append(sum(chunk))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_bytes": pd.Series(sizes, dtype="int64"),
+                "byte_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       CAST(idx AS BIGINT) AS frame_idx,
+       CAST(len(frame) AS BIGINT) AS frame_bytes,
+       CAST(list_aggregate(
+           list_transform(range(1, len(frame) + 1),
+                          i -> ord(substring(frame, i, 1))),
+           'sum') AS BIGINT) AS byte_sum
+FROM (
+    SELECT doc_id, idx,
+           substring(text, idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
+    FROM documents,
+         unnest(range(0, CAST(ceil(octet_length(encode(text))
+                                   * 1.0 / {FRAME_BYTES}) AS BIGINT))) AS t(idx)
+    WHERE idx % {FRAME_STRIDE} = 0
+)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over binary payloads (deterministic fake codec).
+
+    The oracle rebuilds the same frames relationally (ASCII text: char
+    slices == byte slices, ``ord`` == byte value), proving the exploded
+    row-per-frame output of the Python path is byte-faithful. 100 TB: frame
+    sampling is embarrassingly parallel and shuffle-free — cost scales with
+    bytes scanned; emitted rows are the sampled fraction (1/STRIDE) of the
+    input volume, so downstream stages see bounded expansion.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
