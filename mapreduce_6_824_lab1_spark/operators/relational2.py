@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from mapreduce_6_824_lab1_spark.catalog import load_table, load_tables
 from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
-from mapreduce_6_824_lab1_spark.registry import query
+from mapreduce_6_824_lab1_spark.registry import ORACLES, query
 
 # ---------------------------------------------------------------------------
 # Distribution window functions
@@ -515,4 +515,99 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
             hround(F.avg("k"), 2).alias("avg_k"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized range join — the equi-join rewrite of join_theta_range.
+# Spark has no native range-join optimization: a non-equi join between two
+# LARGE sides degenerates to a nested-loop. The standard fix is to quantize
+# the range dimension into fixed-width buckets, explode each interval into
+# the buckets it covers, equi-join on the bucket key (hash-partitionable,
+# AQE-skew-handleable), and re-check the exact predicate as a residual
+# filter. Result is IDENTICAL to the theta join — like the salted join,
+# the oracle is the plain SQL, because the rewrite is purely physical.
+# ---------------------------------------------------------------------------
+
+RANGE_BUCKET_WIDTH = 250.0
+
+
+@query("join_range_bucketed", oracle=ORACLES["join_theta_range"])
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as bucket-key equi-join + residual predicate.
+
+    The open-ended last band would explode into hi/width buckets; instead
+    both sides clamp their bucket id at the largest finite band START — a
+    compile-time constant of the band table, not of the data — so the open
+    band occupies exactly one overflow bucket and every point beyond it
+    lands there too. Here the exploded band side is still tiny and
+    broadcasts; the point of the shape is that with two big sides the same
+    plan becomes a shuffled hash join on the bucket key — per-bucket work
+    instead of n*m pairs.
+    """
+    from mapreduce_6_824_lab1_spark.operators.relational import PRICE_BANDS
+
+    part = load_table(spark, sf_dir, "part")
+    w = RANGE_BUCKET_WIDTH
+    clamp = int(max(lo for _, lo, _ in PRICE_BANDS) // w)
+    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    buckets = bands.select(
+        "band",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / w).cast("long"),
+                F.least(
+                    F.floor(F.col("hi") / w).cast("long"), F.lit(clamp)
+                ),
+            )
+        ).alias("bucket"),
+    )
+    pts = part.withColumn(
+        "bucket",
+        F.least(
+            F.floor(F.col("p_retailprice") / w).cast("long"), F.lit(clamp)
+        ),
+    )
+    return (
+        pts.join(broadcast(buckets), "bucket")
+        .where(
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi"))
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            hround(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — the full 2^k grouping-set lattice (agg_grouping_sets covers ROLLUP,
+# the prefix-hierarchy subset). Catalyst compiles both to ONE Expand + one
+# hash aggregate: each input row is replicated once per grouping set (4x
+# here), then partially aggregated map-side before the single shuffle — at
+# 100 TB the shuffle carries |groups| * 4 rows, not |input| * 4.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): all four grouping sets in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        hround(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
     )

@@ -191,3 +191,11 @@ def test_pack_sequences_no_global_window(spark):
     plan = formatted_plan(QUERIES["pack_sequences"](spark, SF_DIR))
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_range_bucketed_is_equi_join(spark):
+    # the bucketization rewrite must produce a hash equi-join, never the
+    # nested-loop the raw range predicate would force between big sides
+    plan = formatted_plan(QUERIES["join_range_bucketed"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
