@@ -107,6 +107,69 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the same contract as ``decontaminate``
+# but with the production-scale probe structure: a k=2 Bloom filter over the
+# eval shingle set, expressed relationally (Spark's BloomFilterAggregate /
+# might_contain pair is not registered in the public SQL function registry,
+# and DataFrameStatFunctions.bloomFilter is JVM-only), then an exact verify
+# join that removes the Bloom's false positives. The bit array is the
+# DISTINCT set of hash buckets; "bit test" is a broadcast LEFT SEMI hash
+# join per hash function. Why it matters at 100 TB: the broadcast shrinks
+# from the full eval shingle STRINGS (unbounded length) to 2 int sets of at
+# most m entries, and the two semi-joins drop almost every corpus shingle
+# map-side before the string join materializes; only candidate survivors
+# carry their text into the exact phase.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 17  # m: bit-array size per hash function
+BLOOM_SEEDS = (17, 41)  # k=2 independent xxhash64 seeds
+
+
+@query("decontaminate_bloom", oracle=DECONTAMINATE_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase decontamination: Bloom-bucket prefilter + exact verify.
+
+    Result is identical to ``decontaminate`` (same oracle): the Bloom
+    phase only drops TRUE negatives, and the exact join removes its false
+    positives — the rewrite is purely physical, like the salted join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(F.expr(_SHINGLES_FROM_TOKS))
+        ).alias("shingle"),
+    )
+    eval_shingles = (
+        sh.where(F.col("source").isin(*EVAL_SOURCES))
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.where(~F.col("source").isin(*EVAL_SOURCES))
+    for seed in BLOOM_SEEDS:
+        bits = eval_shingles.select(
+            F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(BLOOM_BITS)).alias(
+                "bit"
+            )
+        ).distinct()
+        corpus = corpus.join(
+            broadcast(bits),
+            F.pmod(F.xxhash64(corpus["shingle"], F.lit(seed)), F.lit(BLOOM_BITS))
+            == bits["bit"],
+            "left_semi",
+        )
+    return (
+        corpus.join(broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing — concatenate docs in deterministic (doc_id) order within
 # each (lang, source) group and chunk the stream into SEQ_LEN-token training
 # sequences: a doc's sequence id is its starting offset div SEQ_LEN.
@@ -402,4 +465,49 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") >= INCR_SPLIT)
         .join(broadcast(rejects), docs.doc_id == rejects.rej_id, "left_anti")
         .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII masking — the redaction pass a corpus runs before text reaches a
+# trainer: pseudonymize identifiers (keyed hash, joinable but not
+# reversible), redact digit runs, and generalize quasi-identifiers
+# (k-anonymity-style value bucketing). Map-only — no shuffle, no Python:
+# sha2 / regexp_replace / floor are all codegen'd, so at 100 TB this runs
+# at scan speed alongside any other map-only curation stage.
+# ---------------------------------------------------------------------------
+
+ACCTBAL_BUCKET = 500
+
+
+@query(
+    "pii_mask",
+    oracle=f"""
+SELECT c_custkey,
+       substr(sha256(c_name), 1, 12) AS name_pseudonym,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_redacted,
+       floor(c_acctbal / {ACCTBAL_BUCKET}) * {ACCTBAL_BUCKET} AS acctbal_bucket,
+       c_mktsegment
+FROM customer
+""",
+)
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymize, redact, and generalize customer PII in one map pass.
+
+    - ``name_pseudonym``: sha256 prefix — stable join key across tables
+      without exposing the raw identifier (both engines emit lowercase hex);
+    - ``name_redacted``: every digit replaced (Spark's regexp_replace is
+      global by default; DuckDB needs the explicit 'g' flag);
+    - ``acctbal_bucket``: value generalized to a fixed-width band so the
+      column survives as an analytics feature with reduced identifiability.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.substring(F.sha2("c_name", 256), 1, 12).alias("name_pseudonym"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_redacted"),
+        (F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET) * ACCTBAL_BUCKET)
+        .cast("double")
+        .alias("acctbal_bucket"),
+        "c_mktsegment",
     )

@@ -129,3 +129,76 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("source"), hround("rank", 6).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the other canonical "graph as a chain of MapReduce
+# jobs" application (node-iterator join algorithm). Triangles are counted
+# once each by canonically ordering every undirected edge (u < v) and
+# closing wedges u->v->w with the u->w edge, u < v < w.
+#
+# Scale shape: two equi-joins on node keys. Wedge generation is the
+# quadratic risk (Σ deg(v)²); production orients edges from lower- to
+# higher-degree endpoint so every wedge pivots on its lowest-degree node,
+# bounding the blow-up — noted here, skipped at fixture scale where the
+# lexicographic orientation is exact and cheaper. Per-node participation is
+# an explode + one partial-agg shuffle.
+# ---------------------------------------------------------------------------
+
+TRIANGLES_ORACLE = """
+WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+ed AS (
+    SELECT DISTINCT a.source AS src, b.source AS dst
+    FROM docs a JOIN docs b ON b.doc_id = a.doc_id + (a.n_chars % 7) + 1
+    WHERE a.source <> b.source
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM ed
+),
+tri AS (
+    SELECT w.u AS x, w.v AS y, e2.v AS z
+    FROM (SELECT e0.u, e0.v, e1.v AS w_end
+          FROM und e0 JOIN und e1 ON e1.u = e0.v) w(u, v, w_end)
+    JOIN und e2 ON e2.u = w.u AND e2.v = w.w_end
+),
+per_node AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT node AS source, count(*) AS n_triangles
+FROM per_node GROUP BY node
+"""
+
+
+@query("graph_triangles", oracle=TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the derived source graph."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    linked = docs.select(
+        (F.col("doc_id") + F.col("n_chars") % 7 + 1).alias("target_id"),
+        F.col("source").alias("src"),
+    )
+    succ = docs.select(F.col("doc_id").alias("tid"), F.col("source").alias("dst"))
+    und = (
+        linked.join(succ, linked["target_id"] == succ["tid"])
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    e0, e1, e2 = und.alias("e0"), und.alias("e1"), und.alias("e2")
+    wedges = e0.join(e1, F.col("e0.v") == F.col("e1.u")).select(
+        F.col("e0.u").alias("x"), F.col("e0.v").alias("y"), F.col("e1.v").alias("z")
+    )
+    tri = wedges.join(
+        e2, (F.col("x") == F.col("e2.u")) & (F.col("z") == F.col("e2.v"))
+    ).select("x", "y", "z")
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

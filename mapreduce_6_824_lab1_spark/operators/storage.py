@@ -206,3 +206,72 @@ def similarity_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout — multi-dimensional data clustering. A single-column sort
+# gives perfect min/max file skipping on ONE predicate dimension; a Morton
+# (bit-interleaved) sort key keeps BOTH dimensions locally dense, so files
+# written in zcell order carry tight min/max ranges on price AND size
+# simultaneously — the layout trick behind Delta/Iceberg OPTIMIZE ZORDER,
+# expressed with nothing but arithmetic. The query reports per-cell stats
+# (the row-group metadata a reader would skip on); the write path is
+# ``repartitionByRange(zcell) + sortWithinPartitions(zcell)`` as noted
+# below. Portable bit math: floor/div/mod only — no engine-specific bit
+# operators, identical IEEE double arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+_ZORDER_BITS = 4  # 16 buckets per dimension -> 256 cells
+
+# part fixture domains: p_retailprice in [900, 1000), p_size in [1, 50]
+_PB = "CAST(floor((p_retailprice - 900.0) / 6.25) AS BIGINT)"
+_SB = "CAST(floor((p_size - 1) / 3.2) AS BIGINT)"
+
+
+def _morton(pb: str, sb: str) -> str:
+    terms = []
+    for i in range(_ZORDER_BITS):
+        terms.append(f"(CAST(floor({pb} / {2**i}) AS BIGINT) % 2) * {2**(2*i+1)}")
+        terms.append(f"(CAST(floor({sb} / {2**i}) AS BIGINT) % 2) * {2**(2*i)}")
+    return " + ".join(terms)
+
+
+_ZCELL = _morton(_PB, _SB)
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+SELECT {_ZCELL} AS zcell,
+       count(*) AS n_parts,
+       floor((min(p_retailprice)) * 100 + 0.5) / 100 AS min_price,
+       floor((max(p_retailprice)) * 100 + 0.5) / 100 AS max_price,
+       CAST(min(p_size) AS BIGINT) AS min_size,
+       CAST(max(p_size) AS BIGINT) AS max_size
+FROM part
+GROUP BY 1
+""",
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-cell statistics for a 2-D z-order layout of ``part``.
+
+    Each output row is one Morton cell: its population and its min/max in
+    BOTH source dimensions — exactly the parquet row-group stats a z-order
+    writer produces and a reader prunes with. At 100 TB the layout step is
+    ``df.repartitionByRange(N, "zcell").sortWithinPartitions("zcell")
+    .write...`` (one range shuffle); a 2-D box predicate then touches only
+    the files whose cell range intersects the box, instead of every file
+    that matches on a single sorted dimension.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.withColumn("zcell", F.expr(_ZCELL))
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            hround(F.min("p_retailprice"), 2).alias("min_price"),
+            hround(F.max("p_retailprice"), 2).alias("max_price"),
+            F.min("p_size").cast("long").alias("min_size"),
+            F.max("p_size").cast("long").alias("max_size"),
+        )
+    )

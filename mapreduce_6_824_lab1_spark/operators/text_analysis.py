@@ -429,3 +429,78 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering — the Gopher/MassiveText "repetitious document"
+# signal: the fraction of n-gram OCCURRENCES that are repeats of an n-gram
+# already seen in the same document (1 - distinct/total). High values mean
+# boilerplate / degenerate loops; pipelines drop docs above a threshold.
+# Pure per-row array expressions — no explode, no shuffle at all before the
+# final projection: at 100 TB this is a map-only scan, the cheapest
+# possible filter shape.
+# ---------------------------------------------------------------------------
+
+REPETITION_MAX_DUP_TRIGRAM = 0.60
+
+_TRIGRAMS_FROM_TOKS = (
+    "zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)), "
+    "zip_with(slice(toks, 2, greatest(size(toks) - 2, 0)), "
+    "slice(toks, 3, greatest(size(toks) - 2, 0)), "
+    "(y, z) -> concat(y, ' ', z)), "
+    "(x, yz) -> concat(x, ' ', yz))"
+)
+
+_TRIGRAMS_SQL = (
+    "list_transform(range(0, len(string_split(text, ' ')) - 2), "
+    "i -> string_split(text, ' ')[i+1] || ' ' || "
+    "string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3])"
+)
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, lang,
+           {_BIGRAMS_SQL.replace("text", "text")} AS bg,
+           {_TRIGRAMS_SQL} AS tg
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       floor((CASE WHEN len(bg) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END) * 10000 + 0.5) / 10000
+           AS dup_bigram_frac,
+       floor((CASE WHEN len(tg) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(tg)) * 1.0 / len(tg) END) * 10000 + 0.5) / 10000
+           AS dup_trigram_frac,
+       CASE WHEN len(tg) = 0 THEN true
+            ELSE 1.0 - len(list_distinct(tg)) * 1.0 / len(tg)
+                 <= {REPETITION_MAX_DUP_TRIGRAM} END AS keep
+FROM g
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-n-gram fractions + keep/drop flag (map-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(_BIGRAMS_FROM_TOKS).alias("bg"),
+        F.expr(_TRIGRAMS_FROM_TOKS).alias("tg"),
+    )
+    dup_frac = lambda c: F.when(F.size(c) == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        1.0 - F.size(F.array_distinct(c)) / F.size(c)
+    )
+    tg_frac = dup_frac("tg")
+    return g.select(
+        "doc_id",
+        "lang",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        hround(dup_frac("bg"), 4).alias("dup_bigram_frac"),
+        hround(tg_frac, 4).alias("dup_trigram_frac"),
+        (tg_frac <= REPETITION_MAX_DUP_TRIGRAM).alias("keep"),
+    )

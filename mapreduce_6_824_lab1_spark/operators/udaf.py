@@ -156,3 +156,59 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.word, t.word_len "
         "FROM mr_udtf_docs, LATERAL mr_tokenize(doc_id, text) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the zero-copy sibling of mapInPandas: batches arrive as
+# pyarrow RecordBatches with NO pandas conversion on either side. For
+# numeric array columns this skips the pandas object boxing entirely
+# (list<float> -> numpy is a flat buffer view + reshape), which is the
+# right Python entry point for embedding math at scale.
+# ---------------------------------------------------------------------------
+
+EMBEDDING_DIM = 64
+
+
+def _arrow_l2(batches):
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        emb = batch.column("embedding")
+        # list<float32> values are one contiguous buffer: view + reshape,
+        # no per-row Python objects
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.float64).reshape(-1, EMBEDDING_DIM)
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("vec_id"),
+                batch.column("label"),
+                pa.array(np.floor(norm * 10000 + 0.5) / 10000),
+            ],
+            ["vec_id", "label", "l2_norm"],
+        )
+
+
+@query(
+    "arrow_embedding_norm",
+    oracle="""
+SELECT vec_id, label,
+       floor((sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * x)))) * 10000 + 0.5) / 10000 AS l2_norm
+FROM embeddings
+""",
+)
+def arrow_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via ``mapInArrow`` (Arrow-native map partition).
+
+    Float parity: both sides promote the float32 components to float64
+    before squaring (numpy here, explicit CAST in the oracle), so the only
+    divergence is summation order at ~1e-12 — absorbed by 4-decimal
+    rounding. 100 TB: map-only, no shuffle; each Arrow batch is one numpy
+    matmul-shaped pass, the same shape the brute-force ANN path uses.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.mapInArrow(
+        _arrow_l2, schema="vec_id long, label int, l2_norm double"
+    )

@@ -308,3 +308,63 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Rate-limited file source — bounding micro-batch size is how a production
+# file stream controls end-to-end latency and executor memory: without a
+# limit, availableNow's first batch is the ENTIRE backlog (at 100 TB, a
+# cluster-killing batch). ``maxFilesPerTrigger`` caps each micro-batch;
+# under Trigger.AvailableNow the backlog drains as a sequence of bounded
+# batches instead of one unbounded one (this is the documented difference
+# from the deprecated Trigger.Once, which ignores source limits).
+# ---------------------------------------------------------------------------
+
+RATE_LIMIT_INPUT_FILES = 8
+RATE_LIMIT_FILES_PER_TRIGGER = 2
+
+
+@query(
+    "stream_rate_limited",
+    oracle="""
+SELECT event_type, count(*) AS cnt,
+       floor((avg(value)) * 100 + 0.5) / 100 AS avg_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a multi-file backlog in bounded micro-batches (complete mode).
+
+    The single events parquet is re-chunked into 8 files in a scratch dir
+    so ``maxFilesPerTrigger=2`` yields 4 micro-batches; the complete-mode
+    aggregate over the drained stream equals the batch aggregate, so the
+    batch oracle checks it exactly. The memory-sink table owns its rows,
+    so the scratch input can be removed before returning.
+    """
+    import shutil
+    import tempfile
+
+    configure(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long-ns
+    scratch = tempfile.mkdtemp(prefix="mr_spark_ratelim_")
+    try:
+        raw.repartition(RATE_LIMIT_INPUT_FILES).write.mode("overwrite").parquet(
+            f"{scratch}/in"
+        )
+        schema = spark.read.parquet(f"{scratch}/in").schema
+        src = normalize_events(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(RATE_LIMIT_FILES_PER_TRIGGER))
+            .parquet(f"{scratch}/in")
+        )
+        agg = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            hround(F.avg("value"), 2).alias("avg_value"),
+        )
+        out = _run_to_memory(agg, spark, mode="complete")
+        # memory sink rows are session-resident; force materialization
+        # before the scratch input disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
