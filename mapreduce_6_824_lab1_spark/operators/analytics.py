@@ -202,3 +202,63 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation — materialized-view maintenance. A 100 TB events
+# table is append-only: re-scanning all history to refresh a daily rollup
+# is the single most common waste in production pipelines. Because these
+# aggregates are algebraic (count/sum/min/max partials merge losslessly),
+# the refresh is agg(old-partial ⊎ delta-partial) — history is never
+# rescanned, only its |groups|-row summary. The oracle is the FULL
+# recompute: merging partials must be exactly equivalent.
+# ---------------------------------------------------------------------------
+
+INCR_CUTOFF = "2024-01-21 00:00:00"
+
+
+@query(
+    "incremental_agg",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value,
+       floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value,
+       floor((min(value)) * 100 + 0.5) / 100 AS min_value,
+       floor((max(value)) * 100 + 0.5) / 100 AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a historical partial aggregate with a fresh-delta partial.
+
+    ``old`` stands in for the stored summary table (in production it is
+    read back, not recomputed); ``delta`` is the newly-arrived partition.
+    avg is NOT stored — it is derived at merge time from the mergeable
+    sum/count pair, the textbook algebraic-vs-holistic distinction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    old = partial(ev.where(F.col("ts") < cutoff))
+    delta = partial(ev.where(F.col("ts") >= cutoff))
+    return (
+        old.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            hround(F.sum("s"), 2).alias("total_value"),
+            hround(F.sum("s") / F.sum("n"), 4).alias("avg_value"),
+            hround(F.min("mn"), 2).alias("min_value"),
+            hround(F.max("mx"), 2).alias("max_value"),
+        )
+    )

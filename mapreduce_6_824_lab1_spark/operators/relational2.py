@@ -611,3 +611,87 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.avg("n_chars"), 2).alias("avg_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation — the aggregation twin of join_skew_salted. A single
+# hot group key sends its entire partial-aggregate stream to one reducer;
+# pre-grouping on (key, salt) splits that stream across B reducers, and a
+# second tiny aggregate merges the B partials. Only works because these
+# aggregates are algebraic (mergeable partials) — the same property AQE's
+# skew mitigation and every combiner relies on. Oracle is the PLAIN
+# aggregate: salting must never change results.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_skew_salted",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {sql_hround("sum(value)", 2)} AS total_value,
+       {sql_hround("avg(value)", 4)} AS avg_value,
+       {sql_hround("max(value)", 2)} AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage aggregation over a salted hot key (5 event types at any
+    scale = pathological key skew for a 1000-reducer cluster)."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    partials = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.max("value").alias("mx"),
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        hround(F.sum("s"), 2).alias("total_value"),
+        hround(F.sum("s") / F.sum("n"), 4).alias("avg_value"),
+        hround(F.max("mx"), 2).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics — corr / covariance / regression slope+intercept,
+# all single-pass algebraic aggregates (sums of x, y, xy, x²) that partial-
+# aggregate map-side like any count/sum: full-table statistics at 100 TB
+# cost one narrow scan + a |groups|-row shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       {sql_hround("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,
+       {sql_hround("covar_samp(l_quantity, l_extendedprice)", 4)} AS qty_price_covar,
+       {sql_hround("regr_slope(l_extendedprice, l_quantity)", 4)} AS price_per_qty,
+       {sql_hround("regr_intercept(l_extendedprice, l_quantity)", 4)} AS base_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag correlation and OLS fit of price against quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        hround(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        hround(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        hround(
+            F.regr_slope("l_extendedprice", "l_quantity"), 4
+        ).alias("price_per_qty"),
+        hround(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("base_price"),
+    )

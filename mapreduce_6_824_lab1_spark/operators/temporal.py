@@ -159,3 +159,74 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap sessionization — per-event inactivity timeout (purchases hold
+# a session open longer than passive views: the standard engagement-
+# weighted session model). Spark's merging-session state machine takes the
+# gap as an EXPRESSION; the relational oracle generalizes the lag/cumsum
+# pattern to a running max of (ts + gap) — with variable gaps the previous
+# EVENT is no longer the latest-expiring one, so the break test must
+# compare against the running maximum, not lag(ts).
+# ---------------------------------------------------------------------------
+
+DYN_GAP_DEFAULT_MIN = 20
+DYN_GAP_PURCHASE_MIN = 40
+
+SESSION_DYNAMIC_ORACLE = f"""
+WITH g AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN event_type = 'purchase'
+                THEN INTERVAL {DYN_GAP_PURCHASE_MIN} MINUTE
+                ELSE INTERVAL {DYN_GAP_DEFAULT_MIN} MINUTE END AS gap
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts < max(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 0 ELSE 1 END AS new_s
+    FROM g
+),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       count(*) AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@query("window_session_dynamic", oracle=SESSION_DYNAMIC_ORACLE)
+def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization where each event carries its own gap duration.
+
+    Same one-shuffle profile as ``window_session``; the gap expression is
+    evaluated map-side. Session end is exclusive on both engines: an event
+    arriving exactly at the previous session's expiry starts a new session.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", f"{DYN_GAP_PURCHASE_MIN} minutes"
+    ).otherwise(f"{DYN_GAP_DEFAULT_MIN} minutes")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

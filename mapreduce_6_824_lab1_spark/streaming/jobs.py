@@ -368,3 +368,59 @@ def stream_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "stream_sliding_watermark",
+    oracle=f"""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(base - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       count(*) AS cnt,
+       floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM (
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+               * 1000000) AS base,
+           event_type, value
+    FROM events
+) e, (SELECT unnest([0, 1, 2, 3]) AS k) ks, mx
+WHERE base - k * INTERVAL 15 MINUTE + INTERVAL 1 HOUR
+      <= mx.m - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode SLIDING windows (1 h / 15 min) under a 10-min watermark.
+
+    Sliding windows multiply state 4× relative to tumbling (every event
+    lives in window_len/slide windows), which is exactly why the watermark
+    matters more here: without it the stream holds 4× the tumbling state
+    forever. Append emits only windows whose END has passed the final
+    watermark (max(ts) − delay); the oracle applies the same bound to the
+    batch expansion. The window-end == watermark boundary is pinned
+    unreachable at tested SFs (tests/test_stream_boundary.py covers the
+    15-minute grid too: max(ts) would need to land exactly on second 600
+    of a quarter-hour).
+    """
+    src = _events_stream(spark, sf_dir).withWatermark(
+        "ts", f"{WATERMARK_DELAY_MIN} minutes"
+    )
+    agg = (
+        src.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, spark, mode="append")

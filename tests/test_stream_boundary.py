@@ -32,3 +32,25 @@ def test_final_watermark_never_on_hour_boundary(sf):
         "the oracle's inclusive <= and Spark's append finalization could "
         "now differ by one window row — pick a different delay"
     )
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_final_watermark_never_on_quarter_hour_boundary(sf):
+    """Same pin for stream_sliding_watermark: sliding window ends lie on
+    the 15-minute grid, so the ambiguity needs max(ts) - delay to land
+    exactly on a quarter-hour."""
+    on_boundary = duckdb.sql(
+        f"""
+        SELECT CAST(floor(epoch(max(ts) - INTERVAL {WATERMARK_DELAY_MIN}
+                   MINUTE) / 900) * 900 AS BIGINT)
+               = CAST(epoch(max(ts) - INTERVAL {WATERMARK_DELAY_MIN}
+                   MINUTE) AS BIGINT)
+               AND epoch(max(ts)) = floor(epoch(max(ts)))
+        FROM read_parquet('/root/testdata/sf{sf}/events.parquet')
+        """
+    ).fetchone()[0]
+    assert on_boundary is False, (
+        f"final watermark at sf{sf} lands exactly on a quarter-hour; "
+        "stream_sliding_watermark's oracle and Spark could differ by one "
+        "window row - pick a different delay"
+    )
