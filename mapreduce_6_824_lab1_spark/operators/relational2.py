@@ -695,3 +695,46 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_intercept("l_extendedprice", "l_quantity"), 4
         ).alias("base_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collect-to-array aggregation — the grouped materialization primitive
+# (posting lists, feature bags). collect_set order is nondeterministic by
+# contract; every emitted array is sorted before join/compare, per the
+# engine-wide array convention. At 100 TB collect_* is the one aggregate
+# whose per-group STATE is unbounded — fine for bounded-cardinality values
+# like segments (≤5 here), a deliberate design smell for raw event lists
+# (use windowed top-k or sketches instead; see topk / agg_approx_distinct).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+SELECT n_name,
+       count(*) AS n_customers,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+           AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct segment sets per nation via collect_set (+ sorted join)."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    return (
+        t["customer"]
+        .join(
+            broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+        )
+    )

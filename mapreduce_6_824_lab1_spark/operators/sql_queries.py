@@ -404,3 +404,31 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     country code; every fixture customer has orders, so the anti-join
     excludes customers with URGENT orders instead of customers with any."""
     return _run_sql(spark, sf_dir, Q22_SQL)
+
+
+LATERAL_TOPN_SQL = """
+SELECT n_name, l.c_custkey,
+       floor((l.c_acctbal) * 100 + 0.5) / 100 AS acctbal
+FROM nation, LATERAL (
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) l
+"""
+
+
+@query("sql_lateral_topn", oracle=LATERAL_TOPN_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: the
+    richest top-N-per-group, wearing its declarative SQL form.
+
+    Catalyst DECORRELATES this: the physical plan is a WindowGroupLimit
+    (partial top-3 per nation BEFORE the shuffle, then final) feeding a
+    broadcast join with nation — i.e. the optimizer derives the exact
+    hand-written topk pattern from the naive nested form. At 100 TB the
+    per-partition partial limit means the shuffle carries ≤ 3 rows per
+    (partition, nation), never the full customer table.
+    """
+    return _run_sql(spark, sf_dir, LATERAL_TOPN_SQL)

@@ -424,3 +424,68 @@ def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark, mode="append")
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     < INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_s
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, min(ts) AS st, max(ts) AS en,
+           count(*) AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+       n_events, total_value
+FROM agg, mx
+WHERE en + INTERVAL 30 MINUTE <= mx.m - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native merging-session windows on a stream (append + watermark) —
+    the built-in counterpart of ``stream_session_stateful``'s hand-rolled
+    applyInPandasWithState sessionizer.
+
+    A session finalizes when the watermark passes its END (last event +
+    gap): no in-flight event can extend it, so its state row is emitted
+    and dropped — per-key state is bounded by sessions-in-flight, the
+    whole point of session windows over an unbounded groupBy. The oracle
+    is the batch lag/cumsum sessionization restricted to sessions whose
+    end precedes the final watermark (max(ts) − delay); trailing open
+    sessions are withheld by design. The end == watermark equality is
+    pinned unreachable (µs precision) in tests/test_stream_boundary.py.
+    """
+    src = _events_stream(spark, sf_dir).withWatermark(
+        "ts", f"{WATERMARK_DELAY_MIN} minutes"
+    )
+    agg = (
+        src.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            hround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, spark, mode="append")

@@ -54,3 +54,39 @@ def test_final_watermark_never_on_quarter_hour_boundary(sf):
         "stream_sliding_watermark's oracle and Spark could differ by one "
         "window row - pick a different delay"
     )
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_no_session_end_on_final_watermark(sf):
+    """stream_session_window pin: no session's end (last event + 30 min
+    gap) coincides with the final watermark to the microsecond."""
+    hits = duckdb.sql(
+        f"""
+        WITH ev AS (
+            SELECT * FROM read_parquet('/root/testdata/sf{sf}/events.parquet')
+        ),
+        mx AS (SELECT max(ts) AS m FROM ev),
+        flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM ev
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT count(*) FROM (
+            SELECT max(ts) AS en FROM sess GROUP BY user_id, sid
+        ) s, mx
+        WHERE en + INTERVAL 30 MINUTE
+              = mx.m - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+        """
+    ).fetchone()[0]
+    assert hits == 0, (
+        f"a session end at sf{sf} lands exactly on the final watermark; "
+        "append emission of that session is release-ambiguous"
+    )
