@@ -262,3 +262,98 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.max("mx"), 2).alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection — the built-in two-pass z-score formulation that
+# pandas_normalize's docstring names as its scale escape hatch: aggregate
+# per-group moments (tiny), broadcast them back, flag outliers map-side.
+# No Python, no per-group Arrow batch, no giant-group failure mode — the
+# group count bounds the broadcast, not the group SIZE.
+# ---------------------------------------------------------------------------
+
+ANOMALY_Z = 3.0
+
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+WITH m AS (
+    SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       floor(((value - mu) / sd) * 10000 + 0.5) / 10000 AS zscore
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE abs((value - mu) / sd) > {ANOMALY_Z}
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events more than 3 sigma from their type's mean (two-pass, map-side).
+
+    Pass 1 is one partial-agg shuffle producing |groups| rows; pass 2 is a
+    broadcast join + filter — the full table is scanned exactly twice and
+    never shuffled. Compare ``pandas_normalize``: same math, but that
+    formulation shuffles every row into per-group Arrow batches. This is
+    the shape that survives a 10-billion-row group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.functions import broadcast
+
+    m = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(broadcast(m), "event_type")
+        .where(F.abs(z) > ANOMALY_Z)
+        .select("event_id", "event_type", hround(z, 4).alias("zscore"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar spine — "which days had NO orders" can't be answered by any
+# aggregation of rows that exist; it needs a generated dimension. The spine
+# comes from sequence() over a broadcast 1-row (min, max) aggregate — no
+# collect, no driver round-trip, no hand-maintained calendar table — then
+# an anti-join against the observed dates.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_spine_gaps",
+    oracle="""
+WITH span AS (
+    SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM span
+)
+SELECT strftime(d, '%Y-%m-%d') AS gap_day
+FROM spine
+WHERE d NOT IN (SELECT DISTINCT o_orderdate FROM orders)
+""",
+)
+def date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days inside the order span with zero orders (generated date spine).
+
+    100 TB: the spine is O(days) regardless of fact size; the observed-date
+    side collapses to DISTINCT dates (partial-agg shuffle of |days| rows)
+    before the broadcast anti-join. The fact table itself never shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.functions import broadcast
+
+    span = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    observed = o.select(F.col("o_orderdate").alias("d")).distinct()
+    return (
+        spine.join(broadcast(observed), "d", "left_anti")
+        .select(F.date_format("d", "yyyy-MM-dd").alias("gap_day"))
+    )

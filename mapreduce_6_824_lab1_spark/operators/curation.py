@@ -511,3 +511,56 @@ def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal_bucket"),
         "c_mktsegment",
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature assembly — the last hop before a trainer: join per-doc text
+# statistics with the doc's embedding-derived features into one wide
+# training-feature row. The fixture aligns embeddings.vec_id with
+# documents.doc_id 1:1, which is exactly the production case (features
+# keyed by example id). Equi-join on the id — co-partitionable, and with
+# both tables bucketed on the key (operators/storage.py) it is
+# shuffle-free.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_assembly",
+    oracle="""
+SELECT doc_id, lang, source, n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       label,
+       floor((sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * x)))) * 10000 + 0.5) / 10000
+           AS emb_l2
+FROM documents JOIN embeddings ON doc_id = vec_id
+""",
+)
+def feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide feature row per example: text stats ⋈ embedding stats.
+
+    The L2 norm uses the same float64-promoted aggregate as
+    ``arrow_embedding_norm`` but stays entirely JVM-side (HOF aggregate) —
+    no Python worker in this plan at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            "label",
+            hround(l2, 4).alias("emb_l2"),
+        )
+    )

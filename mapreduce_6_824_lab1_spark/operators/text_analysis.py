@@ -504,3 +504,47 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(tg_frac, 4).alias("dup_trigram_frac"),
         (tg_frac <= REPETITION_MAX_DUP_TRIGRAM).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character entropy — the classic cheap "is this text natural language"
+# quality signal (gibberish and boilerplate sit at the entropy extremes).
+# Computed WITHOUT exploding characters: per-symbol counts come from the
+# length(text) - length(replace(text, c, '')) identity, 27 parallel
+# codegen'd expressions — a map-only scan with zero shuffle, against the
+# alternative's per-character explode (|chars| row blow-up + hash agg).
+# ---------------------------------------------------------------------------
+
+_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+
+
+def _entropy_sql() -> str:
+    terms = []
+    for ch in _ALPHABET:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        cnt = f"(len(text) - len(replace(text, {lit}, '')))"
+        p = f"({cnt} * 1.0 / len(text))"
+        terms.append(f"CASE WHEN {cnt} > 0 THEN -{p} * ln({p}) ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "text_char_entropy",
+    oracle=f"""
+SELECT doc_id, lang,
+       floor(({_entropy_sql()}) * 10000 + 0.5) / 10000 AS char_entropy
+FROM documents
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the character distribution (nats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    total = F.lit(0.0)
+    for ch in _ALPHABET:
+        cnt = n - F.length(F.replace(F.col("text"), F.lit(ch)))
+        p = cnt / n
+        total = total + F.when(cnt > 0, -p * F.log(p)).otherwise(0.0)
+    return docs.select(
+        "doc_id", "lang", hround(total, 4).alias("char_entropy")
+    )

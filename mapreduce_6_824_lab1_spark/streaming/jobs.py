@@ -489,3 +489,90 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark, mode="append")
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle=f"""
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+-- the join watermark is the MIN of the per-side watermarks, and each side
+-- tracks only its own (post-filter) max event time
+mx AS (SELECT least((SELECT max(ts) FROM e), (SELECT max(ts) FROM p)) AS m),
+matched AS (
+    SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+           p.event_id AS pur_id
+    FROM e JOIN p ON e.user_id = p.user_id
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+),
+unmatched AS (
+    SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+           CAST(-1 AS BIGINT) AS pur_id
+    FROM e, mx
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = e.user_id
+          AND p.ts > e.ts
+          AND p.ts <= e.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+    )
+    AND e.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+        < mx.m - INTERVAL 1 HOUR
+)
+SELECT err_id, pur_id, user_id,
+       strftime(err_ts, '%Y-%m-%d %H:%M:%S') AS err_ts_s
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+""",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-range join: every error, paired with
+    purchases in the next 30 minutes — or emitted once with a null match
+    when the watermark PROVES no purchase can still arrive.
+
+    The null-side emission is the part inner joins don't exercise: an
+    unmatched left row sits in state until the right-side watermark passes
+    its entire match window (err_ts + 30 min), then flushes exactly once.
+    Matched rows emit eagerly; the oracle therefore takes ALL matched
+    pairs plus unmatched errors whose window closed before the final
+    watermark — min of the per-side (post-filter) max event times minus
+    the 1 h delay; later unmatched errors are withheld
+    by design. Null pur_id is filled with −1 on both engines so the id
+    column keeps a stable integer dtype. The window-close == watermark
+    µs equality is pinned unreachable in tests/test_stream_boundary.py.
+    """
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pur_id"),
+            F.col("user_id").alias("pur_user"),
+            F.col("ts").alias("pur_ts"),
+        )
+        .withWatermark("pur_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("err_user") == F.col("pur_user"))
+        & (F.col("pur_ts") > F.col("err_ts"))
+        & (
+            F.col("pur_ts")
+            <= F.col("err_ts")
+            + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        "err_id",
+        F.coalesce("pur_id", F.lit(-1)).alias("pur_id"),
+        F.col("err_user").alias("user_id"),
+        F.date_format("err_ts", TS_FMT_SPARK).alias("err_ts_s"),
+    )
+    return _run_to_memory(joined, spark, mode="append")

@@ -90,3 +90,26 @@ def test_no_session_end_on_final_watermark(sf):
         f"a session end at sf{sf} lands exactly on the final watermark; "
         "append emission of that session is release-ambiguous"
     )
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_no_error_window_close_on_join_watermark(sf):
+    """stream_stream_left_outer pin: no error's match window closes exactly
+    on the join's final watermark (min of per-side max ts, minus 1 h)."""
+    hits = duckdb.sql(
+        f"""
+        WITH ev AS (
+            SELECT * FROM read_parquet('/root/testdata/sf{sf}/events.parquet')
+        ),
+        mx AS (
+            SELECT least(
+                (SELECT max(ts) FROM ev WHERE event_type = 'error'),
+                (SELECT max(ts) FROM ev WHERE event_type = 'purchase')
+            ) AS m
+        )
+        SELECT count(*) FROM ev, mx
+        WHERE event_type = 'error'
+          AND ts + INTERVAL 30 MINUTE = mx.m - INTERVAL 1 HOUR
+        """
+    ).fetchone()[0]
+    assert hits == 0
