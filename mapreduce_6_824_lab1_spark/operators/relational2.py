@@ -738,3 +738,69 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("segments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches — the distributed-distinct pattern incremental_agg
+# can't cover (COUNT DISTINCT is holistic: partials don't merge). Apache
+# DataSketches HLL sketches DO merge losslessly: build one small sketch per
+# (type, day) partition, union them per type — the merged estimate is
+# IDENTICAL (same binary sketch) to sketching the whole column directly.
+# That identity is what makes per-partition rollups, backfills, and
+# cross-dataset distinct unions possible at 100 TB without ever rescanning
+# history; it is pinned exactly in tests/test_rows_only.py. No DuckDB
+# equivalent => rows-only driver check + unit tests (estimate-vs-exact
+# bound, merge == direct identity).
+# ---------------------------------------------------------------------------
+
+
+@query("agg_hll_merge")  # rows-only: DuckDB has no DataSketches HLL
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via daily-sketch union (lgK=14)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias(
+                "est_users"
+            ),
+        )
+        .select("event_type", "n_days", "est_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate heavy hitters — approx_top_k is the frequency twin of the HLL
+# sketch: bounded-memory, mergeable item counts. With maxItemsTracked >=
+# the true distinct cardinality the counts are exact; under memory pressure
+# they degrade gracefully instead of OOMing the way an exact word count's
+# hash table does on a 100 TB hot-key corpus. Sketch output => rows-only
+# driver check; tests/test_rows_only.py pins it against the exact top-k.
+# ---------------------------------------------------------------------------
+
+APPROX_TOPK_K = 10
+
+
+@query("agg_approx_topk")  # rows-only: DuckDB has no approx_top_k
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 words by approx_top_k over the exploded corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        words.agg(
+            F.expr(
+                f"approx_top_k(word, {APPROX_TOPK_K}, 10000)"
+            ).alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("word"),
+            F.col("e.count").alias("cnt"),
+        )
+    )

@@ -28,4 +28,6 @@ def test_all_queries_registered():
         "agg_approx_percentile",
         "similarity_mllib_lsh",
         "kmeans_embeddings",
+        "agg_hll_merge",
+        "agg_approx_topk",
     }, f"unexpected rows-only queries: {rows_only}"

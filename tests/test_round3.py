@@ -92,3 +92,60 @@ def test_triangles_closed_under_symmetry(spark):
     rows = QUERIES["graph_triangles"](spark, SF_DIR).collect()
     total = sum(r.n_triangles for r in rows)
     assert total % 3 == 0 and total > 0, rows
+
+
+def test_checkpoint_resume_exactly_once(spark):
+    """A file stream resumed from its checkpoint must process only the NEW
+    files (source offsets are durable) and the batchId-keyed sink must end
+    up with every input row exactly once."""
+    import glob
+    import shutil
+    import tempfile
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    scratch = tempfile.mkdtemp(prefix="mr_test_ckpt_")
+    try:
+        raw.repartition(8).write.parquet(f"{scratch}/stage")
+        files = sorted(glob.glob(f"{scratch}/stage/part-*.parquet"))
+        assert len(files) == 8
+        import os
+
+        os.makedirs(f"{scratch}/in")
+        schema = spark.read.parquet(f"{scratch}/stage").schema
+
+        def drain():
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(f"{scratch}/in")
+            )
+            q = (
+                src.writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("overwrite").parquet(
+                        f"{scratch}/out/batch_{bid}"
+                    )
+                )
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        for f in files[:4]:
+            shutil.copy(f, f"{scratch}/in/")
+        drain()  # first incarnation: 4 files -> batches 0,1
+        first_batches = set(glob.glob(f"{scratch}/out/batch_*"))
+        for f in files[4:]:
+            shutil.copy(f, f"{scratch}/in/")
+        drain()  # resumed incarnation: must see ONLY the 4 new files
+        all_batches = set(glob.glob(f"{scratch}/out/batch_*"))
+        assert len(first_batches) == 2 and len(all_batches) == 4, all_batches
+        back = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{scratch}/out"
+        )
+        assert back.count() == raw.count()  # no loss
+        assert back.select("event_id").distinct().count() == raw.count()  # no dupes
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

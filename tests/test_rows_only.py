@@ -80,3 +80,67 @@ def test_mllib_lsh_neighbors_sane(spark):
     dists = [r.euclidean_dist for r in rows]
     assert all(d >= 0 for d in dists)
     assert sorted(dists) == dists or set(dists) == set(sorted(dists))
+
+
+def test_hll_merge_equals_direct_and_bounds(spark):
+    """Daily-sketch union must equal the direct whole-column sketch (the
+    lossless-merge identity), and the estimate must sit within HLL lgK=14
+    error (<1%) of exact."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+
+    merged = {
+        r.event_type: r.est_users
+        for r in QUERIES["agg_hll_merge"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct, "sketch union lost information vs direct sketch"
+    for t, est in merged.items():
+        assert abs(est - exact[t]) <= max(1, 0.02 * exact[t]), (t, est, exact[t])
+
+
+def test_approx_topk_matches_exact(spark):
+    """With maxItemsTracked (10k) far above the corpus vocabulary (31),
+    the sketch counts are exact — pin against the true word counts."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+
+    approx = {
+        (r.word, r.cnt)
+        for r in QUERIES["agg_approx_topk"](spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(len(approx))
+        .collect()
+    )
+    # ties at the k-th count make the exact cut ambiguous; compare counts
+    # for every word the sketch returned
+    exact_all = dict(
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    for word, cnt in approx:
+        assert exact_all[word] == cnt, (word, cnt, exact_all[word])
+    assert len(approx) == min(10, len(exact_all))
+    del exact
