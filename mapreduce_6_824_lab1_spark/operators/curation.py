@@ -564,3 +564,63 @@ def feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(l2, 4).alias("emb_l2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling — the audit every ingestion pipeline runs before anything
+# else touches a new drop: per-column null counts and distinct
+# cardinalities. ONE scan: all 2N aggregates share a single aggregate node
+# (Catalyst plans one Expand for the distincts), then the 1-row result is
+# exploded into a row per column — profiling cost does not multiply with
+# column count. At 100 TB swap count_distinct for approx_count_distinct
+# (or the HLL sketches in agg_hll_merge) — exact distincts are the only
+# non-mergeable piece here.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@query(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{c}' AS col_name,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/distinct profile of the orders table, one row per column."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    one = o.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"
+    )

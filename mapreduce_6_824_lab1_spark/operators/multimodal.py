@@ -171,3 +171,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return payloads.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio-shaped feature extraction: windowed RMS energy. The payload's bytes
+# play the role of PCM samples (real audio would go through a codec stub
+# above); windows are WIN_SAMPLES wide, non-overlapping. Spark side is the
+# production shape — numpy reshape + one vectorized pass per Arrow batch,
+# 1 row in / windows-per-payload rows out; the oracle recomputes the same
+# energies relationally from the ASCII codes (ord == byte value).
+# ---------------------------------------------------------------------------
+
+WIN_SAMPLES = 32
+
+AUDIO_SCHEMA = "doc_id long, window_idx long, rms double"
+
+
+def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        ids, widx, rms = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                np.float64
+            )
+            n = len(arr) // WIN_SAMPLES
+            if n == 0:
+                continue
+            m = arr[: n * WIN_SAMPLES].reshape(n, WIN_SAMPLES)
+            r = np.sqrt((m * m).mean(axis=1))
+            ids.extend([doc_id] * n)
+            widx.extend(range(n))
+            rms.extend(np.floor(r * 10000 + 0.5) / 10000)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(widx, dtype="int64"),
+                "rms": pd.Series(rms, dtype="float64"),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+WITH wins AS (
+    SELECT doc_id, text,
+           unnest(range(0, CAST(floor(octet_length(encode(text))
+               / {WIN_SAMPLES}) AS BIGINT))) AS window_idx
+    FROM documents
+)
+SELECT doc_id, window_idx,
+       floor((sqrt(list_sum(list_transform(
+           range(1 + window_idx * {WIN_SAMPLES},
+                 1 + window_idx * {WIN_SAMPLES} + {WIN_SAMPLES}),
+           i -> ord(substr(text, CAST(i AS INT), 1))
+                * ord(substr(text, CAST(i AS INT), 1)))) / {WIN_SAMPLES}.0))
+           * 10000 + 0.5) / 10000 AS rms
+FROM wins
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over binary payloads via mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(_audio_energy, schema=AUDIO_SCHEMA)

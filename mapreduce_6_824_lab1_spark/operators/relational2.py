@@ -804,3 +804,51 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join — joining on keys that legitimately contain NULL
+# (unknown-bucket dimensions, optional foreign keys). Plain equality drops
+# NULL keys silently (NULL = NULL is NULL); the <=> operator treats NULL
+# as a joinable value. Spark still plans a HASH join for it (the key is
+# wrapped in a null-tolerant comparison), so there is no performance cliff
+# — asserted in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH c AS (
+    SELECT c_custkey, c_acctbal,
+           nullif(c_mktsegment, 'MACHINERY') AS seg
+    FROM customer
+),
+dim AS (
+    SELECT DISTINCT seg, coalesce(seg, 'UNKNOWN') AS seg_label FROM c
+)
+SELECT seg_label,
+       count(*) AS n_customers,
+       floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_bal
+FROM c JOIN dim ON c.seg IS NOT DISTINCT FROM dim.seg
+GROUP BY seg_label
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers joined to a dimension whose key includes NULL via <=>."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.nullif("c_mktsegment", F.lit("MACHINERY")).alias("seg"),
+    )
+    dim = cust.select("seg").distinct().select(
+        "seg", F.coalesce("seg", F.lit("UNKNOWN")).alias("seg_label")
+    )
+    return (
+        cust.join(broadcast(dim), cust["seg"].eqNullSafe(dim["seg"]))
+        .groupBy("seg_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            hround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

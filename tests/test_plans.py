@@ -199,3 +199,10 @@ def test_range_bucketed_is_equi_join(spark):
     plan = formatted_plan(QUERIES["join_range_bucketed"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    # <=> must not degrade to a nested loop; Spark hash-joins null-safe keys
+    plan = formatted_plan(QUERIES["join_null_safe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
