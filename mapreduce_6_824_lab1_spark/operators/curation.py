@@ -624,3 +624,59 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(per_col).alias("p")).select(
         "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature bucketization — equal-frequency (decile) quantization, the
+# standard preprocessing for tree models and feature hashing. Production
+# shape: per-group cutoffs come from ONE aggregate (t-digest sketch at
+# scale, exact percentiles here for the oracle), broadcast back on the
+# group key, and assignment is a map-side array comparison — the fact
+# table is scanned twice, never shuffled by value. Cutoffs are rounded to
+# 6 dp on BOTH engines before comparing so interpolation ulp noise cannot
+# flip a bucket at an exact-tie boundary.
+# ---------------------------------------------------------------------------
+
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "feature_bucketize",
+    oracle=f"""
+WITH cuts AS (
+    SELECT o_orderpriority,
+           list_transform(quantile_cont(o_totalprice,
+               [{", ".join(str(q) for q in _DECILES)}]),
+               c -> floor(c * 1000000 + 0.5) / 1000000) AS cs
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       1 + len(list_filter(cs, c -> o_totalprice > c)) AS bucket,
+       count(*) AS n_orders,
+       floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+FROM orders o JOIN cuts USING (o_orderpriority)
+GROUP BY 1, 2
+""",
+)
+def feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority decile buckets of order value, with per-bucket stats."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = ", ".join(str(q) for q in _DECILES)
+    cuts = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"transform(percentile(o_totalprice, array({qs})), "
+            "c -> floor(c * 1000000 + 0.5) / 1000000)"
+        ).alias("cs")
+    )
+    bucket = 1 + F.size(
+        F.filter("cs", lambda c: F.col("o_totalprice") > c)
+    ).cast("long")
+    return (
+        o.join(broadcast(cuts), "o_orderpriority")
+        .select("o_orderpriority", bucket.alias("bucket"), "o_totalprice")
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )

@@ -584,3 +584,39 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         hround(F.max("cos"), 6).alias("best_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup materialization — dedup_exact REPORTS groups; this op emits the
+# deduplicated corpus itself: one surviving row per distinct text, chosen
+# deterministically (min doc_id). One shuffle (window on the content key).
+# At 100 TB partition the window on xxhash64(text) instead of the raw text
+# so the shuffle key is 8 bytes, and verify survivors on collision (the
+# same hash-then-verify ladder the near-dup family uses); the raw-text key
+# here keeps the oracle engine-portable.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_materialize",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents
+) t
+WHERE rn = 1
+""",
+)
+def dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: first doc_id per distinct text survives."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -275,3 +275,84 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_size").cast("long").alias("max_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning — THE optimization that makes star joins on a
+# partitioned fact table cheap: the dim side's filter result is broadcast
+# as a runtime subquery filter into the fact SCAN's partition listing, so
+# only the matching partition directories are read at all. Static pruning
+# can't do this (the year list isn't known until the dim filter runs).
+# The plan's PartitionFilters carries a dynamicpruning#... subquery —
+# asserted in tests/test_plans.py. Result-identical to the plain join, so
+# the oracle is the plain SQL over the unpartitioned source.
+# ---------------------------------------------------------------------------
+
+DPP_YEARS = ((1996, "focus"), (1998, "focus"), (2000, "other"))
+
+
+@query(
+    "join_partition_pruned",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       count(*) AS n_orders,
+       floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+FROM orders
+WHERE year(o_orderdate) IN (1996, 1998)
+GROUP BY 1
+""",
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact table partitioned by year, joined to a filtered year dim.
+
+    The scratch write is the layout step (directory per year); the read-
+    back join with the dim filtered to label='focus' triggers DPP: Spark
+    lists only the 1996/1998 directories. The aggregate is collected to
+    detach from the scratch dir before it is removed.
+    """
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    scratch = tempfile.mkdtemp(prefix="mr_spark_dpp_")
+    try:
+        o.withColumn(
+            "o_year", F.year("o_orderdate").cast("long")
+        ).write.partitionBy("o_year").parquet(f"{scratch}/orders")
+        fact = spark.read.parquet(f"{scratch}/orders")
+        dim = spark.createDataFrame(
+            list(DPP_YEARS), ["d_year", "label"]
+        )
+        out = (
+            fact.join(dim, fact["o_year"] == dim["d_year"])
+            .where(F.col("label") == "focus")
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                hround(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def dpp_plan_frame(spark: SparkSession, sf_dir: str, scratch: str):
+    """The un-collected DPP join over an existing scratch dir (plan tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    ).write.mode("overwrite").partitionBy("o_year").parquet(
+        f"{scratch}/orders"
+    )
+    fact = spark.read.parquet(f"{scratch}/orders")
+    dim = spark.createDataFrame(list(DPP_YEARS), ["d_year", "label"])
+    return (
+        fact.join(dim, fact["o_year"] == dim["d_year"])
+        .where(F.col("label") == "focus")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -206,3 +206,19 @@ def test_null_safe_join_is_hash_join(spark):
     plan = formatted_plan(QUERIES["join_null_safe"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_partition_pruned_join_has_dpp_filter(spark):
+    """The fact scan must carry a dynamicpruning subquery in its partition
+    filters — proof the dim filter reaches the directory listing."""
+    import shutil
+    import tempfile
+
+    from mapreduce_6_824_lab1_spark.operators.storage import dpp_plan_frame
+
+    scratch = tempfile.mkdtemp(prefix="mr_test_dpp_")
+    try:
+        plan = formatted_plan(dpp_plan_frame(spark, SF_DIR, scratch))
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
