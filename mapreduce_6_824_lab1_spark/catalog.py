@@ -44,17 +44,26 @@ def configure(spark: SparkSession) -> None:
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """Convert the raw nanosecond-long ``ts`` to a µs TimestampType column.
+    """Normalize the parquet TIMESTAMP(NANOS) ``ts`` to a µs TimestampType.
 
-    ``spark.sql.legacy.parquet.nanosAsLong`` reads parquet TIMESTAMP(NANOS)
-    as raw longs (Spark's TimestampType is µs); ``div 1000`` truncates
-    exactly like DuckDB's ns→µs read, so both engines see identical values.
+    Two read paths exist across Spark versions:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong`` honored → raw longs;
+      ``div 1000`` truncates exactly like DuckDB's ns→µs read.
+    - Spark 4.1+ reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ (µs,
+      ns truncated) regardless of that conf. Event-time operators
+      (``withWatermark``) require TimestampType, so cast NTZ → LTZ; with
+      the session pinned to UTC (session.RUNTIME_CONFS) the instant and
+      the wall-clock value coincide, keeping DuckDB oracle parity.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

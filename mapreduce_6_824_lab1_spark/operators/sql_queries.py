@@ -130,7 +130,7 @@ SELECT supp_nation, cust_nation, l_year,
 FROM (
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
-           year(l_shipdate) AS l_year,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
            l_extendedprice * (1 - l_discount) AS volume
     FROM supplier
     JOIN lineitem ON s_suppkey = l_suppkey
@@ -161,7 +161,7 @@ SELECT o_year,
        floor((sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END)
              / sum(volume)) * 1000000 + 0.5) / 1000000 AS mkt_share
 FROM (
-    SELECT year(o_orderdate) AS o_year,
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
            l_extendedprice * (1 - l_discount) AS volume,
            n2.n_name AS nation
     FROM part
@@ -432,3 +432,248 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition, nation), never the full customer table.
     """
     return _run_sql(spark, sf_dir, LATERAL_TOPN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# The partsupp-derived queries. The fixture has no partsupp table, but
+# lineitem carries the (l_partkey, l_suppkey) relation — a derived CTE with
+# min unit price as the supply cost recovers every partsupp-dependent query
+# shape (Q2/Q9/Q11/Q16/Q20) without inventing data. The derivation is one
+# hash aggregate over the fact table, shared verbatim by both engines.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+"""
+
+Q2_SQL = (
+    _PARTSUPP_CTE
+    + """
+SELECT floor(s_acctbal * 100 + 0.5) / 100 AS acctbal, s_name, n_name,
+       p_partkey, p_name,
+       floor(ps_supplycost * 100 + 0.5) / 100 AS supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 15
+  AND p_type = 'STANDARD'
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+      SELECT min(ps2.ps_supplycost)
+      FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+)
+
+
+@query("sql_tpch_q2", oracle=Q2_SQL)
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier): correlated scalar-MIN subquery
+    over the derived partsupp, itself region-gated through two extra join
+    hops. Catalyst decorrelates to an aggregate-then-join; the min-cost
+    equality compares the identical double (same input set, order-
+    insensitive MIN), so float equality is exact on both engines."""
+    return _run_sql(spark, sf_dir, Q2_SQL)
+
+
+Q9_SQL = (
+    _PARTSUPP_CTE
+    + """
+SELECT nation, o_year,
+       floor((sum(amount)) * 100 + 0.5) / 100 AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount)
+               - ps_supplycost * l_quantity AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+)
+
+
+@query("sql_tpch_q9", oracle=Q9_SQL)
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): 6-table star with a compound-key
+    join back to the derived partsupp (the self-join-shaped edge the
+    official query has via ps_supplycost), profit bucketed by supplier
+    nation and order year."""
+    return _run_sql(spark, sf_dir, Q9_SQL)
+
+
+Q11_SQL = """
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS ps_cents
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT ps_partkey,
+       CAST(sum(ps_cents) AS DOUBLE) / 100 AS part_value
+FROM ps
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_19'
+GROUP BY ps_partkey
+HAVING sum(ps_cents) > (
+    SELECT sum(ps_cents) * 0.002
+    FROM ps
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_19'
+)
+"""
+
+
+@query("sql_tpch_q11", oracle=Q11_SQL)
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): grouped HAVING against an uncorrelated
+    scalar subquery computing a fraction of the SAME aggregate — the
+    global-total-as-broadcast-scalar pattern. Official stock value is
+    ps_supplycost*ps_availqty; the derived revenue-weighted value keeps
+    the two-pass shape (availqty does not exist in the fixture).
+
+    Money is aggregated as integer cents: each line's value is one IEEE
+    expression (identical doubles on both engines), floored to a BIGINT
+    once, then summed exactly — a double-typed sum near a half-cent
+    boundary flipped the HAVING between engines at sf0.01. Deterministic
+    money aggregation at 100 TB means integer cents, not double sums."""
+    return _run_sql(spark, sf_dir, Q11_SQL)
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL '30' DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@query("sql_tpch_q12", oracle=Q12_SQL)
+def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority): conditional-count pivot over
+    a fact join with a cross-table date predicate. The fixture has no
+    l_shipmode/commitdate/receiptdate — l_linestatus plays the mode axis
+    and 'shipped >30 days after ordering' the lateness gate, keeping the
+    join + CASE-pivot shape. The BIGINT casts pin the count dtype on both
+    engines (DuckDB sums of ints widen to HUGEINT)."""
+    return _run_sql(spark, sf_dir, Q12_SQL)
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#21'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("sql_tpch_q16", oracle=Q16_SQL)
+def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT) per
+    attribute triple with a NOT IN (null-aware anti join) supplier
+    exclusion. lineitem is the part↔supplier bridge (no partsupp table);
+    negative account balance stands in for the official complaints
+    filter (no s_comment column)."""
+    return _run_sql(spark, sf_dir, Q16_SQL)
+
+
+Q20_SQL = """
+SELECT s_name, floor(s_acctbal * 100 + 0.5) / 100 AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_19'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+      )
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 40
+  )
+"""
+
+
+@query("sql_tpch_q20", oracle=Q20_SQL)
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): nested IN-subqueries — a
+    grouped HAVING over lineitem, itself filtered by an IN against part —
+    collapsing to a chain of left-semi joins. Official availqty threshold
+    is replaced by shipped quantity (no partsupp.ps_availqty)."""
+    return _run_sql(spark, sf_dir, Q20_SQL)
+
+
+Q21_SQL = """
+WITH late AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(l_shipdate > o_orderdate + INTERVAL '60' DAY AS INT)
+               AS is_late
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN late l1 ON s_suppkey = l1.l_suppkey AND l1.is_late = 1
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_19'
+  AND EXISTS (
+      SELECT 1 FROM late l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.is_late = 1
+  )
+GROUP BY s_name
+"""
+
+
+@query("sql_tpch_q21", oracle=Q21_SQL)
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS +
+    NOT EXISTS double-correlation — a semi join AND an anti join against
+    the same derived table on the same key with different predicates.
+    Lateness is shipdate >60 days after ordering (no l_receiptdate /
+    l_commitdate in the fixture); the CTE computes it once for all three
+    correlated references."""
+    return _run_sql(spark, sf_dir, Q21_SQL)

@@ -326,7 +326,9 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (
             fact.join(dim, fact["o_year"] == dim["d_year"])
             .where(F.col("label") == "focus")
-            .groupBy("o_year")
+            # partition-column read-back infers int32 even though the write
+            # cast to long; re-cast so the dtype matches the BIGINT oracle
+            .groupBy(F.col("o_year").cast("long").alias("o_year"))
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
                 hround(F.sum("o_totalprice"), 2).alias("revenue"),

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType
 
 from mapreduce_6_824_lab1_spark.catalog import configure
 from mapreduce_6_824_lab1_spark.operators.temporal import (
@@ -111,7 +112,18 @@ def _sessionize(
 @query("stream_session_stateful", oracle=SESSION_ORACLE)
 def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: long (ns)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The state machine, scratch files (_RAW_SCHEMA) and pandas loop all
+    # speak long nanoseconds. Older Spark reads TIMESTAMP(NANOS) that way
+    # via nanosAsLong; Spark 4.1+ reads it as TIMESTAMP_NTZ (µs) instead —
+    # re-express as long ns (µs×1000 == DuckDB's truncation) in that case.
+    if not isinstance(raw.schema["ts"].dataType, LongType):
+        raw = raw.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "long"
+            ),
+        )
     sentinel = (
         raw.select("user_id")
         .distinct()
