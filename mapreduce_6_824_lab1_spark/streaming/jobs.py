@@ -576,3 +576,40 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("err_ts", TS_FMT_SPARK).alias("err_ts_s"),
     )
     return _run_to_memory(joined, spark, mode="append")
+
+
+TOPK_TYPES = 3
+
+
+@query(
+    "stream_topk_complete",
+    oracle=f"""
+SELECT event_type, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY sum(value) DESC, event_type
+LIMIT {TOPK_TYPES}
+""",
+)
+def stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the k highest-volume event types over the whole
+    stream, complete mode.
+
+    Ranking needs the FULL aggregate each trigger, which is exactly what
+    complete output mode re-emits — the sink always holds the current
+    global aggregate, and the top-k cut runs on the sink table (k rows,
+    TakeOrderedAndProject). State is one row per group (|event_type|),
+    so complete mode is safe here; a high-cardinality key would need the
+    append-mode windowed variant instead. Tie-break pinned on event_type
+    so both engines cut the same k rows.
+    """
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy("event_type").agg(
+        F.sum("value").alias("raw_total")
+    )
+    sink = _run_to_memory(agg, spark, mode="complete")
+    return (
+        sink.orderBy(F.desc("raw_total"), F.asc("event_type"))
+        .limit(TOPK_TYPES)
+        .select("event_type", hround("raw_total", 2).alias("total_value"))
+    )
