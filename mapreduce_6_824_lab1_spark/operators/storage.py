@@ -130,21 +130,24 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix="mr_spark_part_")
-    (
-        o.withColumn("o_year", F.year("o_orderdate"))
-        .write.partitionBy("o_year")
-        .mode("overwrite")
-        .parquet(path)
-    )
-    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
-    out = back.groupBy(
-        F.month("o_orderdate").cast("long").alias("o_month")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        hround(F.sum("o_totalprice"), 2).alias("revenue"),
-    )
-    # detach from the scratch dir (it outlives the call only by accident)
-    return spark.createDataFrame(out.collect(), out.schema)
+    try:
+        (
+            o.withColumn("o_year", F.year("o_orderdate"))
+            .write.partitionBy("o_year")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+        out = back.groupBy(
+            F.month("o_orderdate").cast("long").alias("o_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        # detach from the scratch dir so it can be removed before returning
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

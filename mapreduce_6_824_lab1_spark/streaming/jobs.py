@@ -584,10 +584,11 @@ TOPK_TYPES = 3
 @query(
     "stream_topk_complete",
     oracle=f"""
-SELECT event_type, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+SELECT event_type,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM events
 GROUP BY event_type
-ORDER BY sum(value) DESC, event_type
+ORDER BY sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) DESC, event_type
 LIMIT {TOPK_TYPES}
 """,
 )
@@ -601,15 +602,24 @@ def stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject). State is one row per group (|event_type|),
     so complete mode is safe here; a high-cardinality key would need the
     append-mode windowed variant instead. Tie-break pinned on event_type
-    so both engines cut the same k rows.
+    so both engines cut the same k rows. Values are quantized to integer
+    cents PER ROW before summing (as in sql_tpch_q11): a raw double sum
+    accumulates in a different order in Spark's incremental streaming
+    state than in a batch engine, and a half-cent boundary or two groups
+    with near-equal totals could otherwise flip the rank/round between
+    engines — the integer sum is exact and order-insensitive.
     """
     src = _events_stream(spark, sf_dir)
     agg = src.groupBy("event_type").agg(
-        F.sum("value").alias("raw_total")
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
     )
     sink = _run_to_memory(agg, spark, mode="complete")
     return (
-        sink.orderBy(F.desc("raw_total"), F.asc("event_type"))
+        sink.orderBy(F.desc("cents"), F.asc("event_type"))
         .limit(TOPK_TYPES)
-        .select("event_type", hround("raw_total", 2).alias("total_value"))
+        .select(
+            "event_type", (F.col("cents") / 100.0).alias("total_value")
+        )
     )

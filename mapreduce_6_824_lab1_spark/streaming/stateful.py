@@ -117,12 +117,19 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # speak long nanoseconds. Older Spark reads TIMESTAMP(NANOS) that way
     # via nanosAsLong; Spark 4.1+ reads it as TIMESTAMP_NTZ (µs) instead —
     # re-express as long ns (µs×1000 == DuckDB's truncation) in that case.
+    # The long-ns path is truncated to µs granularity too ((ts div 1000) ×
+    # 1000) so BOTH Spark-version paths classify session-gap boundaries
+    # identically even if the fixture ever grows sub-µs components.
     if not isinstance(raw.schema["ts"].dataType, LongType):
         raw = raw.withColumn(
             "ts",
             (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
                 "long"
             ),
+        )
+    else:
+        raw = raw.withColumn(
+            "ts", (F.col("ts") - F.col("ts") % F.lit(1000)).cast("long")
         )
     sentinel = (
         raw.select("user_id")

@@ -26,3 +26,58 @@ def test_rank_mass_conserved(ranks):
 
 def test_ranks_not_uniform(ranks):
     assert len({r["rank"] for r in ranks}) > 1
+
+
+def test_pagerank_loop_invariant_materialized(spark):
+    """The iterative plan must not re-derive the edge list per iteration:
+    the operator persists enorm/nodes and localCheckpoints the result, so
+    the returned DataFrame is a materialized RDD scan — no parquet scan,
+    no join left in its plan (collect-time recompute is impossible)."""
+    df = QUERIES["pagerank_sources"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "parquet" not in plan.lower(), plan
+
+
+def _und(spark, pairs):
+    return spark.createDataFrame(pairs, "u string, v string")
+
+
+def test_hub_star_produces_zero_oriented_wedges(spark):
+    """Degree orientation pivots wedges on the LOW-degree endpoint: a pure
+    star (hub 'mm' with 20 leaves, lexicographically straddling the hub)
+    generates ZERO wedges — the lexicographic orientation this replaced
+    generated ~k^2/4 (~100) wedges pivoting on the hub."""
+    from mapreduce_6_824_lab1_spark.operators.graph import _oriented_wedges
+
+    leaves = [f"a{i:02d}" for i in range(10)] + [f"z{i:02d}" for i in range(10)]
+    star = [(min("mm", l), max("mm", l)) for l in leaves]
+    assert _oriented_wedges(_und(spark, star)).count() == 0
+
+
+def test_oriented_triangle_counts_match_bruteforce(spark):
+    """Triangle participation on a known graph: hub star + one embedded
+    triangle + a 4-clique; compare against itertools brute force."""
+    import itertools
+
+    from mapreduce_6_824_lab1_spark.operators.graph import (
+        _triangle_participation,
+    )
+
+    edges = {("mm", f"z{i:02d}") for i in range(8)}  # star, no triangles
+    edges |= {("aa", "bb"), ("bb", "cc"), ("aa", "cc")}  # one triangle
+    for x, y in itertools.combinations(["p1", "p2", "p3", "p4"], 2):
+        edges.add((x, y))  # 4-clique: 4 triangles, each node in 3
+    und = [(min(u, v), max(u, v)) for u, v in edges]
+    got = {
+        r["source"]: r["n_triangles"]
+        for r in _triangle_participation(_und(spark, und)).collect()
+    }
+    nodes = {n for e in und for n in e}
+    es = set(und)
+    want = {}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= es:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want

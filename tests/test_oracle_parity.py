@@ -31,3 +31,13 @@ def test_all_queries_registered():
         "agg_hll_merge",
         "agg_approx_topk",
     }, f"unexpected rows-only queries: {rows_only}"
+
+
+def test_tpch_q2_nonempty(spark, duck):
+    """ADVICE r2: q2 keeps rows only while both engines form the exact same
+    IEEE double for ps_supplycost == min(...) — a silent divergence (decimal
+    promotion, decorrelation rewrite) would drop ALL rows yet still
+    hash-match an equally-empty oracle. Pin non-emptiness on both sides."""
+    key = "sql_tpch_q2"
+    assert QUERIES[key](spark, SF_DIR).count() > 0
+    assert len(duck.execute(ORACLES[key]).df()) > 0
