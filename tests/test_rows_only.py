@@ -3,6 +3,8 @@ stable schema, and their approximations must agree with the exact twins."""
 
 from __future__ import annotations
 
+import pytest
+
 from mapreduce_6_824_lab1_spark import QUERIES
 from tests.conftest import SF_DIR
 
@@ -82,19 +84,24 @@ def test_mllib_lsh_neighbors_sane(spark):
     assert sorted(dists) == dists or set(dists) == set(sorted(dists))
 
 
-def test_hll_merge_equals_direct_and_bounds(spark):
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_hll_merge_equals_direct_and_bounds(spark, sf_dir):
     """Daily-sketch union must equal the direct whole-column sketch (the
     lossless-merge identity), and the estimate must sit within HLL lgK=14
-    error (<1%) of exact."""
+    error (<2%) of exact — pinned at BOTH fixture scale and bench scale
+    (sf0.1), so the rows-only key carries quantitative evidence where the
+    driver benches it (VERDICT r2 ask #8)."""
     from pyspark.sql import functions as F
 
     from mapreduce_6_824_lab1_spark.catalog import load_table
 
     merged = {
         r.event_type: r.est_users
-        for r in QUERIES["agg_hll_merge"](spark, SF_DIR).collect()
+        for r in QUERIES["agg_hll_merge"](spark, sf_dir).collect()
     }
-    ev = load_table(spark, SF_DIR, "events")
+    ev = load_table(spark, sf_dir, "events")
     direct = {
         r.event_type: r.est
         for r in ev.groupBy("event_type")
@@ -112,18 +119,22 @@ def test_hll_merge_equals_direct_and_bounds(spark):
         assert abs(est - exact[t]) <= max(1, 0.02 * exact[t]), (t, est, exact[t])
 
 
-def test_approx_topk_matches_exact(spark):
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_approx_topk_matches_exact(spark, sf_dir):
     """With maxItemsTracked (10k) far above the corpus vocabulary (31),
-    the sketch counts are exact — pin against the true word counts."""
+    the sketch counts are exact — pin against the true word counts at both
+    fixture scale and bench scale (sf0.1)."""
     from pyspark.sql import functions as F
 
     from mapreduce_6_824_lab1_spark.catalog import load_table
 
     approx = {
         (r.word, r.cnt)
-        for r in QUERIES["agg_approx_topk"](spark, SF_DIR).collect()
+        for r in QUERIES["agg_approx_topk"](spark, sf_dir).collect()
     }
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     exact = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
