@@ -18,4 +18,6 @@ import mapreduce_6_824_lab1_spark.operators.analytics  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.analytics2  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.pipeline  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.curation  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.curation2  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.embeddings  # noqa: F401
 import mapreduce_6_824_lab1_spark.sources  # noqa: F401

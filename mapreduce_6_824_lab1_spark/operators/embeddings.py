@@ -1,0 +1,116 @@
+"""Embedding-column utilities beyond search: storage quantization.
+
+``embedding_quantize_int8`` is the vector-store compression step every
+100 TB embedding corpus runs before serving (float32 → int8 = 4× smaller,
+cache-resident ANN): per-dimension min/max over the corpus define an affine
+code, vectors are quantized, and the operator audits the round-trip
+reconstruction error per label group.
+
+Engine-parity design: the per-dimension stats are 2·64 parallel aggregate
+expressions (the kmeans.py pattern — one partial-agg shuffle, no explode);
+quantization + reconstruction error are evaluated with the SAME expression
+tree in both engines, and each vector's squared error is quantized to an
+integer micro-unit BEFORE the per-group sum, so group averages are exact
+integer arithmetic (the sql_tpch_q11 integer-cents pattern applied to
+vector math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
+from mapreduce_6_824_lab1_spark.registry import query
+
+DIM = 64
+ERR_QUANT = 1_000_000  # micro-units for the per-vector squared error
+
+_DIMS = range(1, DIM + 1)
+
+# Per-dimension affine code: q_i = clamp(floor((x_i - mn_i)/scale_i + 0.5),
+# 0, 255) - 128; dequant x̂_i = mn_i + (q_i + 128)·scale_i.
+# scale uses greatest(..., 1e-12) so a constant dimension can't divide by 0.
+
+_SQL_STATS = ", ".join(
+    f"min(CAST(embedding[{i}] AS DOUBLE)) AS mn{i}, "
+    f"max(CAST(embedding[{i}] AS DOUBLE)) AS mx{i}"
+    for i in _DIMS
+)
+
+_SQL_ERR_TERMS = " + ".join(
+    f"power(CAST(e.embedding[{i}] AS DOUBLE) - (s.mn{i} + "
+    f"(least(greatest(floor((CAST(e.embedding[{i}] AS DOUBLE) - s.mn{i})"
+    f" / greatest((s.mx{i} - s.mn{i}) / 255.0, 1e-12) + 0.5), 0), 255))"
+    f" * greatest((s.mx{i} - s.mn{i}) / 255.0, 1e-12)), 2)"
+    for i in _DIMS
+)
+
+QUANTIZE_ORACLE = f"""
+WITH s AS (SELECT {_SQL_STATS} FROM embeddings),
+per_vec AS (
+    SELECT e.label,
+           CAST(floor(({_SQL_ERR_TERMS}) * {ERR_QUANT} + 0.5) AS BIGINT)
+               AS err_micro
+    FROM embeddings e CROSS JOIN s
+)
+SELECT label,
+       count(*) AS n_vectors,
+       CAST(sum(err_micro) AS BIGINT) AS total_err_micro,
+       {sql_hround(f"CAST(sum(err_micro) AS DOUBLE) / count(*) / {ERR_QUANT}", 6)}
+           AS avg_sq_err
+FROM per_vec
+GROUP BY label
+"""
+
+
+@query("embedding_quantize_int8", oracle=QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization audit: per-label count and round-trip
+    squared reconstruction error of the corpus-calibrated int8 code.
+
+    One aggregate pass computes all 128 per-dimension min/max stats
+    (partial-aggregated, map-side combined); the 1-row stats frame is
+    broadcast; quantize + dequant + error is a pure map-side projection.
+    100 TB: scan → broadcast → scan, no shuffle wider than |labels| rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = e.agg(
+        *[
+            agg
+            for i in _DIMS
+            for agg in (
+                F.min(F.element_at("embedding", i).cast("double")).alias(
+                    f"mn{i}"
+                ),
+                F.max(F.element_at("embedding", i).cast("double")).alias(
+                    f"mx{i}"
+                ),
+            )
+        ]
+    )
+    err = None
+    for i in _DIMS:
+        x = F.element_at("embedding", i).cast("double")
+        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
+        scale = F.greatest((mx - mn) / 255.0, F.lit(1e-12))
+        q = F.least(
+            F.greatest(F.floor((x - mn) / scale + 0.5), F.lit(0)),
+            F.lit(255),
+        )
+        term = F.pow(x - (mn + q * scale), 2)
+        err = term if err is None else err + term
+    per_vec = e.crossJoin(broadcast(stats)).select(
+        "label",
+        F.floor(err * ERR_QUANT + F.lit(0.5)).cast("long").alias("err_micro"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("err_micro").alias("total_err_micro"),
+        hround(
+            F.sum("err_micro").cast("double") / F.count(F.lit(1)) / ERR_QUANT,
+            6,
+        ).alias("avg_sq_err"),
+    )

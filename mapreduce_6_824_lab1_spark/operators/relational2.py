@@ -852,3 +852,89 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (MERGE-style latest-state compaction) — the other half of
+# scd2_history: instead of materializing the full change history, compact a
+# snapshot + a stream of keyed upserts into the CURRENT state, latest-wins.
+# Without a transactional table format this is the standard "merge by
+# rewrite" pattern: one shuffle on the merge key, a per-key max — at 100 TB
+# the window and the final aggregate reuse the same hash partitioning, and
+# the deterministic (date, orderkey) tie-break makes reruns idempotent.
+# ---------------------------------------------------------------------------
+
+CDC_CUTOVER = "1999-01-01"
+
+
+@query(
+    "cdc_apply_latest",
+    oracle=f"""
+WITH latest AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+           CASE WHEN o_orderdate >= TIMESTAMP '{CDC_CUTOVER}' THEN 1 ELSE 0
+                END AS is_delta,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+    FROM orders
+)
+SELECT o_orderstatus AS status,
+       count(*) AS n_customers,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS latest_date,
+       CAST(sum(is_delta) AS BIGINT) AS n_from_delta
+FROM latest
+WHERE rn = 1
+GROUP BY o_orderstatus
+""",
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact a base snapshot (orders before the 1999-01-01 cutover) plus
+    a keyed upsert stream (orders on/after it) into the current
+    per-customer state, latest-wins on (o_orderdate, o_orderkey).
+
+    The Spark side is structured as the actual MERGE it models — snapshot
+    frame UNION delta frame, then one latest-per-key window — while the
+    oracle collapses to the equivalent single window over the union (the
+    latest of latest-of-base plus deltas is the global latest). Money is
+    summed as integer cents so the audit is accumulation-order-exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    cut = F.lit(CDC_CUTOVER).cast("timestamp")
+    base_w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    snapshot = (
+        o.filter(F.col("o_orderdate") < cut)
+        .withColumn("rn", F.row_number().over(base_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("is_delta", F.lit(0))
+    )
+    deltas = o.filter(F.col("o_orderdate") >= cut).withColumn(
+        "is_delta", F.lit(1)
+    )
+    merged = (
+        snapshot.unionByName(deltas)
+        .withColumn("rn", F.row_number().over(base_w))
+        .filter(F.col("rn") == 1)
+    )
+    return merged.groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("total_cents"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+            "latest_date"
+        ),
+        F.sum("is_delta").cast("long").alias("n_from_delta"),
+    )
