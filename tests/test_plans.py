@@ -222,3 +222,39 @@ def test_partition_pruned_join_has_dpp_filter(spark):
         assert "dynamicpruning" in plan.lower(), plan
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_quality_lm_score_broadcasts_vocab(spark):
+    # vocabulary and corpus-total are broadcast; the word stream must never
+    # sort-merge against the vocab (vocab stays MB-sized at any corpus SF)
+    plan = formatted_plan(QUERIES["quality_lm_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_chunks_uses_algebraic_ownership(spark):
+    # ownership is min() under groupBy(chunk) — map-side combinable; a
+    # row_number Window over chunk text would serialize hot chunks
+    plan = formatted_plan(QUERIES["dedup_chunks"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+
+def test_mix_sources_admission_is_broadcast(spark):
+    plan = formatted_plan(QUERIES["mix_sources_uniform"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_embedding_quantize_broadcasts_stats(spark):
+    # 1-row stats frame must broadcast; quantize/error stays map-only
+    plan = formatted_plan(QUERIES["embedding_quantize_int8"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_apply_latest_single_key_partitioning(spark):
+    # the merge window partitions on o_custkey; no single-partition window
+    plan = formatted_plan(QUERIES["cdc_apply_latest"](spark, SF_DIR))
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
