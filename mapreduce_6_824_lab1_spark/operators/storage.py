@@ -361,3 +361,104 @@ def dpp_plan_frame(spark: SparkSession, sf_dir: str, scratch: str):
             hround(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning — DPP's sibling for NON-partition keys.
+# When the probe side is too big to broadcast, Spark can still build a Bloom
+# filter from the (filtered) creation side and push might_contain() into the
+# fact scan, discarding non-joining rows at the scan/row-group level before
+# the shuffle. At 100 TB this is the difference between shuffling the whole
+# fact table and shuffling only the ~selectivity fraction that can join.
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    # application side must look "large enough" for injection; the fixture
+    # is tiny, so lower the gate — production keeps the 10 GB default
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # the injection rule skips creation sides it expects to broadcast (a
+    # broadcast join shuffles nothing, so a Bloom filter buys nothing);
+    # model the 100 TB dim-side-too-big case by disabling broadcast here
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+       count(*) AS n_items,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(o_orderdate) = 1999
+GROUP BY 1
+""",
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1999-order lineitem revenue via a merge-hinted join so the filtered
+    orders side injects a runtime Bloom filter into the lineitem scan.
+
+    The merge hint models the 100 TB reality (dim side above the broadcast
+    threshold); might_contain() then prunes fact rows pre-shuffle — runtime
+    row-group pruning on a NON-partition key, which directory-based DPP
+    cannot do. The plan (incl. the injected filter) is executed eagerly via
+    localCheckpoint under the lowered injection gate, then the session conf
+    is restored so no other query inherits it. Revenue is summed as integer
+    cents (order-insensitive across engines).
+    """
+    old = {}
+    for k, v in _BLOOM_CONFS.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == 1999)
+            .select("o_orderkey")
+        )
+        out = (
+            li.hint("merge")
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).alias("revenue_cents"),
+            )
+        )
+        # materialize while the injection gate is open; the returned frame
+        # is a checkpoint scan, so restoring the conf can't un-inject
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def bloom_plan_frame(spark: SparkSession, sf_dir: str):
+    """Un-checkpointed Bloom-pruned join (plan tests; caller sets confs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1999)
+        .select("o_orderkey")
+    )
+    return (
+        li.hint("merge")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )

@@ -258,3 +258,22 @@ def test_cdc_apply_latest_single_key_partitioning(spark):
     plan = formatted_plan(QUERIES["cdc_apply_latest"](spark, SF_DIR))
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_bloom_filter_injected_into_fact_scan(spark):
+    """Under the lowered injection gate the filtered orders side must
+    build a runtime Bloom filter applied to the lineitem side
+    (might_contain) — pre-shuffle row pruning on a non-partition key."""
+    from mapreduce_6_824_lab1_spark.operators.storage import bloom_plan_frame
+
+    from mapreduce_6_824_lab1_spark.operators.storage import _BLOOM_CONFS
+
+    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = formatted_plan(bloom_plan_frame(spark, SF_DIR))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
