@@ -623,3 +623,87 @@ def stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", (F.col("cents") / 100.0).alias("total_value")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Restart / exactly-once across checkpoints — the fault-tolerance contract
+# MapReduce's re-execution model provides, in Structured Streaming terms.
+# Two SEPARATE query starts share one checkpoint + one file-sink log: the
+# first drains half the input, the second (a fresh query object — a
+# "restarted job") must resume from the checkpoint, process ONLY the new
+# half, and the sink must contain each record exactly once. If the restart
+# re-read the backlog, every count in the audit would double and the batch
+# oracle would catch it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_restart_exactly_once",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split events into two backlog files; run an availableNow parquet-sink
+    stream over file 1, terminate it, drop file 2 into the source dir, and
+    start a NEW query on the SAME checkpoint. The exactly-once audit is the
+    full-table aggregate over the sink — equal to the batch oracle iff the
+    restart neither re-processed file 1 nor missed file 2.
+
+    At 100 TB this is the recovery path that makes a streaming ingest
+    restartable mid-backlog: the file-source offsets live in the
+    checkpoint, the file-sink manifest makes half-written output invisible,
+    and both survive the driver's death."""
+    import shutil
+    import tempfile
+
+    configure(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    scratch = tempfile.mkdtemp(prefix="mr_spark_restart_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        half = raw.filter(F.col("event_id") % 2 == 0)
+        rest = raw.filter(F.col("event_id") % 2 == 1)
+        src_dir = f"{scratch}/in"
+        half.coalesce(1).write.parquet(src_dir)
+
+        schema = raw.schema
+        out_dir, ckpt = f"{scratch}/out", f"{scratch}/ckpt"
+
+        def run_once() -> None:
+            stream = (
+                spark.readStream.schema(schema)
+                .parquet(src_dir)
+                .select("event_id", "event_type", "value")
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()  # processes the even half
+        # "crash": the first query object is gone; new backlog arrives
+        rest.coalesce(1).write.mode("append").parquet(src_dir)
+        run_once()  # restarted query resumes from the checkpoint
+
+        sink = spark.read.parquet(out_dir)
+        audit = sink.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+        )
+        return spark.createDataFrame(audit.collect(), audit.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(scratch, ignore_errors=True)
