@@ -462,3 +462,71 @@ def bloom_plan_frame(spark: SparkSession, sf_dir: str):
         .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction — the table-maintenance job every streaming ingest
+# needs: micro-batches leave thousands of KB-sized files; scans then pay a
+# task per file. Compaction rewrites a directory to size-targeted files
+# (bin-packed by bytes), preserving rows bit-for-bit. The audit aggregate
+# is oracle-checked; the file-count collapse is unit-tested.
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 4 * 1024 * 1024  # fixture-scale stand-in for 512 MB
+COMPACT_INPUT_FILES = 32
+
+
+def compact_dir(spark: SparkSession, src_dir: str, dst_dir: str) -> int:
+    """Rewrite ``src_dir`` parquet into ceil(bytes/target) files; returns
+    the output file count. At 100 TB this runs per partition-directory with
+    the same arithmetic (one listing, one coalesced rewrite, no shuffle —
+    coalesce merges splits without repartitioning)."""
+    import glob
+    import os
+
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(f"{src_dir}/*.parquet")
+    )
+    n_out = max(1, -(-total // COMPACT_TARGET_BYTES))
+    spark.read.parquet(src_dir).coalesce(int(n_out)).write.mode(
+        "overwrite"
+    ).parquet(dst_dir)
+    return len(glob.glob(f"{dst_dir}/*.parquet"))
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment events into 32 micro-batch-sized files, compact to
+    size-targeted files, and return the audit aggregate over the COMPACTED
+    copy — equal to the oracle over the pristine table iff the rewrite
+    lost/duplicated nothing."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="mr_spark_compact_")
+    try:
+        frag_dir, comp_dir = f"{scratch}/frag", f"{scratch}/comp"
+        ev.repartition(COMPACT_INPUT_FILES).write.parquet(frag_dir)
+        compact_dir(spark, frag_dir, comp_dir)
+        back = spark.read.parquet(comp_dir)
+        audit = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        return spark.createDataFrame(audit.collect(), audit.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -126,3 +126,27 @@ def test_embedding_quantize_error_within_code_bound(spark):
     assert len(rows) == 10  # one per label
     for r in rows:
         assert 0.0 <= r.avg_sq_err <= bound * 1.001, (r.label, r.avg_sq_err, bound)
+
+
+def test_compaction_reduces_file_count(spark):
+    import glob
+    import shutil
+    import tempfile
+
+    from mapreduce_6_824_lab1_spark.operators.storage import (
+        COMPACT_INPUT_FILES,
+        compact_dir,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    scratch = tempfile.mkdtemp(prefix="mr_test_compact_")
+    try:
+        frag = f"{scratch}/frag"
+        ev.repartition(COMPACT_INPUT_FILES).write.parquet(frag)
+        n_in = len(glob.glob(f"{frag}/*.parquet"))
+        n_out = compact_dir(spark, frag, f"{scratch}/comp")
+        assert n_in == COMPACT_INPUT_FILES
+        assert 1 <= n_out < n_in
+        assert spark.read.parquet(f"{scratch}/comp").count() == ev.count()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
