@@ -111,18 +111,22 @@ def test_bucketed_join_has_no_exchange(spark):
 
 def test_partitioned_sink_prunes_partitions(spark):
     # inspect the pruned scan directly (the query returns a detached frame)
+    import shutil
     import tempfile
     from pyspark.sql import functions as F
     from mapreduce_6_824_lab1_spark.catalog import load_table
 
     o = load_table(spark, SF_DIR, "orders")
     path = tempfile.mkdtemp(prefix="mr_plan_part_")
-    o.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
-        "o_year"
-    ).mode("overwrite").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
-    plan = formatted_plan(back)
-    assert "PartitionFilters" in plan and "o_year" in plan, plan
+    try:
+        o.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+            "o_year"
+        ).mode("overwrite").parquet(path)
+        back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+        plan = formatted_plan(back)
+        assert "PartitionFilters" in plan and "o_year" in plan, plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def test_q6_predicates_push_to_scan(spark):
