@@ -272,8 +272,12 @@ def mix_sources_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     knuth(doc_id) < (min_count/count_source)·2³²).
 
     This is the data-mixing primitive: given target weights (here uniform),
-    admission is a pure function of the document key — no RNG state, no
-    stored sample, append-stable across pipeline reruns. 100 TB: the
+    admission is a pure function of (document key, acceptance fraction) —
+    no RNG state, no stored sample. Because the rule is a fixed-hash
+    threshold, samples are NESTED: lowering a source's fraction (as the
+    corpus grows around it) always keeps a subset of the previous sample,
+    never an arbitrary reshuffle — the property that keeps incremental
+    pipeline reruns from churning membership. 100 TB: the
     per-source count table is tiny → broadcast; admission is map-only; the
     audit is one partial-agg shuffle on source. (Exact-count mixing would
     need a per-source rank — a windowed shuffle; the hash threshold is the

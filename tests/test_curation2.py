@@ -150,3 +150,26 @@ def test_compaction_reduces_file_count(spark):
         assert spark.read.parquet(f"{scratch}/comp").count() == ev.count()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mix_admission_is_nested_across_fractions(spark):
+    """The hash-threshold rule yields NESTED samples: the kept set at a
+    lower acceptance fraction is a subset of the kept set at any higher
+    fraction — so membership never churns as the corpus mixture shifts."""
+    from mapreduce_6_824_lab1_spark.operators.text_analysis import _KNUTH, _MOD
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    h = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_MOD))
+
+    def kept(frac):
+        return {
+            r.doc_id
+            for r in docs.filter(h < int(frac * _MOD)).collect()
+        }
+
+    k25, k50, k75 = kept(0.25), kept(0.50), kept(0.75)
+    assert k25 < k50 < k75
+    # and the acceptance rate tracks the fraction
+    n = docs.count()
+    for frac, ks in ((0.25, k25), (0.50, k50), (0.75, k75)):
+        assert abs(len(ks) / n - frac) < 0.08, (frac, len(ks) / n)
