@@ -83,6 +83,10 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, broadcast to the scorer). Per-word -ln p(w) is quantized to
     integer micro-nats BEFORE summing so per-document scores are exact
     integer sums — no float accumulation-order divergence between engines.
+    Residual parity risk: ln() may differ by 1 ulp across libm
+    implementations, which flips the micro-nat only if ln(total/cnt)·1e6
+    lands within ~1e-10 of a .5 boundary — the same accepted boundary
+    class as hround (pinned green at sf0.001/0.01/0.1).
     100 TB: vocab table is tiny (≤ a few M rows) → broadcast join; the
     scorer is one explode + one partial-agg shuffle on doc_id; per-lang
     rollup is a second |langs|-row aggregate.

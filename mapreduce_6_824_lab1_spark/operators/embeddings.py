@@ -75,6 +75,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial-aggregated, map-side combined); the 1-row stats frame is
     broadcast; quantize + dequant + error is a pure map-side projection.
     100 TB: scan → broadcast → scan, no shuffle wider than |labels| rows.
+
+    Parity note: both engines evaluate the identical expression tree over
+    identical float32→double inputs (min/max are order-insensitive exact
+    picks), so the per-vector error is bit-identical before integer
+    quantization; the floor(x·1e6+0.5) boundary is the standard accepted
+    hround class.
     """
     e = load_table(spark, sf_dir, "embeddings")
     stats = e.agg(
