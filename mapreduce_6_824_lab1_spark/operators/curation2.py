@@ -142,6 +142,30 @@ CHUNK_TOKENS = 3  # fixture vocabulary is 31 words — 3-token chunks give a
 
 _OWNER_ENC = 1_000_000  # owner key = doc_id * 1e6 + chunk_id (exact BIGINT)
 
+
+def chunk_frame(toks: DataFrame) -> DataFrame:
+    """(doc_id, toks) → (doc_id, chunk_id, chunk): fixed-size token chunks,
+    the final chunk partial. explode(sequence)+slice — map-only, no UDF."""
+    n_chunks = F.ceil(F.size("toks") / F.lit(CHUNK_TOKENS)).cast("long")
+    return toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(
+            F.slice(
+                "toks",
+                (F.col("chunk_id") * CHUNK_TOKENS + 1).cast("int"),
+                CHUNK_TOKENS,
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+
 DEDUP_CHUNKS_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -195,25 +219,7 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col("text").alias("toks"))
-    n_chunks = F.ceil(F.size("toks") / F.lit(CHUNK_TOKENS)).cast("long")
-    chunks = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
-            "chunk_id"
-        ),
-        "toks",
-    ).select(
-        "doc_id",
-        "chunk_id",
-        F.array_join(
-            F.slice(
-                "toks",
-                (F.col("chunk_id") * CHUNK_TOKENS + 1).cast("int"),
-                CHUNK_TOKENS,
-            ),
-            " ",
-        ).alias("chunk"),
-    )
+    chunks = chunk_frame(toks)
     owners = chunks.groupBy("chunk").agg(
         F.min(F.col("doc_id") * _OWNER_ENC + F.col("chunk_id")).alias(
             "owner_key"

@@ -173,3 +173,27 @@ def test_mix_admission_is_nested_across_fractions(spark):
     n = docs.count()
     for frac, ks in ((0.25, k25), (0.50, k50), (0.75, k75)):
         assert abs(len(ks) / n - frac) < 0.08, (frac, len(ks) / n)
+
+
+def test_chunk_frame_matches_python_reference(spark):
+    """Edge cases the fixture never exercises: 1-token docs, exact-multiple
+    lengths, and partial final chunks — pinned against a plain-Python
+    chunker for token counts 1..8."""
+    from mapreduce_6_824_lab1_spark.operators.curation2 import (
+        CHUNK_TOKENS,
+        chunk_frame,
+    )
+
+    docs = [(n, [f"w{i}" for i in range(n)]) for n in range(1, 9)]
+    toks = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk
+        for r in chunk_frame(toks).collect()
+    }
+    want = {}
+    for n, ws in docs:
+        for c in range(-(-len(ws) // CHUNK_TOKENS)):
+            want[(n, c)] = " ".join(
+                ws[c * CHUNK_TOKENS : (c + 1) * CHUNK_TOKENS]
+            )
+    assert got == want
