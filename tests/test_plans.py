@@ -281,3 +281,25 @@ def test_bloom_filter_injected_into_fact_scan(spark):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert "might_contain" in plan, plan
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark):
+    # customer/orders dims broadcast against lineitem; segment + date
+    # predicates reach the scans
+    plan = formatted_plan(QUERIES["sql_tpch_q3"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters" in plan, plan
+
+
+def test_q18_in_subquery_becomes_semi_join(spark):
+    # the grouped IN-subquery must decorrelate to a semi join, never a
+    # nested-loop re-evaluation per outer row
+    plan = formatted_plan(QUERIES["sql_tpch_q18"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q21_exists_pair_becomes_semi_and_anti(spark):
+    # EXISTS → semi, NOT EXISTS → anti: both of Q21's correlated subqueries
+    # must decorrelate to joins
+    plan = formatted_plan(QUERIES["sql_tpch_q21"](spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
