@@ -24,22 +24,41 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _REPO = Path(__file__).resolve().parent
 
 
+def _row_passed(row: object) -> bool:
+    """A CORRECTNESS row counts as verified only if it recorded success —
+    a failed row must rotate its key BACK into the window for re-checking,
+    not hide it behind the verified group forever."""
+    if not isinstance(row, dict):
+        return True  # unknown shape: assume the legacy "present == ran" rule
+    if row.get("err") not in (None, "no_oracle"):
+        return False
+    return all(
+        row.get(k) in (True, None)
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 def _driver_verified_keys() -> set[str]:
-    """Keys that already have a row in any prior round's CORRECTNESS file.
+    """Keys with a SUCCESSFUL row in any prior round's CORRECTNESS file.
 
     The driver verifies exactly the first 50 keys of ``queries()`` in
-    iteration order; with 157 registered keys a fixed order would leave
+    iteration order; with 160+ registered keys a fixed order would leave
     two-thirds of the registry permanently unverified.  Reading the
     accumulated ``CORRECTNESS_r*.json`` files at import time makes the
     ordering self-rotating: every round the 50-key window lands on keys
-    with no prior driver row, until the union covers the whole registry.
+    with no prior passing driver row, until the union covers the whole
+    registry — and any key that ever FAILED re-enters the window.
     """
     seen: set[str] = set()
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
         try:
-            seen.update(json.loads(path.read_text()))
+            data = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if isinstance(data, dict):
+            seen.update(k for k, row in data.items() if _row_passed(row))
+        else:
+            seen.update(data)
     return seen
 
 

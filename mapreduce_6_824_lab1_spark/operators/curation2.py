@@ -51,11 +51,13 @@ QUALITY_LM_ORACLE = f"""
 WITH words AS (
     SELECT doc_id, lang, unnest({SQL_TOKENS}) AS word FROM documents
 ),
+wc AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM wc),
 vocab AS (
     SELECT word,
-           CAST(floor(ln(CAST((SELECT count(*) FROM words) AS DOUBLE)
-                         / count(*)) * {LM_QUANT} + 0.5) AS BIGINT) AS nll_micro
-    FROM words GROUP BY word
+           CAST(floor(ln(tot.n / cnt) * {LM_QUANT} + 0.5) AS BIGINT)
+               AS nll_micro
+    FROM wc CROSS JOIN tot
 ),
 per_doc AS (
     SELECT w.doc_id, w.lang,
@@ -95,19 +97,17 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", "lang", F.explode(tokens_col("text")).alias("word")
     )
-    total = words.agg(F.count(F.lit(1)).cast("double").alias("total"))
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(broadcast(total))
-        .select(
-            "word",
-            F.floor(
-                F.log(F.col("total") / F.col("cnt")) * LM_QUANT + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("nll_micro"),
+    # total word count derives from the vocabulary aggregate (sum of per-
+    # word counts) — no third corpus scan just for the denominator
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    vocab = counts.crossJoin(broadcast(total)).select(
+        "word",
+        F.floor(
+            F.log(F.col("total") / F.col("cnt")) * LM_QUANT + F.lit(0.5)
         )
+        .cast("long")
+        .alias("nll_micro"),
     )
     per_doc = (
         words.join(broadcast(vocab), "word")
@@ -140,18 +140,26 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 3  # fixture vocabulary is 31 words — 3-token chunks give a
 #                   real (~19%) duplicate rate; production uses sentences
 
-_OWNER_ENC = 1_000_000  # owner key = doc_id * 1e6 + chunk_id (exact BIGINT)
+# chunk ownership = min(doc_id) per distinct chunk: an exact BIGINT min
+# with no positional encoding (an earlier doc_id*1e6+chunk_id key silently
+# overflowed for 3M-token documents); position within the owning doc is
+# irrelevant for doc-level retention counts
 
 
 def chunk_frame(toks: DataFrame) -> DataFrame:
     """(doc_id, toks) → (doc_id, chunk_id, chunk): fixed-size token chunks,
-    the final chunk partial. explode(sequence)+slice — map-only, no UDF."""
+    the final chunk partial. explode(sequence)+slice — map-only, no UDF.
+
+    Empty arrays yield ZERO rows (matching the oracle's range(0, 0)):
+    Spark's sequence(0, -1) would step backwards and emit [0, -1], so the
+    id list is guarded to an empty array, which explode drops."""
     n_chunks = F.ceil(F.size("toks") / F.lit(CHUNK_TOKENS)).cast("long")
+    ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
     return toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
-            "chunk_id"
-        ),
+        F.explode(ids).alias("chunk_id"),
         "toks",
     ).select(
         "doc_id",
@@ -184,13 +192,10 @@ ch AS (
     FROM c
 ),
 owners AS (
-    SELECT chunk, min(doc_id * {_OWNER_ENC} + chunk_id) AS owner_key
-    FROM ch GROUP BY chunk
+    SELECT chunk, min(doc_id) AS doc_id FROM ch GROUP BY chunk
 ),
 kept AS (
-    SELECT CAST(floor(owner_key / {_OWNER_ENC}) AS BIGINT) AS doc_id,
-           count(*) AS kept_chunks
-    FROM owners GROUP BY 1
+    SELECT doc_id, count(*) AS kept_chunks FROM owners GROUP BY doc_id
 ),
 totals AS (
     SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id
@@ -205,34 +210,24 @@ FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
 
 @query("dedup_chunks", oracle=DEDUP_CHUNKS_ORACLE)
 def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style chunk dedup: each distinct 3-token chunk survives only at
-    its first corpus occurrence (lowest (doc_id, chunk_id)); returns
-    per-document total/kept/dropped chunk counts.
+    """C4-style chunk dedup: each distinct 3-token chunk survives only in
+    its first owning document (lowest doc_id); returns per-document
+    total/kept/dropped chunk counts.
 
     Scale shape — deliberately NOT a row_number window over chunk text: a
     boilerplate chunk repeated billions of times would send every copy to
-    one reducer. Instead ownership is min(doc_id·1e6 + chunk_id) under
-    groupBy(chunk) — an algebraic aggregate with map-side combine, so the
-    hot chunk collapses to one partial per task. Kept counts then come
-    from the DISTINCT-chunk owner table (one row per chunk), never by
-    joining the raw copies back.
+    one reducer. Instead ownership is min(doc_id) under groupBy(chunk) —
+    an algebraic aggregate with map-side combine, so the hot chunk
+    collapses to one partial per task. Kept counts then come from the
+    DISTINCT-chunk owner table (one row per chunk), never by joining the
+    raw copies back.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col("text").alias("toks"))
     chunks = chunk_frame(toks)
-    owners = chunks.groupBy("chunk").agg(
-        F.min(F.col("doc_id") * _OWNER_ENC + F.col("chunk_id")).alias(
-            "owner_key"
-        )
-    )
-    kept = (
-        owners.select(
-            F.floor(F.col("owner_key") / _OWNER_ENC)
-            .cast("long")
-            .alias("doc_id")
-        )
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("kept_chunks"))
+    owners = chunks.groupBy("chunk").agg(F.min("doc_id").alias("doc_id"))
+    kept = owners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_chunks")
     )
     totals = chunks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks")

@@ -111,36 +111,39 @@ def pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration; recomputing it 3× triples the job)
     enorm = edges.select("src", "dst", (F.col("w") / ow).alias("nw")).persist()
     nodes = docs.select(F.col("source").alias("node")).distinct().persist()
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranks = nodes.crossJoin(broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
-    for _ in range(PR_ITERATIONS):
-        contribs = (
-            ranks.join(enorm, ranks["node"] == enorm["src"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("nw")).alias("contrib"))
+    try:
+        n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        ranks = nodes.crossJoin(broadcast(n_df)).select(
+            "node", (F.lit(1.0) / F.col("n")).alias("rank")
         )
-        ranks = (
-            nodes.crossJoin(broadcast(n_df))
-            .join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(TELEPORT) / F.col("n")
-                    + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
+        for _ in range(PR_ITERATIONS):
+            contribs = (
+                ranks.join(enorm, ranks["node"] == enorm["src"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("nw")).alias("contrib"))
             )
+            ranks = (
+                nodes.crossJoin(broadcast(n_df))
+                .join(contribs, nodes["node"] == contribs["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(TELEPORT) / F.col("n")
+                        + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+        out = ranks.select(
+            F.col("node").alias("source"), hround("rank", 6).alias("rank")
         )
-    out = ranks.select(
-        F.col("node").alias("source"), hround("rank", 6).alias("rank")
-    )
-    # materialize the node-count-sized result, then drop the caches so the
-    # session doesn't accumulate blocks across registry queries
-    out = out.localCheckpoint(eager=True)
-    enorm.unpersist()
-    nodes.unpersist()
-    return out
+        # materialize the node-count-sized result so unpersist below can't
+        # trigger a collect-time recompute of the iterative plan
+        return out.localCheckpoint(eager=True)
+    finally:
+        # drop the caches even on failure — a leaked persist would pin
+        # executor memory for the rest of the 160-query driver session
+        enorm.unpersist()
+        nodes.unpersist()
 
 
 # ---------------------------------------------------------------------------

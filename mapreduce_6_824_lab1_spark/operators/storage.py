@@ -407,14 +407,9 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     is restored so no other query inherits it. Revenue is summed as integer
     cents (order-insensitive across engines).
     """
-    old = {}
-    for k, v in _BLOOM_CONFS.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-        spark.conf.set(k, v)
-    try:
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
+
+    with scoped_conf(spark, _BLOOM_CONFS):
         li = load_table(spark, sf_dir, "lineitem")
         o = (
             load_table(spark, sf_dir, "orders")
@@ -440,12 +435,6 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize while the injection gate is open; the returned frame
         # is a checkpoint scan, so restoring the conf can't un-inject
         return out.localCheckpoint(eager=True)
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def bloom_plan_frame(spark: SparkSession, sf_dir: str):

@@ -10,6 +10,7 @@ re-applied per-query in :mod:`catalog` via runtime conf.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -55,3 +56,26 @@ def get_spark(
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime SQL confs for a block, restoring prior values on exit
+    (unset keys are re-unset). The one shared implementation of the
+    save/set/restore pattern — operators and tests must use this rather
+    than hand-rolling the None-means-unset bookkeeping."""
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -664,8 +664,8 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     scratch = tempfile.mkdtemp(prefix="mr_spark_restart_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    # no shuffle-partition override: this stream is stateless (no agg, no
+    # state store), so the state-partition sizing concern doesn't apply
     try:
         half = raw.filter(F.col("event_id") % 2 == 0)
         rest = raw.filter(F.col("event_id") % 2 == 1)
@@ -705,5 +705,4 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame(audit.collect(), audit.schema)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(scratch, ignore_errors=True)

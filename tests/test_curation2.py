@@ -30,22 +30,16 @@ def test_quality_lm_score_is_corpus_entropy_scale(spark):
 def test_dedup_chunks_ownership_conserved(spark):
     """Every distinct chunk has exactly one owner: sum(kept) == distinct
     chunk count, kept ≤ total per doc, and duplicates genuinely exist in
-    the fixture (the operator isn't vacuous)."""
-    from mapreduce_6_824_lab1_spark.operators.curation2 import CHUNK_TOKENS
+    the fixture (the operator isn't vacuous). Chunk generation reuses
+    chunk_frame — its own fidelity is pinned independently against a
+    Python reference in test_chunk_frame_matches_python_reference."""
+    from mapreduce_6_824_lab1_spark.operators.curation2 import chunk_frame
 
     rows = QUERIES["dedup_chunks"](spark, SF_DIR).collect()
     docs = load_table(spark, SF_DIR, "documents")
-    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
-    n_chunks = F.ceil(F.size("toks") / F.lit(CHUNK_TOKENS)).cast("long")
-    chunks = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("cid"),
-        "toks",
-    ).select(
-        F.array_join(
-            F.slice("toks", (F.col("cid") * CHUNK_TOKENS + 1).cast("int"),
-                    CHUNK_TOKENS), " ").alias("chunk")
-    )
+    chunks = chunk_frame(
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+    ).select("chunk")
     distinct_chunks = chunks.distinct().count()
     total_chunks = chunks.count()
     assert sum(r.kept_chunks for r in rows) == distinct_chunks
@@ -54,18 +48,27 @@ def test_dedup_chunks_ownership_conserved(spark):
     assert sum(r.dropped_chunks for r in rows) > 0
 
 
-def test_dedup_chunks_first_doc_keeps_everything(spark):
-    """doc_id 0 is first in every (doc_id, chunk_id) ordering, so each of
-    its distinct chunks is owned by it — it can only drop within-doc
-    repeats of its own chunks."""
+def test_dedup_chunks_first_doc_owns_all_its_distinct_chunks(spark):
+    """doc_id 0 has the lowest id, so every one of its DISTINCT chunks is
+    owned by it: kept_chunks must equal its distinct-chunk count exactly
+    (its only drops are within-doc repeats)."""
+    from mapreduce_6_824_lab1_spark.operators.curation2 import chunk_frame
+
     row = (
         QUERIES["dedup_chunks"](spark, SF_DIR)
         .filter(F.col("doc_id") == 0)
         .collect()[0]
     )
-    assert row.kept_chunks >= 1
-    # dropped chunks of doc 0 can only be self-repeats, bounded by total
-    assert row.dropped_chunks <= row.n_chunks - row.kept_chunks + 1
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") == 0
+    )
+    doc0_distinct = (
+        chunk_frame(docs.select("doc_id", tokens_col("text").alias("toks")))
+        .select("chunk")
+        .distinct()
+        .count()
+    )
+    assert row.kept_chunks == doc0_distinct
 
 
 def test_mix_sources_uniform_hits_target(spark):

@@ -22,10 +22,23 @@ DRIVER_WINDOW = 50
 
 
 def _verified() -> set[str]:
-    seen: set[str] = set()
-    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        seen.update(json.loads(path.read_text()))
-    return seen
+    return entry_mod._driver_verified_keys()
+
+
+def test_failed_rows_rotate_back_into_window():
+    """A key whose CORRECTNESS row recorded a FAILURE must count as
+    unverified — it has to re-enter the driver's window, not hide behind
+    the verified group forever."""
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "err": None}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "err": "no_oracle"}
+    failed_hash = dict(ok, hash_match=False)
+    errored = dict(ok, err="Py4JJavaError: ...")
+    assert entry_mod._row_passed(ok)
+    assert entry_mod._row_passed(rows_only)
+    assert not entry_mod._row_passed(failed_hash)
+    assert not entry_mod._row_passed(errored)
 
 
 def test_queries_window_prioritizes_unverified_keys():

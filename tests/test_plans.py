@@ -271,15 +271,10 @@ def test_bloom_filter_injected_into_fact_scan(spark):
     from mapreduce_6_824_lab1_spark.operators.storage import bloom_plan_frame
 
     from mapreduce_6_824_lab1_spark.operators.storage import _BLOOM_CONFS
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
 
-    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with scoped_conf(spark, _BLOOM_CONFS):
         plan = formatted_plan(bloom_plan_frame(spark, SF_DIR))
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
     assert "might_contain" in plan, plan
 
 

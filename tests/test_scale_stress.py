@@ -8,36 +8,19 @@ under-provisioned reducer count)."""
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 import duckdb
 import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
+from mapreduce_6_824_lab1_spark.session import scoped_conf
 
 SF01 = "/root/testdata/sf0.1"
 
 
-@contextmanager
 def _conf(spark, **kv):
-    """Set runtime SQL confs, restoring the previous values on exit."""
-    old = {}
-    for k, v in kv.items():
-        key = k.replace("__", ".")
-        try:
-            old[key] = spark.conf.get(key)
-        except Exception:
-            old[key] = None
-        spark.conf.set(key, v)
-    try:
-        yield
-    finally:
-        for key, v in old.items():
-            if v is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, v)
+    """scoped_conf with __-for-. keys (kwarg-friendly test shorthand)."""
+    return scoped_conf(spark, {k.replace("__", "."): v for k, v in kv.items()})
 
 
 def test_aqe_skew_split_fires_on_planted_hot_key(spark):
