@@ -938,3 +938,81 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("is_delta").cast("long").alias("n_from_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table diff / reconciliation — the data-ops primitive behind dataset
+# regression testing: given two versions of a keyed table, classify every
+# key as added / removed / changed / unchanged in ONE co-partitioned full
+# outer join (both sides shuffle on the same key → co-located compare; at
+# 100 TB this is the cheapest possible reconciliation, and bucketing both
+# versions on the key removes even that shuffle). The "new version" here is
+# derived deterministically from orders so the oracle can rebuild it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_diff",
+    oracle="""
+WITH v2 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0
+                THEN floor(o_totalprice * 110 + 0.5) / 100
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+),
+d AS (
+    SELECT CASE
+             WHEN b.o_orderkey IS NULL THEN 'added'
+             WHEN v.o_orderkey IS NULL THEN 'removed'
+             WHEN floor(b.o_totalprice * 100 + 0.5)
+                  <> floor(v.o_totalprice * 100 + 0.5)
+                  OR b.o_orderstatus <> v.o_orderstatus THEN 'changed'
+             ELSE 'unchanged'
+           END AS diff_kind
+    FROM orders b FULL OUTER JOIN v2 v ON b.o_orderkey = v.o_orderkey
+)
+SELECT diff_kind, count(*) AS n_rows
+FROM d GROUP BY diff_kind
+""",
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two versions of the orders table (v2 = deterministic
+    deletes at key%97==0, price bumps at key%13==0): per-kind row counts
+    from one full outer join on the key. Values are compared as integer
+    cents so the change classification is engine-exact."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = base.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.floor(F.col("o_totalprice") * 110 + F.lit(0.5)) / 100,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    b, v = base.alias("b"), v2.alias("v")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5))  # noqa: E731
+    joined = b.join(
+        v, F.col("b.o_orderkey") == F.col("v.o_orderkey"), "full_outer"
+    )
+    kind = (
+        F.when(F.col("b.o_orderkey").isNull(), "added")
+        .when(F.col("v.o_orderkey").isNull(), "removed")
+        .when(
+            (cents("b.o_totalprice") != cents("v.o_totalprice"))
+            | (F.col("b.o_orderstatus") != F.col("v.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(kind.alias("diff_kind"))
+        .groupBy("diff_kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
