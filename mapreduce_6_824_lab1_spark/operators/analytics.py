@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreduce_6_824_lab1_spark.catalog import load_table
 from mapreduce_6_824_lab1_spark.functions.numeric import hround
@@ -356,4 +357,83 @@ def date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spine.join(broadcast(observed), "d", "left_anti")
         .select(F.date_format("d", "yyyy-MM-dd").alias("gap_day"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling with forward fill — the spine pattern's second
+# act: regularize an irregular event series onto a daily grid, carrying the
+# last observation forward across gap days (LOCF). The grid is O(days ×
+# |groups|) regardless of fact size; the fact table contributes one
+# partial-agg shuffle and never joins at raw-row grain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_ffill",
+    oracle="""
+WITH span AS (
+    SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM span
+),
+daily AS (
+    SELECT o_orderpriority AS prio, o_orderdate AS d,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1, 2
+),
+grid AS (
+    SELECT p.prio, s.d FROM spine s
+    CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
+)
+SELECT g.prio,
+       strftime(g.d, '%Y-%m-%d') AS day,
+       CASE WHEN daily.cents IS NULL THEN 0 ELSE 1 END AS observed,
+       coalesce(last_value(daily.cents IGNORE NULLS)
+                    OVER (PARTITION BY g.prio ORDER BY g.d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0) AS filled_cents
+FROM grid g LEFT JOIN daily ON daily.prio = g.prio AND daily.d = g.d
+""",
+)
+def timeseries_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue per order priority on a complete date spine, gaps
+    filled with the last observed value (LOCF; 0 before the first
+    observation). Money aggregates as integer cents, so the carried value
+    is engine-exact. One fact shuffle (the daily partial agg), a generated
+    spine, and one window per group — at 100 TB the window runs over
+    |days| rows per group, not over the fact table."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    span = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    dims = o.select(F.col("o_orderpriority").alias("prio")).distinct()
+    grid = spine.crossJoin(broadcast(dims))
+    joined = grid.join(broadcast(daily), ["prio", "d"], "left")
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "prio",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("cents").isNull(), 0).otherwise(1).alias("observed"),
+        F.coalesce(
+            F.last("cents", ignorenulls=True).over(w), F.lit(0)
+        ).alias("filled_cents"),
     )
