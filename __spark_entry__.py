@@ -29,7 +29,7 @@ def _row_passed(row: object) -> bool:
     a failed row must rotate its key BACK into the window for re-checking,
     not hide it behind the verified group forever."""
     if not isinstance(row, dict):
-        return True  # unknown shape: assume the legacy "present == ran" rule
+        return False  # unknown shape: treat as unverified so it re-rotates in
     if row.get("err") not in (None, "no_oracle"):
         return False
     return all(
@@ -38,8 +38,8 @@ def _row_passed(row: object) -> bool:
     )
 
 
-def _driver_verified_keys() -> set[str]:
-    """Keys with a SUCCESSFUL row in any prior round's CORRECTNESS file.
+def _driver_verified_rounds() -> dict[str, int]:
+    """Map key -> latest round number with a SUCCESSFUL driver row.
 
     The driver verifies exactly the first 50 keys of ``queries()`` in
     iteration order; with 160+ registered keys a fixed order would leave
@@ -49,25 +49,35 @@ def _driver_verified_keys() -> set[str]:
     with no prior passing driver row, until the union covers the whole
     registry — and any key that ever FAILED re-enters the window.
     """
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.stem.split("_r")[-1])
+        except ValueError:
+            rnd = 0
         try:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            seen.update(k for k, row in data.items() if _row_passed(row))
-        else:
-            seen.update(data)
+            for k, row in data.items():
+                if _row_passed(row):
+                    seen[k] = max(rnd, seen.get(k, 0))
     return seen
 
 
 def _rotated_keys() -> list[str]:
     """Registry keys, never-driver-verified first (registry order within
-    each group) so the driver's [0:50] window always checks fresh keys."""
-    seen = _driver_verified_keys()
+    that group) so the driver's [0:50] window always checks fresh keys.
+    Verified keys follow, STALEST-first (lowest last-verified round), so
+    once the registry is fully covered the window cycles back over the
+    oldest evidence and a silent regression can't hide forever."""
+    seen = _driver_verified_rounds()
     keys = list(QUERIES)
-    return [k for k in keys if k not in seen] + [k for k in keys if k in seen]
+    order = {k: i for i, k in enumerate(keys)}
+    fresh = [k for k in keys if k not in seen]
+    stale = sorted((k for k in keys if k in seen), key=lambda k: (seen[k], order[k]))
+    return fresh + stale
 
 
 def entry(spark: SparkSession) -> DataFrame:

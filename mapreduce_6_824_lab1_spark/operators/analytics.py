@@ -380,7 +380,8 @@ spine AS (
 ),
 daily AS (
     SELECT o_orderpriority AS prio, o_orderdate AS d,
-           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
     FROM orders GROUP BY 1, 2
 ),
 grid AS (
@@ -436,4 +437,155 @@ def timeseries_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.last("cents", ignorenulls=True).over(w), F.lit(0)
         ).alias("filled_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling with LINEAR interpolation — the spine pattern's
+# third act. LOCF (timeseries_ffill) repeats the last value; interpolation
+# draws the straight line between the bracketing observations, the standard
+# resampling rule for sensor/metric series (pandas ``interpolate``,
+# InfluxDB/Timescale gap-fill). Outside the observed span there is no
+# bracket, so those rows stay NULL — an honest edge, not an extrapolation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_interpolate",
+    oracle="""
+WITH span AS (
+    SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM span
+),
+daily AS (
+    SELECT o_orderpriority AS prio, o_orderdate AS d,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1, 2
+),
+grid AS (
+    SELECT p.prio, s.d FROM spine s
+    CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
+),
+ctx AS (
+    SELECT g.prio, g.d, daily.cents,
+           last_value(daily.cents IGNORE NULLS)
+               OVER (PARTITION BY g.prio ORDER BY g.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_cents,
+           last_value(CASE WHEN daily.cents IS NOT NULL THEN g.d END
+                      IGNORE NULLS)
+               OVER (PARTITION BY g.prio ORDER BY g.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_d,
+           first_value(daily.cents IGNORE NULLS)
+               OVER (PARTITION BY g.prio ORDER BY g.d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_cents,
+           first_value(CASE WHEN daily.cents IS NOT NULL THEN g.d END
+                       IGNORE NULLS)
+               OVER (PARTITION BY g.prio ORDER BY g.d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_d
+    FROM grid g LEFT JOIN daily ON daily.prio = g.prio AND daily.d = g.d
+)
+SELECT prio,
+       strftime(d, '%Y-%m-%d') AS day,
+       CASE WHEN cents IS NOT NULL THEN 'obs'
+            WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL
+                THEN 'interp'
+            ELSE 'edge' END AS kind,
+       CASE WHEN cents IS NOT NULL THEN cents
+            WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL
+                THEN CAST(floor(
+                         CAST(prev_cents AS DOUBLE)
+                         + CAST(next_cents - prev_cents AS DOUBLE)
+                           * (CAST(date_diff('day', prev_d, d) AS DOUBLE)
+                              / CAST(date_diff('day', prev_d, next_d)
+                                     AS DOUBLE))
+                         + 0.5) AS BIGINT)
+            ELSE NULL END AS value_cents
+FROM ctx
+""",
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue per order priority on a complete date spine, gap days
+    LINEARLY interpolated between the bracketing observations; days before
+    the first / after the last observation stay NULL (kind='edge').
+
+    Interpolation arithmetic is pinned engine-portable: observations are
+    exact integer cents; the interpolated value is computed in ONE shape on
+    both engines — prev + (next−prev) · (Δprev / Δspan) with every operand
+    explicitly cast to double before the multiply/divide, then
+    floor(x+0.5) back to BIGINT — so the IEEE result is bit-identical and
+    the driver hash is exact.
+
+    Scale shape is identical to ``timeseries_ffill``: one fact-table
+    partial agg (the daily rollup), a generated O(days) spine broadcast
+    against it, and per-group windows over |days| rows — two window passes
+    (backward carry + forward carry) instead of LOCF's one. The fact table
+    never shuffles at row grain, so 100× the orders only grows the first
+    partial agg."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    span = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    dims = o.select(F.col("o_orderpriority").alias("prio")).distinct()
+    grid = spine.crossJoin(broadcast(dims))
+    joined = grid.join(broadcast(daily), ["prio", "d"], "left")
+    back = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "prio",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(back).alias("prev_cents"),
+        F.last(obs_d, ignorenulls=True).over(back).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("next_cents"),
+        F.first(obs_d, ignorenulls=True).over(fwd).alias("next_d"),
+    )
+    bracketed = F.col("prev_cents").isNotNull() & F.col("next_cents").isNotNull()
+    interp = F.floor(
+        F.col("prev_cents").cast("double")
+        + (F.col("next_cents") - F.col("prev_cents")).cast("double")
+        * (
+            F.datediff("d", "prev_d").cast("double")
+            / F.datediff("next_d", "prev_d").cast("double")
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    return ctx.select(
+        "prio",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("cents").isNotNull(), F.lit("obs"))
+        .when(bracketed, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("kind"),
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(bracketed, interp)
+        .alias("value_cents"),
     )

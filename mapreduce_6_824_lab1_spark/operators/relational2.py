@@ -881,7 +881,8 @@ WITH latest AS (
 )
 SELECT o_orderstatus AS status,
        count(*) AS n_customers,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
        strftime(max(o_orderdate), '%Y-%m-%d') AS latest_date,
        CAST(sum(is_delta) AS BIGINT) AS n_from_delta
 FROM latest

@@ -388,8 +388,8 @@ _BLOOM_CONFS = {
     oracle="""
 SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
        count(*) AS n_items,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE year(o_orderdate) = 1999
 GROUP BY 1
@@ -488,7 +488,8 @@ def compact_dir(spark: SparkSession, src_dir: str, dst_dir: str) -> int:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type

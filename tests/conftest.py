@@ -54,7 +54,20 @@ def assert_parity(spark_df, sql: str, duck_con, atol: float = 1e-6) -> None:
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
     for col in got.columns:
         g, w = got[col], want[col]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+        # The driver hashes raw values, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT sums going through
+        # pandas) hash-mismatches even when numerically equal. Mirror that:
+        # an int/float dtype split is a hard failure, not a tolerance case.
+        g_int = pd.api.types.is_integer_dtype(g)
+        w_int = pd.api.types.is_integer_dtype(w)
+        g_flt = pd.api.types.is_float_dtype(g)
+        w_flt = pd.api.types.is_float_dtype(w)
+        assert not ((g_int and w_flt) or (g_flt and w_int)), (
+            f"dtype mismatch in column {col!r}: spark={g.dtype} vs "
+            f"oracle={w.dtype} — driver hash compare would fail; cast the "
+            f"oracle (e.g. CAST(sum(...) AS BIGINT)) or the Spark side"
+        )
+        if g_flt or w_flt:
             g = pd.to_numeric(g, errors="coerce").astype(float)
             w = pd.to_numeric(w, errors="coerce").astype(float)
             bad = [

@@ -22,7 +22,7 @@ DRIVER_WINDOW = 50
 
 
 def _verified() -> set[str]:
-    return entry_mod._driver_verified_keys()
+    return set(entry_mod._driver_verified_rounds())
 
 
 def test_failed_rows_rotate_back_into_window():
@@ -39,6 +39,19 @@ def test_failed_rows_rotate_back_into_window():
     assert entry_mod._row_passed(rows_only)
     assert not entry_mod._row_passed(failed_hash)
     assert not entry_mod._row_passed(errored)
+    # unknown row shapes are unverified, not grandfathered in
+    assert not entry_mod._row_passed("ran")
+    assert not entry_mod._row_passed(None)
+
+
+def test_verified_keys_cycle_stalest_first():
+    """Once every key is covered, the window must revisit the keys whose
+    last passing driver row is OLDEST, so regressions can't hide forever."""
+    rounds = entry_mod._driver_verified_rounds()
+    keys = list(entry_mod.queries())
+    verified_tail = [k for k in keys if k in rounds]
+    last = [rounds[k] for k in verified_tail]
+    assert last == sorted(last), "verified keys are not ordered stalest-first"
 
 
 def test_queries_window_prioritizes_unverified_keys():
