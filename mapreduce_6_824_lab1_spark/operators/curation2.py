@@ -362,3 +362,169 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("lang").alias("n_langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking — the RAG/pre-training segmentation primitive:
+# fixed token windows with overlap (stride < window), so no boundary ever
+# splits context that both neighbors need. Complements dedup_chunks'
+# disjoint windows: same explode(sequence)+slice plan, overlapping starts.
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 6  # tokens per chunk
+CHUNK_STRIDE = 4  # tokens between chunk starts (overlap = 2)
+
+CHUNK_SLIDING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+c AS (
+    SELECT doc_id, toks,
+           unnest(range(0, CAST(ceil(greatest(len(toks) - {CHUNK_WINDOW}, 0)
+                                     / {CHUNK_STRIDE}.0) AS BIGINT) + 1))
+               AS chunk_id
+    FROM t
+    WHERE len(toks) > 0
+)
+SELECT doc_id,
+       chunk_id,
+       chunk_id * {CHUNK_STRIDE} AS start_tok,
+       CAST(least({CHUNK_WINDOW},
+                  len(toks) - chunk_id * {CHUNK_STRIDE}) AS BIGINT)
+           AS chunk_tokens,
+       array_to_string(
+           toks[(chunk_id*{CHUNK_STRIDE}+1):(chunk_id*{CHUNK_STRIDE}+{CHUNK_WINDOW})],
+           ' ') AS chunk
+FROM c
+"""
+
+
+@query("chunk_sliding", oracle=CHUNK_SLIDING_ORACLE)
+def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunks (window=6 tokens, stride=4) per
+    document, with start offset and actual chunk length — the segmentation
+    every RAG indexer / fixed-context pre-training loader runs first.
+
+    Chunk-start rule (pinned identically in the oracle): starts are
+    0, 4, 8, … and the LAST start is the first one whose window reaches
+    the end of the document — ceil(max(n−window, 0)/stride) + 1 starts
+    total, so a doc shorter than one window yields exactly one (partial)
+    chunk and nothing is emitted past the end.
+
+    Scale shape: map-only — explode(sequence) + slice + array_join, no
+    shuffle at all (the only wide op in a production run would be the
+    sink's repartition). Overlap multiplies output bytes by
+    window/stride, not compute; at 100 TB the operator streams through
+    whole-stage codegen with zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_starts = (
+        F.ceil(
+            F.greatest(F.size("toks") - F.lit(CHUNK_WINDOW), F.lit(0))
+            / F.lit(CHUNK_STRIDE)
+        ).cast("long")
+        + 1
+    )
+    start = (F.col("chunk_id") * CHUNK_STRIDE).cast("long")
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_starts - 1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            start.alias("start_tok"),
+            F.least(
+                F.lit(CHUNK_WINDOW).cast("long"),
+                F.size("toks").cast("long") - start,
+            ).alias("chunk_tokens"),
+            F.array_join(
+                F.slice("toks", (start + 1).cast("int"), CHUNK_WINDOW), " "
+            ).alias("chunk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing — the multilingual/multi-source sampling
+# rule (XLM-R / mT5: p_s ∝ n_s^alpha). mix_sources_uniform flattens the
+# mixture completely; temperature alpha=0.5 flattens it HALFWAY, keeping
+# sqrt(n_min/n_s)-scaled acceptance so big sources still dominate, just
+# less. Same deterministic nested-sample hash threshold.
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.5
+
+MIX_TEMP_ORACLE = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_total FROM documents GROUP BY source
+),
+m AS (SELECT min(n_total) AS m FROM counts),
+marked AS (
+    SELECT d.source, c.n_total,
+           CASE WHEN (d.doc_id * {_KNUTH}) % {_MOD}
+                     < CAST(floor(pow(CAST(m.m AS DOUBLE) / c.n_total,
+                                      1.0 - {MIX_ALPHA}) * {_MOD})
+                            AS BIGINT)
+                THEN 1 ELSE 0 END AS kept
+    FROM documents d
+    JOIN counts c USING (source)
+    CROSS JOIN m
+)
+SELECT source,
+       CAST(max(n_total) AS BIGINT) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       {sql_hround("CAST(sum(kept) AS DOUBLE) / max(n_total)", 4)} AS kept_frac
+FROM marked
+GROUP BY source
+"""
+
+
+@query("mix_sources_temperature", oracle=MIX_TEMP_ORACLE)
+def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture: keep
+    iff knuth(doc_id) < (n_min/n_s)^(1-alpha)·2³², alpha=0.5 — the
+    multinomial temperature-sampling rule of the published multilingual
+    pipelines, made deterministic with the same nested hash threshold as
+    ``mix_sources_uniform`` (alpha=0 reproduces it exactly; alpha=1 keeps
+    everything).
+
+    The acceptance rate is a double on both engines, but computed in ONE
+    pinned shape — pow(min/n, 1−alpha) then floor(rate·2³²) to an integer
+    threshold — so the hash compare is exact. Scale shape is unchanged
+    from the uniform mixer: tiny broadcast count table, map-only
+    admission, one partial-agg audit shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    m = counts.agg(F.min("n_total").alias("m"))
+    rate = F.pow(
+        F.col("m").cast("double") / F.col("n_total"), F.lit(1.0 - MIX_ALPHA)
+    )
+    marked = (
+        docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(m))
+        .select(
+            "source",
+            "n_total",
+            F.when(
+                F.pmod(F.col("doc_id") * _KNUTH, F.lit(_MOD))
+                < F.floor(rate * _MOD).cast("long"),
+                1,
+            )
+            .otherwise(0)
+            .alias("kept"),
+        )
+    )
+    return marked.groupBy("source").agg(
+        F.max("n_total").alias("n_total"),
+        F.sum("kept").alias("n_kept"),
+        hround(
+            F.sum("kept").cast("double") / F.max("n_total"), 4
+        ).alias("kept_frac"),
+    )
