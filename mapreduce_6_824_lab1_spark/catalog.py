@@ -82,3 +82,27 @@ def load_tables(
     """Load several fixture tables as a dict of DataFrames."""
     configure(spark)
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def fan_out(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """Round-robin-repartition an UNDER-SPLIT scan up to the cluster's
+    default parallelism before CPU-heavy map work (shingling, tokenizing,
+    feature extraction).
+
+    Parquet written as one row group per file cannot be range-split — Spark
+    plans one task per file regardless of ``maxPartitionBytes``, so a
+    downstream explode/transform chain runs on as many cores as there are
+    files. Shuffling the (small, still-compressed-width) raw rows costs
+    far less than serializing the map work: measured 2.4 s → 1.4 s on the
+    sf0.1 trigram-shingle pipeline (32 cores, 0.6 MB of text).
+
+    At production scale this is a NO-OP: a 100 TB table scans as thousands
+    of splits, ``getNumPartitions() >= defaultParallelism`` holds, and the
+    DataFrame passes through untouched — the guard makes the helper safe to
+    leave in the hot path. Only genuinely under-split inputs (few files,
+    single-row-group parquet, gzip text) pay the one extra shuffle."""
+    spark = spark or df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.catalog import fan_out, load_table
 from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
 from mapreduce_6_824_lab1_spark.registry import query
 
@@ -98,8 +98,9 @@ _SHINGLES_SQL = (
 
 def shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shs) with shs = DISTINCT trigram set per doc — set semantics
-    computed per-row (array_distinct), no shuffle."""
-    return docs.select(
+    computed per-row (array_distinct), no shuffle (beyond ``fan_out``'s
+    under-split guard, a no-op on properly-split inputs)."""
+    return fan_out(docs).select(
         "doc_id", F.split("text", " ").alias("toks")
     ).select(
         "doc_id", F.array_distinct(F.expr(_SHINGLES_FROM_TOKS)).alias("shs")
