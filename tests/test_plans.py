@@ -298,3 +298,34 @@ def test_q21_exists_pair_becomes_semi_and_anti(spark):
     # must decorrelate to joins
     plan = formatted_plan(QUERIES["sql_tpch_q21"](spark, SF_DIR))
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_chunk_sliding_has_no_exchange(spark):
+    """Sliding-window chunking must be map-only: explode+slice in one
+    codegen'd stage, zero shuffles (fan_out is not applied here — chunking
+    follows whatever partitioning the caller established)."""
+    df = QUERIES["chunk_sliding"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_interpolate_windows_share_partitioning(spark):
+    """The two carry windows (backward + forward) both partition by prio:
+    exactly one Exchange may separate them (the sort direction flips), and
+    the fact table contributes only its daily partial-agg shuffle — raw
+    orders rows never reach a window."""
+    df = QUERIES["timeseries_interpolate"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("Window") >= 1, plan
+    # the grid side joins daily + dims via broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_mix_temperature_broadcasts_stats(spark):
+    """Admission must be map-only: the per-source count table and the min
+    scalar reach the documents scan via broadcast, never a shuffle of the
+    documents themselves before the audit aggregate."""
+    df = QUERIES["mix_sources_temperature"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
