@@ -744,3 +744,115 @@ def join_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH probes AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+refs AS (
+    SELECT event_id AS view_id, user_id, ts AS vts FROM events
+    WHERE event_type = 'view'
+),
+j AS (
+    SELECT p.event_id, p.ts, r.view_id, r.vts,
+           abs(date_diff('microsecond', r.vts, p.ts)) AS dist_us,
+           CASE WHEN r.vts <= p.ts THEN 0 ELSE 1 END AS fwd
+    FROM probes p JOIN refs r ON p.user_id = r.user_id
+),
+rnk AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY event_id
+               ORDER BY dist_us, fwd,
+                        CASE WHEN fwd = 0 THEN -view_id ELSE view_id END)
+               AS rn
+    FROM j
+)
+SELECT event_id, view_id,
+       CAST(dist_us AS BIGINT) AS dist_us,
+       CASE WHEN fwd = 0 THEN 'backward' ELSE 'forward' END AS direction
+FROM rnk WHERE rn = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each purchase event matched to the
+    CLOSEST view event of the same user in time, either direction (pandas
+    ``merge_asof(direction='nearest')``; the attribution query every event
+    pipeline runs). Ties at equal distance resolve backward; within a side
+    the backward candidate takes the highest event_id at the nearest
+    instant (carry order) and the forward one the lowest — the oracle
+    mirrors that rule exactly. Probe/reference both come from ``events``
+    so BOTH directions genuinely occur (the orders table is entirely in
+    the past of every event, which would leave a forward path untested).
+
+    Physical shape is the merged-stream pattern run in BOTH directions
+    over ONE shuffle: union views+purchases per user, one sort, a backward
+    ``last(ignorenulls)`` carry and a forward ``first(ignorenulls)`` carry
+    sharing the same Window partitioning (the second window adds a frame,
+    not an Exchange), then an arithmetic pick of the nearer side. No join
+    materializes the probe x candidate blow-up - cost is one shuffle of
+    |events| rows, the right shape for dense per-key history at 100 TB.
+    Distances are exact integer MICROSECONDS on both engines, so the
+    driver hash is exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    refs_side = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+        ).alias("ref"),
+    )
+    probes_side = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("struct<vts:timestamp,view_id:bigint>").alias("ref"),
+    )
+    merged = refs_side.unionByName(probes_side)
+    # refs at the probe's exact instant sort first (is_probe 0 < 1) and are
+    # therefore "backward" (vts <= ts), matching the oracle's CASE rule.
+    order_cols = ("t", "is_probe", F.col("ref.view_id").asc_nulls_last())
+    back_w = (
+        Window.partitionBy("uid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd_w = (
+        Window.partitionBy("uid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = merged.select(
+        "is_probe",
+        "event_id",
+        "t",
+        F.last("ref", ignorenulls=True).over(back_w).alias("back"),
+        F.first("ref", ignorenulls=True).over(fwd_w).alias("fwd"),
+    ).filter(
+        (F.col("is_probe") == 1)
+        & (F.col("back").isNotNull() | F.col("fwd").isNotNull())
+    )
+    dist_back = F.unix_micros("t") - F.unix_micros("back.vts")
+    dist_fwd = F.unix_micros("fwd.vts") - F.unix_micros("t")
+    take_back = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (dist_back <= dist_fwd)
+    )
+    pick = F.when(take_back, F.col("back")).otherwise(F.col("fwd"))
+    dist = F.when(take_back, dist_back).otherwise(dist_fwd)
+    return carried.select(
+        "event_id",
+        pick.getField("view_id").alias("view_id"),
+        dist.cast("long").alias("dist_us"),
+        F.when(take_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
