@@ -866,10 +866,11 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_CUTOVER = "1999-01-01"
 
-
-@query(
-    "cdc_apply_latest",
-    oracle=f"""
+# Shared by cdc_apply_latest (batch MERGE) and stream_cdc_apply (the same
+# MERGE run incrementally from a foreachBatch stream): the latest-wins
+# current state is identical however the deltas arrive, so one oracle
+# audits both.
+CDC_ORACLE = f"""
 WITH latest AS (
     SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
            CASE WHEN o_orderdate >= TIMESTAMP '{CDC_CUTOVER}' THEN 1 ELSE 0
@@ -888,8 +889,10 @@ SELECT o_orderstatus AS status,
 FROM latest
 WHERE rn = 1
 GROUP BY o_orderstatus
-""",
-)
+"""
+
+
+@query("cdc_apply_latest", oracle=CDC_ORACLE)
 def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compact a base snapshot (orders before the 1999-01-01 cutover) plus
     a keyed upsert stream (orders on/after it) into the current

@@ -707,3 +707,122 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(audit.collect(), audit.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply — the MERGE that cdc_apply_latest runs once, run
+# INCREMENTALLY from a stream of keyed-upsert batches. Without a
+# transactional table format the standard recipe is foreachBatch +
+# shadow-copy rewrite: each micro-batch unions into the current state and
+# rewrites a new state version, latest-wins per key. Latest-wins is an
+# associative/commutative max over (o_orderdate, o_orderkey), so the final
+# state is independent of batch boundaries and equals the one-shot batch
+# MERGE — which is exactly what the shared oracle audits.
+# ---------------------------------------------------------------------------
+
+
+from mapreduce_6_824_lab1_spark.operators.relational2 import (  # noqa: E402
+    CDC_CUTOVER,
+    CDC_ORACLE,
+)
+
+
+@query("stream_cdc_apply", oracle=CDC_ORACLE)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream a base-snapshot + keyed-upsert backlog through a foreachBatch
+    MERGE: orders before the 1999-01-01 cutover form the initial state;
+    later orders arrive as one delta file per calendar year, processed one
+    file per micro-batch; every batch compacts (state ∪ batch) to the
+    latest row per customer and rewrites the state as a new version
+    (shadow copy — the non-transactional stand-in for Delta/Iceberg
+    MERGE). The returned audit over the FINAL state must equal the batch
+    oracle shared with ``cdc_apply_latest``.
+
+    At 100 TB the per-batch rewrite cost is the known weakness of
+    merge-by-rewrite (it is why transactional formats exist); the scale
+    notes that stay true here: state and batch co-shuffle once on the
+    merge key per batch, the audit never touches raw history, and the
+    version chain gives restartability — a crashed batch leaves the prior
+    version intact and foreachBatch's batchId makes the rewrite
+    idempotent on retry."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    cols = (
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    cut = F.lit(CDC_CUTOVER).cast("timestamp")
+    scratch = tempfile.mkdtemp(prefix="mr_spark_cdc_")
+    try:
+        state_path = f"{scratch}/state_v0"
+        raw.filter(F.col("o_orderdate") < cut).write.parquet(state_path)
+        src_dir = f"{scratch}/deltas"
+        deltas = raw.filter(F.col("o_orderdate") >= cut)
+        for y in sorted(
+            r[0]
+            for r in deltas.select(F.year("o_orderdate")).distinct().collect()
+        ):
+            deltas.filter(F.year("o_orderdate") == y).coalesce(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+
+        current = {"path": state_path}
+        latest_w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            merged = (
+                spark.read.parquet(current["path"])
+                .unionByName(bdf.select(*cols))
+                .withColumn("rn", F.row_number().over(latest_w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            new_path = f"{scratch}/state_v{batch_id + 1}"
+            # overwrite: a retried batch rewrites the SAME version path,
+            # keeping the merge idempotent under foreachBatch redelivery
+            merged.write.mode("overwrite").parquet(new_path)
+            current["path"] = new_path
+
+        stream = (
+            spark.readStream.schema(deltas.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        final = spark.read.parquet(current["path"])
+        audit = final.groupBy(
+            F.col("o_orderstatus").alias("status")
+        ).agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "latest_date"
+            ),
+            F.sum(
+                F.when(F.col("o_orderdate") >= cut, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_from_delta"),
+        )
+        return spark.createDataFrame(audit.collect(), audit.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
