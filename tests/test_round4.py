@@ -126,3 +126,36 @@ def test_fan_out_guard(spark):
     assert fan_out(fanned) is fanned
     # row multiset unchanged
     assert fanned.count() == docs.count()
+
+
+def test_stream_cdc_apply_equals_batch_merge(spark):
+    """The incremental foreachBatch MERGE must land on exactly the state the
+    one-shot batch MERGE computes — latest-wins associativity across batch
+    boundaries is the whole correctness argument."""
+    a = (
+        QUERIES["stream_cdc_apply"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("status")
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["cdc_apply_latest"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("status")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b), (a, b)
+
+
+def test_asof_nearest_exercises_both_directions(spark):
+    """The fixture must genuinely produce forward AND backward matches —
+    an all-backward result would mean the forward carry is dead code
+    (exactly what happened against the orders table, whose dates all
+    precede every event)."""
+    dirs = set(
+        QUERIES["join_asof_nearest"](spark, SF_DIR)
+        .select("direction")
+        .distinct()
+        .toPandas()["direction"]
+    )
+    assert dirs == {"backward", "forward"}, dirs
