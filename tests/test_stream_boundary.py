@@ -113,3 +113,29 @@ def test_no_error_window_close_on_join_watermark(sf):
         """
     ).fetchone()[0]
     assert hits == 0
+
+
+def test_stateful_ns_normalization_paths_identical(spark):
+    """ADVICE r3 carry-over: the sessionizer's two Spark-version read paths
+    (legacy long-ns vs native TIMESTAMP_NTZ µs) must classify gap
+    boundaries identically. Both paths now truncate to µs grain; prove the
+    arithmetic identity on values WITH sub-µs components: for any raw ns
+    value x, (x - x % 1000) == unix_micros(timestamp_micros(x div 1000)) *
+    1000 — i.e. the legacy truncation equals the NTZ read (ns→µs truncate)
+    re-expressed as long ns."""
+    from pyspark.sql import functions as F
+
+    raw = [0, 999, 1000, 1001, 123_456_789, 10**18 + 999, 10**18 + 1000]
+    df = spark.createDataFrame([(x,) for x in raw], "ts LONG")
+    legacy = df.select(
+        (F.col("ts") - F.col("ts") % F.lit(1000)).cast("long").alias("v")
+    )
+    ntz_like = df.select(
+        (
+            F.unix_micros(F.timestamp_micros(F.expr("ts div 1000")))
+            * F.lit(1000)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    assert [r.v for r in legacy.collect()] == [r.v for r in ntz_like.collect()]
