@@ -548,3 +548,124 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", hround(total, 4).alias("char_entropy")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — pointwise mutual information over corpus bigrams, the
+# classic collocation detector (Church & Hanks 1990) and the statistic
+# behind phrase-merge steps in tokenizer/embedding pipelines (word2vec's
+# phrase pass). PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ); positive = the pair
+# co-occurs more than independence predicts.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # discard rare bigrams: PMI is noise-dominated at low n
+PMI_TOP_K = 20
+PMI_QUANT = 1_000_000  # micro-nats, same integer-quantization pattern as
+#                        quality_lm_score: scores become exact integers
+
+PMI_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest({SQL_TOKENS}) AS w FROM documents
+),
+uni AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni),
+big AS (
+    SELECT bigram, count(*) AS cnt
+    FROM (SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM documents) b
+    GROUP BY bigram
+    HAVING count(*) >= {PMI_MIN_COUNT}
+),
+btot AS (
+    SELECT CAST(sum(cnt) AS DOUBLE) AS bt
+    FROM (
+        SELECT bigram, count(*) AS cnt
+        FROM (SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM documents) b2
+        GROUP BY bigram
+    ) allb
+),
+scored AS (
+    SELECT bigram, cnt,
+           CAST(floor(ln(
+               ((CAST(cnt AS DOUBLE) * tot.t) * tot.t)
+               / ((btot.bt * ua.n) * ub.n)
+           ) * {PMI_QUANT} + 0.5) AS BIGINT) AS pmi_micro
+    FROM big
+    JOIN uni ua ON ua.w = string_split(bigram, ' ')[1]
+    JOIN uni ub ON ub.w = string_split(bigram, ' ')[2]
+    CROSS JOIN tot CROSS JOIN btot
+)
+SELECT bigram, cnt, pmi_micro, rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, bigram) AS rnk
+    FROM scored
+)
+WHERE rnk <= {PMI_TOP_K}
+"""
+
+
+@query("text_collocations_pmi", oracle=PMI_ORACLE)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus collocations by PMI (bigrams seen ≥5×), scored in
+    integer micro-nats.
+
+    Engine parity: the PMI ratio is evaluated in ONE pinned IEEE shape on
+    both engines — ((cnt·T)·T) / ((B·n_a)·n_b), every operand cast to
+    double first, then ln, then the micro-nat floor-quantization — so the
+    scores are exact integers and the final ranking window is
+    deterministic (tie-break on bigram text).
+
+    Scale shape: unigram and bigram counts are one partial-agg shuffle
+    each over the token stream; the unigram table is vocab-bounded (tiny)
+    and BROADCAST twice into the bigram table (word1/word2 lookups); T
+    and B ride along as broadcast 1-row aggregates — no collect, no
+    driver-side constants, and the global top-k is a TakeOrdered over the
+    vocab²-bounded scored set. At 100 TB nothing here touches raw rows
+    after the two count shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens_col().alias("toks"))
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("double").alias("t"))
+    allb = (
+        toked.select(F.explode(F.expr(_BIGRAMS_FROM_TOKS)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    btot = allb.agg(F.sum("cnt").cast("double").alias("bt"))
+    big = allb.filter(F.col("cnt") >= PMI_MIN_COUNT)
+    ua = uni.select(F.col("w").alias("wa"), F.col("n").alias("na"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("n").alias("nb"))
+    scored = (
+        big.withColumn("parts", F.split("bigram", " "))
+        .join(
+            F.broadcast(ua), F.element_at("parts", 1) == F.col("wa")
+        )
+        .join(
+            F.broadcast(ub), F.element_at("parts", 2) == F.col("wb")
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "bigram",
+            "cnt",
+            F.floor(
+                F.log(
+                    ((F.col("cnt").cast("double") * F.col("t")) * F.col("t"))
+                    / ((F.col("bt") * F.col("na")) * F.col("nb"))
+                )
+                * PMI_QUANT
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_micro"), F.asc("bigram"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PMI_TOP_K)
+        .select("bigram", "cnt", "pmi_micro", "rnk")
+    )
