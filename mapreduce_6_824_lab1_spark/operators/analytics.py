@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduce_6_824_lab1_spark.catalog import load_table
-from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
 from mapreduce_6_824_lab1_spark.registry import query
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -588,4 +588,109 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cents").isNotNull(), F.col("cents"))
         .when(bracketed, interp)
         .alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency — time-to-convert distributions between funnel stages.
+# events_funnel counts who converts; this measures HOW FAST: per-user
+# first-qualifying timestamps per stage (same strictly-after chaining),
+# then per-transition latency percentiles. Latencies are exact integer
+# microseconds divided once by 1e6 in a pinned shape, and the percentile
+# pair (Spark ``percentile`` == DuckDB ``quantile_cont``) is the same
+# engine-portable pairing agg_percentiles established.
+# ---------------------------------------------------------------------------
+
+
+FUNNEL_LATENCY_ORACLE = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+    WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+    WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+),
+lat AS (
+    SELECT '{FUNNEL_STEPS[0]}->{FUNNEL_STEPS[1]}' AS transition,
+           CAST(epoch_us(s2.t2) - epoch_us(s1.t1) AS DOUBLE) / 1000000.0
+               AS lat_s
+    FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+    UNION ALL
+    SELECT '{FUNNEL_STEPS[1]}->{FUNNEL_STEPS[2]}',
+           CAST(epoch_us(s3.t3) - epoch_us(s2.t2) AS DOUBLE) / 1000000.0
+    FROM s2 JOIN s3 ON s2.user_id = s3.user_id
+)
+SELECT transition,
+       count(*) AS n_users,
+       {sql_hround("quantile_cont(lat_s, 0.50)", 4)} AS p50_s,
+       {sql_hround("quantile_cont(lat_s, 0.90)", 4)} AS p90_s,
+       {sql_hround("avg(lat_s)", 4)} AS avg_s
+FROM lat
+GROUP BY transition
+"""
+
+
+@query("events_funnel_latency", oracle=FUNNEL_LATENCY_ORACLE)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between funnel stages (view→click, click→purchase):
+    per-user first-qualifying timestamps with the same strictly-after
+    chaining as ``events_funnel``, then count/p50/p90/mean of the latency
+    per transition.
+
+    Scale shape inherits the funnel's: three per-user min-aggregates
+    chained on the user_id hash partitioning, so every stage join reuses
+    one shuffle; the latency table is O(converting users) and the final
+    aggregate has 2 groups. Latency arithmetic is pinned — integer µs
+    difference, ONE divide by 1e6, percentile==quantile_cont — so the
+    driver hash is exact."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def stage(step_type: str, prev: DataFrame | None, out: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == step_type)
+        if prev is not None:
+            prev_t = prev.columns[-1]
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    s1 = stage(FUNNEL_STEPS[0], None, "t1")
+    s2 = stage(FUNNEL_STEPS[1], s1, "t2")
+    s3 = stage(FUNNEL_STEPS[2], s2, "t3")
+    lat12 = (
+        s1.join(s2, "user_id")
+        .select(
+            F.lit(f"{FUNNEL_STEPS[0]}->{FUNNEL_STEPS[1]}").alias("transition"),
+            (
+                (F.unix_micros("t2") - F.unix_micros("t1")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("lat_s"),
+        )
+    )
+    lat23 = (
+        s2.join(s3, "user_id")
+        .select(
+            F.lit(f"{FUNNEL_STEPS[1]}->{FUNNEL_STEPS[2]}").alias("transition"),
+            (
+                (F.unix_micros("t3") - F.unix_micros("t2")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("lat_s"),
+        )
+    )
+    return (
+        lat12.unionByName(lat23)
+        .groupBy("transition")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            hround(F.expr("percentile(lat_s, 0.50)"), 4).alias("p50_s"),
+            hround(F.expr("percentile(lat_s, 0.90)"), 4).alias("p90_s"),
+            hround(F.avg("lat_s"), 4).alias("avg_s"),
+        )
     )
