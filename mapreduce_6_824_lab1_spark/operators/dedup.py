@@ -164,6 +164,12 @@ def jaccard_pairs(
     a shingle in >cap docs would emit ~df²/2 pairs (quadratic skew) while
     discriminating nothing. ``n`` stays the FULL set size, so capped Jaccard
     is a (tight) lower bound of true Jaccard and matches the capped oracle.
+
+    Measured (round 4, sf0.1 warm best-of-3) against the codegen-friendly
+    exploded self-join formulation (join sh×sh on shingle, result-identical):
+    posting-HOF 1.74 s vs self-join 1.90 s — the posting form wins locally
+    too, on top of its 100 TB argument (hot fan-out generated lazily once,
+    never materialized on both join sides).
     """
     sh = sets.select(
         F.explode("shs").alias("shingle"),
