@@ -627,3 +627,53 @@ def dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-text exact dedup by digest — the production form of dedup_exact for
+# document bodies: group on a 16-byte content hash instead of shuffling
+# full text (at 100 TB the shuffle key shrinks from ~KBs to 16 bytes and
+# hot partitions disappear). md5 here because BOTH engines compute it
+# identically (DuckDB has no xxhash64); at deployment the same plan runs
+# on xxhash64 for speed, with in-group byte-compare to clear collisions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_fulltext",
+    oracle="""
+WITH h AS (SELECT source, md5(text) AS th, doc_id FROM documents),
+g AS (
+    SELECT source, th, min(doc_id) AS keeper, count(*) AS sz
+    FROM h GROUP BY source, th
+)
+SELECT source,
+       count(*) AS n_distinct_texts,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz) - count(*) AS BIGINT) AS n_dup_docs,
+       CAST(min(keeper) AS BIGINT) AS min_keeper_doc_id
+FROM g
+GROUP BY source
+""",
+)
+def dedup_exact_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact full-text dedup audit keyed on md5(text): distinct
+    bodies, total docs, duplicate count, and the smallest surviving doc_id.
+
+    Two hash-agg shuffles, both on small keys: (source, digest) then
+    source — the raw text never shuffles, which IS the operator's point.
+    The fixture has exact dups only at sf0.1 (8 rows), so the audit shape
+    keeps the result non-empty and driver-hashable at every SF rather
+    than reporting dup groups alone (empty-vs-empty proves nothing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", F.md5("text").alias("th"), "doc_id")
+        .groupBy("source", "th")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("sz"))
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.sum("sz").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).alias("n_dup_docs"),
+        F.min("keeper").alias("min_keeper_doc_id"),
+    )

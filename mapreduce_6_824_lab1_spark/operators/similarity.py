@@ -314,3 +314,53 @@ def similarity_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "euclidean_dist"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range search — the other fundamental vector query: ALL vectors within a
+# similarity radius of the probe (top-k's dual; radius semantics is what
+# dedup thresholds and "find everything this similar" audits use). Same
+# map-only scan shape as similarity_topk, but the selection is a filter,
+# not a heap — output size is data-dependent, so no TakeOrdered.
+# ---------------------------------------------------------------------------
+
+RANGE_THRESHOLD = 0.25  # fixture cosines vs probe 0 peak ~0.47; 0.25 keeps
+#                         a stable few-dozen-row result across SFs
+
+
+@query(
+    "similarity_range_search",
+    oracle=f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID})
+SELECT vec_id, label,
+       floor(({_sql_dot("e.embedding", "probe.p")}
+             / ({_sql_norm("e.embedding")} * {_sql_norm("probe.p")})) * 1000000 + 0.5) / 1000000 AS cosine
+FROM embeddings e, probe
+WHERE vec_id != {PROBE_VEC_ID}
+  AND {_sql_dot("e.embedding", "probe.p")}
+      / ({_sql_norm("e.embedding")} * {_sql_norm("probe.p")})
+      >= {RANGE_THRESHOLD}
+""",
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors with cosine ≥ 0.25 to probe vec_id=0 (radius query).
+
+    Plan: broadcast 1-row probe, map-side cosine, filter — embarrassingly
+    parallel, zero shuffles, output grows with matches rather than k. At
+    100 TB the same IVF/LSH bucketing that serves top-k serves range
+    search (probe's cell ∪ hamming-1 neighbors), with the radius as the
+    in-cell filter — ``similarity_ivf`` demonstrates that cell structure.
+    Threshold compare uses the RAW double (rounding only for output), same
+    convention as ``similarity_join``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    cos = _dot("embedding", "p") / (_norm("embedding") * _norm("p"))
+    return (
+        e.crossJoin(broadcast(probe))
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= RANGE_THRESHOLD)
+        .select("vec_id", "label", hround("cosine_raw", 6).alias("cosine"))
+    )
