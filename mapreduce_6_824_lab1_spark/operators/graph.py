@@ -273,3 +273,62 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _triangle_participation(und)
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE reachability — Spark 4.0 added WITH RECURSIVE, closing the
+# last SQL-surface gap between the engines: the SAME recursive query string
+# runs on Spark and DuckDB (the TPC-H shared-string pattern). BFS from the
+# lexicographically-first source over the derived link graph, min hop count
+# per reachable node, recursion bounded by MAX_HOPS (the graph is cyclic —
+# UNION dedups (node, depth) pairs but depth would grow around cycles
+# unbounded without the guard).
+# ---------------------------------------------------------------------------
+
+MAX_HOPS = 4  # walks grow ~7x/hop on the cyclic fixture graph (UNION ALL
+#               keeps every walk — Spark's recursive CTEs don't support
+#               dedup-UNION yet); 4 hops reach all 20 nodes in ~2.6k walks
+
+REACHABILITY_SQL = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, source, n_chars FROM documents),
+edges AS (
+    SELECT DISTINCT a.source AS src, b.source AS dst
+    FROM docs a JOIN docs b ON b.doc_id = a.doc_id + (a.n_chars % 7) + 1
+),
+root AS (SELECT min(source) AS r FROM docs),
+walk(node, depth) AS (
+    SELECT r, 0 FROM root
+    UNION ALL
+    SELECT e.dst, w.depth + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.depth < {MAX_HOPS}
+)
+SELECT node AS source, CAST(min(depth) AS BIGINT) AS hops
+FROM walk
+GROUP BY node
+"""
+
+
+@query("sql_recursive_reachability", oracle=REACHABILITY_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop reachability from the first source node via WITH RECURSIVE —
+    the identical SQL string is the oracle (shared-string pattern, like the
+    TPC-H keys), exercising Spark 4's recursive-CTE execution (UnionLoop).
+
+    Scale shape: each recursion step is one equi-join of the frontier
+    against the edge list, planned by the engine (UnionLoopExec). Spark's
+    recursive CTEs support only UNION ALL, so every WALK survives — on a
+    cyclic graph that is exponential in depth (~7x/hop here), which is why
+    MAX_HOPS stays at 4 and why a production BFS over a big graph uses the
+    iterative frontier-DEDUP loop ``connected_components`` hand-rolls
+    (one distinct per hop bounds the frontier by |V|). The recursive-CTE
+    form is the right tool for bounded-depth hierarchy walks (org charts,
+    BOM explosions), and min-hop per node is walk-order independent, so
+    the result is deterministic."""
+    from mapreduce_6_824_lab1_spark.catalog import configure
+
+    configure(spark)
+    for t in ("documents",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(REACHABILITY_SQL)
