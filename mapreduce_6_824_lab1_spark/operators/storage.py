@@ -520,3 +520,70 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(audit.collect(), audit.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Observed metrics — df.observe(): accumulator-style metrics collected ON
+# the executors DURING a pass, without a second scan. The production use is
+# pipeline instrumentation (row counts, null rates, value bounds riding
+# along an ETL write); here the observed values ARE the query result, so
+# the driver's oracle can audit that the observation path reports exactly
+# what a standalone aggregation computes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "observe_metrics",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS n_errors,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+       CAST(count(*) - count(user_id) AS BIGINT) AS n_null_users
+FROM events
+""",
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect dataset metrics via ``df.observe()`` during a single noop
+    write — zero extra scans, metrics aggregated executor-side exactly like
+    an accumulator — and return them as the result row.
+
+    At 100 TB this is THE way to audit an ETL pass (row counts, error
+    rates, money totals, null rates) without doubling the I/O: the
+    metrics ride the action the pipeline already runs. The oracle recomputes
+    the same aggregates relationally, so the driver verifies the
+    observation path end-to-end. Integer-cents money, per the house rule.
+    """
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("etl_audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_errors"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("value_cents"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_users"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["n_errors"],
+                row["value_cents"],
+                row["n_null_users"],
+            )
+        ],
+        "n_rows BIGINT, n_errors BIGINT, value_cents BIGINT, n_null_users BIGINT",
+    )
