@@ -420,6 +420,14 @@ def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens_col("text").alias("toks")).where(
         F.size("toks") > 0
     )
+    return sliding_chunks(toks)
+
+
+def sliding_chunks(toks: DataFrame) -> DataFrame:
+    """(doc_id, toks) → overlapping (doc_id, chunk_id, start_tok,
+    chunk_tokens, chunk) windows; the map-only core of ``chunk_sliding``,
+    reusable over any tokenized frame (property-tested on arbitrary
+    corpora in tests/test_properties.py)."""
     n_starts = (
         F.ceil(
             F.greatest(F.size("toks") - F.lit(CHUNK_WINDOW), F.lit(0))

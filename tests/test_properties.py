@@ -65,3 +65,32 @@ def test_rdd_mapreduce_matches_declarative(spark, corpus):
         .collect()
     )
     assert dict(rdd) == declarative
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_sliding_chunks_reconstruct_any_corpus(spark, corpus):
+    """Lossless segmentation on ARBITRARY corpora: first `stride` tokens of
+    every non-final chunk plus the whole final chunk reproduce the doc."""
+    from mapreduce_6_824_lab1_spark.operators.curation2 import (
+        CHUNK_STRIDE,
+        sliding_chunks,
+    )
+
+    toks = spark.createDataFrame(
+        [(i, ws) for i, ws in enumerate(corpus)], ["doc_id", "toks"]
+    )
+    pdf = sliding_chunks(toks).toPandas()
+    for doc_id, ws in enumerate(corpus):
+        grp = pdf[pdf["doc_id"] == doc_id].sort_values("chunk_id")
+        rows = grp.to_dict("records")
+        assert rows, doc_id
+        out: list[str] = []
+        for row in rows[:-1]:
+            out.extend(row["chunk"].split(" ")[:CHUNK_STRIDE])
+        out.extend(rows[-1]["chunk"].split(" "))
+        assert out == ws, (doc_id, out, ws)
