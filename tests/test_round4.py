@@ -159,3 +159,18 @@ def test_asof_nearest_exercises_both_directions(spark):
         .toPandas()["direction"]
     )
     assert dirs == {"backward", "forward"}, dirs
+
+
+def test_python_stream_source_needs_multiple_restarts(spark):
+    """The Python streaming source serves ONE chunk per availableNow start,
+    so draining STREAM_TOTAL rows must take ceil(total/chunk) query starts
+    — if a single start drained everything, the checkpoint-resume property
+    the key claims to prove would be untested."""
+    from mapreduce_6_824_lab1_spark.sources.pydatasource import (
+        STREAM_CHUNK,
+        STREAM_TOTAL,
+    )
+
+    assert STREAM_TOTAL > STREAM_CHUNK  # guarantees >= 2 restarts
+    out = QUERIES["source_python_stream"](spark, SF_DIR).toPandas()
+    assert int(out["cnt"].sum()) == STREAM_TOTAL
