@@ -456,3 +456,88 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets via MLlib FPGrowth (parallel FP-growth / PFP)
+# ---------------------------------------------------------------------------
+
+FP_MIN_COUNT = 3
+FP_MAX_SIZE = 3
+
+FPGROWTH_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+singles AS (
+    SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS sz, count(*) AS c
+    FROM items GROUP BY l_partkey
+),
+pairs AS (
+    SELECT CAST(a.l_partkey AS VARCHAR) || ',' ||
+           CAST(b.l_partkey AS VARCHAR) AS itemset, 2 AS sz, count(*) AS c
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+),
+triples AS (
+    SELECT CAST(a.l_partkey AS VARCHAR) || ',' ||
+           CAST(b.l_partkey AS VARCHAR) || ',' ||
+           CAST(e.l_partkey AS VARCHAR) AS itemset, 3 AS sz, count(*) AS c
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN items e
+      ON a.l_orderkey = e.l_orderkey AND b.l_partkey < e.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey, e.l_partkey
+)
+SELECT itemset, CAST(sz AS BIGINT) AS size, CAST(c AS BIGINT) AS freq
+FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs
+      UNION ALL SELECT * FROM triples)
+WHERE c >= {FP_MIN_COUNT}
+"""
+
+
+@query("basket_fpgrowth", oracle=FPGROWTH_ORACLE)
+def basket_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All frequent itemsets (absolute support >= 3, size <= 3) over order
+    baskets, mined with MLlib's FPGrowth — the parallel FP-growth (PFP)
+    algorithm that shards conditional FP-trees by item.
+
+    Frequent-itemset mining is exact counting, so the MLlib result admits
+    a full SQL oracle: explicit 1/2/3-way self-joins enumerate the same
+    lattice slice (the size cap is applied on BOTH sides; by the Apriori
+    property any larger frequent set would also surface all its subsets
+    here, so the cap loses no information about what was checked). The
+    relative minSupport is derived from the basket count so the ABSOLUTE
+    threshold stays 3 at every scale factor — pair/triple supports in the
+    fixtures don't grow with corpus size, only the item universe does.
+    100 TB: PFP shuffles each basket's item list once to build per-item
+    conditional trees; basket distinct-ing first keeps multi-line orders
+    from inflating supports — same guard as basket_pair_support.
+    """
+    from pyspark.ml.fpm import FPGrowth as MLFPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    n_baskets = baskets.count()
+    fp = MLFPGrowth(
+        itemsCol="items",
+        minSupport=(FP_MIN_COUNT - 0.5) / n_baskets,
+        minConfidence=0.5,
+    )
+    freq = fp.fit(baskets).freqItemsets
+    return (
+        freq.filter(
+            (F.size("items") <= FP_MAX_SIZE)
+            & (F.col("freq") >= FP_MIN_COUNT)
+        )
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.size("items").cast("long").alias("size"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )

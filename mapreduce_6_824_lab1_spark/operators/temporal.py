@@ -230,3 +230,52 @@ def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time RANGE frame: rolling last-hour stats per user
+# ---------------------------------------------------------------------------
+
+RANGE_US = 3_600_000_000  # one hour in microseconds
+
+TIME_RANGE_ORACLE = f"""
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+           AS sum_cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window_time_range", oracle=TIME_RANGE_ORACLE)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling one-hour event count and value sum per user — the RANGE
+    frame keyed on EVENT TIME ([t-1h, t] inclusive), where the tumbling/
+    sliding windows bucket time instead.
+
+    The frame bound is integer microseconds over ``unix_micros(ts)``, so
+    both engines evaluate the identical inclusive interval — an INTERVAL-
+    typed bound would tie the comparison to each engine's timestamp
+    coercion rules. RANGE (not ROWS) makes simultaneous events peers:
+    every row at the same instant sees the same frame, so the result is
+    insensitive to tie order — no tiebreak column needed, unlike every
+    ROWS frame in this module. 100 TB: one shuffle on user_id; frame
+    state is bounded by each user's one-hour event rate, independent of
+    history length.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RANGE_US, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(cents).over(w).cast("long").alias("sum_cents_1h"),
+    )

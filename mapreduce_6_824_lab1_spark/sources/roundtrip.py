@@ -181,3 +181,36 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query("source_roundtrip_xml", oracle=_DOC_AGG_ORACLE)
+def source_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip — Spark 4 ships the (formerly spark-xml) reader/
+    writer built in. Same fidelity contract as the CSV/JSON trips: the
+    oracle aggregates the pristine parquet, so any encode/decode drift
+    (entity escaping, whitespace handling, type coercion from the string
+    payload) fails the value hash, not just a row count. rowTag is
+    explicit because the XML source has no default row element."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        (
+            docs.write.mode("overwrite")
+            .option("rootTag", "docs")
+            .option("rowTag", "doc")
+            .format("xml")
+            .save(path)
+        )
+        back = (
+            spark.read.option("rowTag", "doc")
+            .schema(
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long"
+            )
+            .format("xml")
+            .load(path)
+        )
+        out = _doc_agg(back)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,76 @@
+"""Round-4d additions: event-time RANGE frame, FPGrowth frequent itemsets,
+XML round-trip — independent recomputation and the algebraic invariants
+(RANGE-peer insensitivity, Apriori monotonicity) the oracles can't express."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mapreduce_6_824_lab1_spark import QUERIES
+from mapreduce_6_824_lab1_spark.operators.analytics4 import FP_MIN_COUNT
+from mapreduce_6_824_lab1_spark.operators.temporal import RANGE_US
+from tests.conftest import SF_DIR
+
+
+def test_time_range_matches_two_pointer_recompute(spark):
+    got = (
+        QUERIES["window_time_range"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_id")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    # cast via datetime64[us] so this works whether pandas materialized the
+    # parquet TIMESTAMP(NANOS) column as ns or µs resolution
+    ev["us"] = (
+        pd.to_datetime(ev["ts"]).values.astype("datetime64[us]").astype("int64")
+    )
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for _, grp in ev.groupby("user_id"):
+        g = grp.sort_values("us", ignore_index=True)
+        lo = 0
+        for i in range(len(g)):
+            while g["us"].iloc[i] - g["us"].iloc[lo] > RANGE_US:
+                lo += 1
+            # peers: every row with the same µs shares the frame end
+            hi = i
+            while (
+                hi + 1 < len(g) and g["us"].iloc[hi + 1] == g["us"].iloc[i]
+            ):
+                hi += 1
+            eid = g["event_id"].iloc[i]
+            assert got.loc[eid, "n_1h"] == hi - lo + 1, eid
+            assert (
+                got.loc[eid, "sum_cents_1h"]
+                == g["cents"].iloc[lo : hi + 1].sum()
+            ), eid
+
+
+def test_fpgrowth_satisfies_apriori_monotonicity(spark):
+    got = QUERIES["basket_fpgrowth"](spark, SF_DIR).toPandas()
+    assert (got["freq"] >= FP_MIN_COUNT).all()
+    by_set = {
+        frozenset(s.split(",")): f
+        for s, f in zip(got["itemset"], got["freq"])
+    }
+    # every proper subset of a frequent itemset is frequent with
+    # at-least-equal support (downward closure)
+    for items, freq in by_set.items():
+        for drop in items:
+            sub = items - {drop}
+            if sub:
+                assert sub in by_set, (items, sub)
+                assert by_set[sub] >= freq, (items, sub)
+
+
+def test_fpgrowth_pairs_agree_with_basket_pair_support(spark):
+    fp = QUERIES["basket_fpgrowth"](spark, SF_DIR).toPandas()
+    fp_pairs = {
+        tuple(int(x) for x in s.split(",")): f
+        for s, f in zip(fp["itemset"], fp["freq"])
+        if s.count(",") == 1
+    }
+    top = QUERIES["basket_pair_support"](spark, SF_DIR).toPandas()
+    for _, r in top.iterrows():
+        if r["support"] >= FP_MIN_COUNT:
+            assert fp_pairs[(int(r["p1"]), int(r["p2"]))] == r["support"]
