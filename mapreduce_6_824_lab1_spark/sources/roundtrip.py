@@ -214,3 +214,84 @@ def source_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+N_CORRUPT = 3
+
+CORRUPT_ORACLE = """
+SELECT lang AS category,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+       CAST(sum(length(source)) AS BIGINT) AS total_src_len
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT '_corrupt' AS category, CAST(3 AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS total_chars, CAST(0 AS BIGINT) AS sum_doc_id,
+       CAST(0 AS BIGINT) AS total_text_len, CAST(0 AS BIGINT) AS total_src_len
+"""
+
+
+@query("source_corrupt_records", oracle=CORRUPT_ORACLE)
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine: parse a CSV landing zone containing malformed
+    rows in PERMISSIVE mode and audit good rows per language plus one
+    quarantine bucket — no row may be silently dropped OR silently coerced.
+
+    The corpus is written clean, then three deterministic poison rows
+    (unparseable numerics) are appended as their own landing file. The
+    read declares ``columnNameOfCorruptRecord`` and the audit aggregates
+    EVERY data column — load-bearing, not cosmetic: Spark's CSV parser
+    prunes unreferenced columns, and a type failure in a column nobody
+    reads sets no corrupt flag at all. An audit that only touched
+    ``n_chars`` would count a row with a poisoned ``doc_id`` as good (this
+    exact miss is what the full-column aggregate pins). Good-row sums must
+    equal the pristine-parquet oracle exactly, proving corruption never
+    leaks into parsed values. 100 TB: PERMISSIVE parsing is map-side; the
+    quarantine bucket rides the same partial-agg shuffle as the audit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        docs.write.mode("overwrite").csv(path)
+        poison = "\n".join(
+            [
+                "badid1,some text,en,web,12",
+                "badid2,more text,de,web,nochars",
+                "9.5,float id,fr,web,7",
+            ]
+        )
+        with open(f"{path}/part-poison.csv", "w", encoding="utf-8") as fh:
+            fh.write(poison + "\n")
+        back = (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .schema(
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long, _bad string"
+            )
+            .csv(path)
+        )
+        good = F.col("_bad").isNull()
+
+        def _gsum(col):
+            return F.coalesce(F.sum(F.when(good, col)), F.lit(0)).cast(
+                "long"
+            )
+
+        out = back.groupBy(
+            F.when(~good, "_corrupt").otherwise(F.col("lang")).alias(
+                "category"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _gsum(F.col("n_chars")).alias("total_chars"),
+            _gsum(F.col("doc_id")).alias("sum_doc_id"),
+            _gsum(F.length("text")).alias("total_text_len"),
+            _gsum(F.length("source")).alias("total_src_len"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
