@@ -395,3 +395,101 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept").cast("double") / F.count(F.lit(1)), 4
         ).alias("kept_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation over the daily (count, value) series
+# ---------------------------------------------------------------------------
+
+CORR_WIN = 8
+
+ROLLCORR_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+sums AS (
+    SELECT event_type, day,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(x) OVER w AS BIGINT) AS sx,
+           CAST(sum(y) OVER w AS BIGINT) AS sy,
+           CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+           CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(sum(y * y) OVER w AS BIGINT) AS syy
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {CORR_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n AS n_win,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS corr8
+FROM sums
+"""
+
+
+@query("window_rolling_corr", oracle=ROLLCORR_ORACLE)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 8-day Pearson correlation between daily event count and
+    daily value per event type — does activity volume track revenue, and
+    when does the relationship break?
+
+    ``corr() OVER frame`` exists in both engines but accumulates floats in
+    engine-specific order — it can never hash-match. Instead the five
+    algebraic sums (Σx, Σy, Σxy, Σx², Σy²) run as INTEGER window sums
+    (exact, order-insensitive) over one shared frame, and the correlation
+    is a single pinned-shape IEEE expression over those exact integers —
+    both engines perform the identical sqrt/divide on identical inputs
+    (the text_collocations_pmi technique, lifted to window frames).
+    Degenerate frames (n<2 or zero variance) are honestly NULL.
+    100 TB: daily pre-agg is the only full shuffle; six window aggregates
+    share one frame over |types|×|days| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(CORR_WIN - 1), 0)
+    )
+    sums = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.floor(
+        num.cast("double")
+        / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    return sums.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_win"),
+        F.when(
+            (F.col("n") >= 2) & (varx > 0) & (vary > 0), corr
+        ).alias("corr8"),
+    )

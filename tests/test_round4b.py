@@ -169,3 +169,36 @@ def test_sample_weighted_is_nested_and_exact(spark):
 def test_sample_weighted_broadcasts_max(spark):
     plan = formatted_plan(QUERIES["sample_weighted"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rolling_corr_bounded_and_matches_numpy(spark):
+    """corr8 must lie in [-1, 1] and equal numpy's corrcoef on the same
+    integer window sums (third implementation vs Spark and DuckDB)."""
+    got = QUERIES["window_rolling_corr"](spark, SF_DIR).toPandas()
+    valid = got["corr8"].dropna()
+    assert ((valid >= -1) & (valid <= 1)).all()
+    assert len(valid) > 0
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.strftime("%Y-%m-%d")
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    daily = (
+        ev.groupby(["event_type", "day"])
+        .agg(x=("cents", "size"), y=("cents", "sum"))
+        .reset_index()
+        .sort_values(["event_type", "day"], ignore_index=True)
+    )
+    from mapreduce_6_824_lab1_spark.operators.analytics3 import CORR_WIN
+
+    got = got.set_index(["event_type", "day"])
+    for _, grp in daily.groupby("event_type"):
+        xs, ys = grp["x"].to_numpy(), grp["y"].to_numpy()
+        for i in range(len(grp)):
+            lo = max(0, i - CORR_WIN + 1)
+            wx, wy = xs[lo : i + 1], ys[lo : i + 1]
+            key = (grp["event_type"].iloc[i], grp["day"].iloc[i])
+            have = got.loc[key, "corr8"]
+            if len(wx) < 2 or wx.std() == 0 or wy.std() == 0:
+                assert pd.isna(have), key
+            else:
+                exp = np.corrcoef(wx, wy)[0, 1]
+                assert abs(have - exp) < 1e-6, (key, have, exp)
