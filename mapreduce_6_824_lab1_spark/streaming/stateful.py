@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import LongType
 
 from mapreduce_6_824_lab1_spark.catalog import configure
@@ -58,16 +59,17 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = "start long, last long, n long, tot double"
 
 
-def _sessionize(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Gap-based session builder. Events arrive (within a batch) unordered;
-    sorted per key in pandas. Strict-< gap merge matches ``session_window``.
-    """
-    (user_id,) = key
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-    if state.exists:
-        start, last, n, tot = state.get
+def _fold_sessions(
+    user_id: int,
+    rows: pd.DataFrame,
+    prior: tuple[int, int, int, float] | None,
+) -> tuple[list[tuple[int, int, int, float]], tuple | None]:
+    """Gap-based session fold shared by BOTH stateful APIs — one state
+    machine, two harnesses, so the old/new API results cannot drift.
+    ``rows`` must be ts-sorted. Strict-< gap merge matches
+    ``session_window``. Returns (closed sessions, open-session state)."""
+    if prior is not None:
+        start, last, n, tot = prior
     else:
         start = None
         last = n = 0
@@ -91,13 +93,14 @@ def _sessionize(
     # carried to the next batch in state (events there may still merge into
     # it). The flush sentinel (last batch) closes every real session, so the
     # only possible open "session" at stream end is the sentinel's empty one
-    # — clear the state then.
-    if n > 0:
-        state.update((start, last, n, tot))
-    elif state.exists:
-        state.remove()
+    # — drop the state then.
+    return out, ((start, last, n, tot) if n > 0 else None)
 
-    yield pd.DataFrame(
+
+def _sessions_frame(
+    out: list[tuple[int, int, int, float]]
+) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "user_id": pd.Series([o[0] for o in out], dtype="int64"),
             "session_start": [
@@ -109,8 +112,28 @@ def _sessionize(
     )
 
 
-@query("stream_session_stateful", oracle=SESSION_ORACLE)
-def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sessionize(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState harness around :func:`_fold_sessions`."""
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    out, new_state = _fold_sessions(
+        user_id, rows, tuple(state.get) if state.exists else None
+    )
+    if new_state is not None:
+        state.update(new_state)
+    elif state.exists:
+        state.remove()
+    yield _sessions_frame(out)
+
+
+def _run_session_stream(spark: SparkSession, sf_dir: str, attach) -> DataFrame:
+    """Shared harness for the two custom-stateful sessionizers: long-ns
+    normalization, per-user flush sentinel, time-ranged batch staging
+    (maxFilesPerTrigger=1 so open sessions genuinely cross micro-batch
+    boundaries through state), memory sink, scratch detach. ``attach``
+    maps the raw source stream to the sessionized stream."""
     configure(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The state machine, scratch files (_RAW_SCHEMA) and pandas loop all
@@ -174,18 +197,82 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("recursiveFileLookup", "true")
             .parquet(scratch)
         )
-        sessions = src.groupBy("user_id").applyInPandasWithState(
+        sessions = attach(src)
+        sink = _run_to_memory(sessions, spark, mode="append")
+        # detach from the scratch files before they are removed
+        return spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query("stream_session_stateful", oracle=SESSION_ORACLE)
+def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization on applyInPandasWithState (the
+    GroupState API) — see module docstring; the session state machine is
+    :func:`_fold_sessions`, shared with ``stream_session_tws``."""
+
+    def attach(src: DataFrame) -> DataFrame:
+        return src.groupBy("user_id").applyInPandasWithState(
             _sessionize,
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        sink = _run_to_memory(sessions, spark, mode="append")
-        # detach from the scratch files before they are removed
-        return spark.createDataFrame(sink.collect(), sink.schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+
+    return _run_session_stream(spark, sf_dir, attach)
+
+
+class _SessionProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor around :func:`_fold_sessions`."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("sess", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        pdf = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+        prior = self._state.get() if self._state.exists() else None
+        out, new_state = _fold_sessions(
+            user_id, pdf, tuple(prior) if prior is not None else None
+        )
+        if new_state is not None:
+            self._state.update(new_state)
+        elif self._state.exists():
+            self._state.clear()
+        yield _sessions_frame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization on Spark 4's transformWithState API — the
+    successor to applyInPandasWithState, with named state variables
+    (``getValueState``), timers, and TTL support.
+
+    Both operators run the identical :func:`_fold_sessions` state machine
+    through the identical staged-batch harness against the identical
+    ``window_session`` oracle — proving the OLD and NEW stateful APIs
+    agree row-for-row on real multi-batch state carry-over.
+
+    Registered only where ``google.protobuf`` is importable: the
+    transformWithState Python state client speaks protobuf to the JVM
+    (pyspark/sql/streaming/proto/StateMessage_pb2), and this sandbox ships
+    no protobuf (no pip allowed) — the same honest gate as the multimodal
+    codec stubs. The processor logic itself is exercised by unit tests
+    against a fake handle, and the state machine is driver-verified
+    through ``stream_session_stateful``.
+    """
+    def attach(src: DataFrame) -> DataFrame:
+        return src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_SessionProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    return _run_session_stream(spark, sf_dir, attach)
 
 
 @query(
@@ -239,3 +326,17 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(deduped, spark, mode="append")
     return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+if _has_protobuf():  # pragma: no cover - environment-dependent
+    stream_session_tws = query("stream_session_tws", oracle=SESSION_ORACLE)(
+        stream_session_tws
+    )

@@ -74,3 +74,80 @@ def test_fpgrowth_pairs_agree_with_basket_pair_support(spark):
     for _, r in top.iterrows():
         if r["support"] >= FP_MIN_COUNT:
             assert fp_pairs[(int(r["p1"]), int(r["p2"]))] == r["support"]
+
+
+def test_tws_processor_matches_groupstate_harness():
+    """The transformWithState processor (gated off in this sandbox — no
+    protobuf) must produce byte-identical sessions to the GroupState
+    harness when driven through a fake handle, batch by batch."""
+    from mapreduce_6_824_lab1_spark.streaming.stateful import (
+        GAP_NS,
+        _fold_sessions,
+        _SessionProcessor,
+        _sessions_frame,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    base = 1_700_000_000_000_000_000
+    batches = [
+        pd.DataFrame(
+            {
+                "ts": [base, base + GAP_NS // 2],
+                "value": [1.0, 2.0],
+                "event_type": ["a", "b"],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "ts": [base + GAP_NS // 2 + 10, base + 5 * GAP_NS],
+                "value": [3.0, 4.0],
+                "event_type": ["a", "__flush__"],
+            }
+        ),
+    ]
+
+    proc = _SessionProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    tws_out = []
+    for b in batches:
+        tws_out.extend(
+            pdf
+            for pdf in proc.handleInputRows((7,), iter([b]), None)
+        )
+    tws = pd.concat(tws_out, ignore_index=True)
+
+    state = None
+    ref_out = []
+    for b in batches:
+        closed, state = _fold_sessions(7, b.sort_values("ts"), state)
+        ref_out.append(_sessions_frame(closed))
+    ref = pd.concat(ref_out, ignore_index=True)
+
+    pd.testing.assert_frame_equal(tws, ref)
+    # the first three events merge across the batch boundary (GroupState /
+    # ValueState carry-over) into one session, closed by the flush sentinel
+    assert tws["n_events"].tolist() == [3]
+    assert handle.state.v is None  # flush left no dangling state
