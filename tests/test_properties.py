@@ -94,3 +94,65 @@ def test_sliding_chunks_reconstruct_any_corpus(spark, corpus):
             out.extend(row["chunk"].split(" ")[:CHUNK_STRIDE])
         out.extend(rows[-1]["chunk"].split(" "))
         assert out == ws, (doc_id, out, ws)
+
+
+# ---------------------------------------------------------------------------
+# Session fold: micro-batch-boundary invariance
+# ---------------------------------------------------------------------------
+
+EVENT_TIMES = st.lists(
+    st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40
+)
+SPLITS = st.lists(st.integers(min_value=0, max_value=40), max_size=4)
+
+
+@settings(max_examples=50, deadline=None)
+@given(times=EVENT_TIMES, splits=SPLITS)
+def test_session_fold_invariant_to_batch_boundaries(times, splits):
+    """Sessionization state carry-over is only correct if ANY way of
+    cutting the (time-ordered) stream into micro-batches yields the same
+    sessions as one big batch — the property both streaming harnesses
+    (GroupState and transformWithState) rely on."""
+    import pandas as pd
+
+    from mapreduce_6_824_lab1_spark.streaming.stateful import (
+        GAP_NS,
+        _fold_sessions,
+    )
+
+    # scale generated offsets around the gap so both merges and breaks occur
+    ts = sorted(t * (GAP_NS // 3) for t in times)
+    frame = pd.DataFrame(
+        {
+            "ts": ts,
+            "value": [1.0] * len(ts),
+            "event_type": ["e"] * len(ts) + [],
+        }
+    )
+    # single batch + explicit final flush
+    flush = pd.DataFrame(
+        {
+            "ts": [max(ts) + 3 * GAP_NS],
+            "value": [0.0],
+            "event_type": ["__flush__"],
+        }
+    )
+    whole = pd.concat([frame, flush], ignore_index=True)
+    ref, ref_state = _fold_sessions(1, whole, None)
+    assert ref_state is None
+
+    cuts = sorted({min(s, len(ts)) for s in splits})
+    pieces, prev = [], 0
+    for c in cuts:
+        pieces.append(frame.iloc[prev:c])
+        prev = c
+    pieces.append(pd.concat([frame.iloc[prev:], flush], ignore_index=True))
+
+    out, state = [], None
+    for piece in pieces:
+        if len(piece) == 0:
+            continue
+        closed, state = _fold_sessions(1, piece, state)
+        out.extend(closed)
+    assert state is None
+    assert out == ref
