@@ -826,3 +826,87 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(audit.collect(), audit.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment against a static dimension
+# ---------------------------------------------------------------------------
+
+from mapreduce_6_824_lab1_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query("stream_asof_enrich", oracle=_ORACLES["join_asof"])
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment: each arriving event is joined to its
+    user's latest prior order (static dimension) inside ``foreachBatch`` —
+    the standard recipe for enrichment logic Structured Streaming's join
+    operators can't express (as-of needs a per-event argmax aggregate,
+    which an append-mode stream-static join disallows).
+
+    As-of matching is PER-EVENT independent, so the result is micro-batch-
+    invariant by construction: the input is deliberately staged as four
+    event-id slices fed one per trigger (maxFilesPerTrigger=1), and the
+    union of four per-batch enrichments must equal the one-shot batch
+    ``join_asof`` — the oracle IS that operator's oracle, shared verbatim
+    from the registry. Each batch writes its own idempotent directory
+    (the stream_foreach_batch exactly-once recipe). 100 TB: per batch one
+    broadcast-or-shuffle join against the dimension plus an event-grain
+    argmax; state never accumulates across batches.
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = tempfile.mkdtemp(prefix="mr_spark_asofstream_")
+    try:
+        for i in range(4):
+            ev.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{scratch}/in/slice_{i}")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{scratch}/in")
+        )
+
+        def enrich(bdf: DataFrame, batch_id: int) -> None:
+            j = bdf.join(
+                orders,
+                (F.col("user_id") == F.col("o_custkey"))
+                & (F.col("o_orderdate") <= F.col("ts")),
+            )
+            out = (
+                j.groupBy("event_id")
+                .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+                .select(
+                    "event_id",
+                    F.col("m.o_orderkey").alias("o_orderkey"),
+                    F.date_format("m.o_orderdate", "yyyy-MM-dd").alias(
+                        "order_day"
+                    ),
+                )
+            )
+            out.write.mode("overwrite").parquet(
+                f"{scratch}/out/batch_{batch_id}"
+            )
+
+        q = (
+            src.writeStream.foreachBatch(enrich)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", f"{scratch}/ckpt"
+            )
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{scratch}/out"
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
