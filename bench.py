@@ -58,8 +58,11 @@ EXTENDED = [
     "timeseries_ewma",
     "chunk_sliding",
     "window_sliding_median",
+    "window_rolling_corr",
     "events_path_topk",
     "cdc_apply_latest",
+    "customer_rfm",
+    "basket_pair_support",
 ]
 
 

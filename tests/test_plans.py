@@ -65,6 +65,18 @@ def test_no_python_udf_in_relational_paths(spark):
         "dedup_ngram_jaccard",
         "similarity_topk",
         "text_tfidf",
+        "customer_rfm",
+        "basket_pair_support",
+        "timeseries_ewma",
+        "window_rolling_corr",
+        "window_sliding_median",
+        "window_time_range",
+        "events_attribution",
+        "join_asof_tolerance",
+        "quality_gopher_filter",
+        "pareto_frontier",
+        "sample_weighted",
+        "events_path_topk",
     ):
         plan = formatted_plan(QUERIES[key](spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
