@@ -212,3 +212,59 @@ def arrow_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         _arrow_l2, schema="vec_id long, label int, l2_norm double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF with a TABLE argument + PARTITION BY (table-valued function)
+# ---------------------------------------------------------------------------
+
+UDTF_TABLE_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("udtf_table_arg", oracle=UDTF_TABLE_ORACLE)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stats through a Python UDTF taking a TABLE argument
+    with PARTITION BY — Spark's table-valued-function API (the SQL-facing
+    sibling of ``applyInPandas``): each user's rows stream through one UDTF
+    instance (``eval`` per row, ``terminate`` per partition).
+
+    Accumulation is integer cents, so the per-partition fold is
+    order-insensitive and the result hash-exact vs a plain GROUP BY oracle
+    — which is the point: the black-box UDTF must reproduce what the
+    declarative aggregate computes. 100 TB: PARTITION BY is one hash
+    shuffle; the UDTF is the slow path (row-at-a-time Python) kept here as
+    deliberate API-surface coverage, with the equivalent JVM aggregate one
+    line away (the oracle).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, total_cents bigint")
+    class PerUserStats:
+        def __init__(self) -> None:
+            self._uid = None
+            self._n = 0
+            self._cents = 0
+
+        def eval(self, row) -> None:
+            self._uid = row["user_id"]
+            self._n += 1
+            self._cents += int(math.floor(row["value"] * 100 + 0.5))
+
+        def terminate(self):
+            if self._uid is not None:
+                yield self._uid, self._n, self._cents
+
+    spark.udtf.register("mr_per_user_stats", PerUserStats)
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("mr_udtf_events")
+    return spark.sql(
+        "SELECT * FROM mr_per_user_stats("
+        "TABLE(mr_udtf_events) PARTITION BY user_id)"
+    )
