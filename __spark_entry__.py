@@ -67,8 +67,13 @@ def _driver_verified_rounds() -> dict[str, int]:
 
 
 def _rotated_keys() -> list[str]:
-    """Registry keys, never-driver-verified first (registry order within
-    that group) so the driver's [0:50] window always checks fresh keys.
+    """Registry keys, never-driver-verified first so the driver's [0:50]
+    window always checks fresh keys. WITHIN the fresh group, keys are
+    round-robined across operator families (prefix before the first '_'):
+    with more fresh keys than window slots, plain registry order would
+    starve whole families registered late in the import order (the
+    ``stream_*``/``source_*`` keys sat past the window edge for two
+    rounds) — interleaving guarantees every family lands slots each round.
     Verified keys follow, STALEST-first (lowest last-verified round), so
     once the registry is fully covered the window cycles back over the
     oldest evidence and a silent regression can't hide forever."""
@@ -76,8 +81,23 @@ def _rotated_keys() -> list[str]:
     keys = list(QUERIES)
     order = {k: i for i, k in enumerate(keys)}
     fresh = [k for k in keys if k not in seen]
+
+    families: dict[str, list[str]] = {}
+    for k in fresh:  # registry order preserved within each family
+        families.setdefault(k.split("_", 1)[0], []).append(k)
+    # spread each family uniformly over the fresh list: key i of an
+    # n-key family sits at fraction (i+0.5)/n, so a window of any size
+    # takes a ~proportional share of every family (largest debt, most
+    # slots) and every family's first key lands early
+    frac = {
+        k: (i + 0.5) / len(fam)
+        for fam in families.values()
+        for i, k in enumerate(fam)
+    }
+    interleaved = sorted(fresh, key=lambda k: (frac[k], order[k]))
+
     stale = sorted((k for k in keys if k in seen), key=lambda k: (seen[k], order[k]))
-    return fresh + stale
+    return interleaved + stale
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -72,3 +72,30 @@ def test_queries_is_complete_registry():
 
     assert set(entry_mod.queries()) == set(QUERIES)
     assert set(entry_mod.oracle_sql()) == set(ORACLES)
+
+
+def test_fresh_keys_spread_proportionally_by_family():
+    """With more fresh keys than window slots, every family must land a
+    ~proportional share of the driver's window (plain registry order
+    starved the late-registered stream_*/source_* families for two
+    rounds). Pins: (a) within-family order preserved; (b) any family's
+    window share is within 2 of its proportional entitlement."""
+    rotated = entry_mod._rotated_keys()
+    seen = _verified()
+    fresh = [k for k in rotated if k not in seen]
+    if len(fresh) <= DRIVER_WINDOW:
+        return  # nothing to ration
+    window_fresh = fresh[:DRIVER_WINDOW]
+
+    fams: dict[str, list[str]] = {}
+    for k in fresh:
+        fams.setdefault(k.split("_", 1)[0], []).append(k)
+    registry = list(entry_mod.QUERIES)
+    for fam, ks in fams.items():
+        idx = [registry.index(k) for k in ks]
+        assert idx == sorted(idx), f"family {fam} reordered"
+        share = sum(1 for k in window_fresh if k in set(ks))
+        entitlement = DRIVER_WINDOW * len(ks) / len(fresh)
+        assert abs(share - entitlement) <= 2, (
+            fam, share, entitlement, len(ks)
+        )
