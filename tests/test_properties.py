@@ -156,3 +156,50 @@ def test_session_fold_invariant_to_batch_boundaries(times, splits):
         out.extend(closed)
     assert state is None
     assert out == ref
+
+
+# ---------------------------------------------------------------------------
+# hround: the engine-portable rounding every oracle depends on
+# ---------------------------------------------------------------------------
+
+
+def test_hround_identical_across_spark_duckdb_python(spark, duck):
+    """floor(x·10ⁿ + 0.5)/10ⁿ must produce the bit-identical double in
+    Spark, DuckDB, and Python for the same input double — the convention
+    every money/ratio column in the oracle suite rests on. Exercised on
+    the classic half-cent boundaries plus a seeded random sweep."""
+    import math
+    import random
+
+    boundary = [
+        0.125, 0.115, 2.675, 1.005, -0.125, -2.675, 0.0, -0.0,
+        0.1 + 0.2, 1e12 + 0.005, -1e12 - 0.005, 5.5e-3, -5.5e-3,
+    ]
+    rng = random.Random(42)
+    values = boundary + [
+        rng.uniform(-1e6, 1e6) for _ in range(2000)
+    ]
+    for n in (0, 2, 4):
+        py = [math.floor(v * 10**n + 0.5) / 10**n for v in values]
+        rows = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "i long, v double"
+        )
+        from mapreduce_6_824_lab1_spark.functions.numeric import (
+            hround,
+            sql_hround,
+        )
+
+        got_spark = [
+            r.h for r in rows.select(hround("v", n).alias("h")).orderBy("i").collect()
+        ]
+        duck.execute("CREATE OR REPLACE TABLE _hr AS SELECT * FROM (VALUES "
+                     + ",".join(f"({i}, CAST({v!r} AS DOUBLE))" for i, v in enumerate(values))
+                     + ") t(i, v)")
+        got_duck = [
+            r[0]
+            for r in duck.execute(
+                f"SELECT {sql_hround('v', n)} FROM _hr ORDER BY i"
+            ).fetchall()
+        ]
+        assert got_spark == py, f"spark != python at n={n}"
+        assert got_duck == py, f"duckdb != python at n={n}"
