@@ -203,3 +203,48 @@ def test_hround_identical_across_spark_duckdb_python(spark, duck):
         ]
         assert got_spark == py, f"spark != python at n={n}"
         assert got_duck == py, f"duckdb != python at n={n}"
+
+
+def test_knuth_hash_identical_across_spark_duckdb_python(spark, duck):
+    """(key·2654435761) mod 2³² drives every deterministic sampler/mixer
+    (sample_split, sample_weighted, mix_sources_*, shard_assign). Pin the
+    three-engine agreement on the positive int64 key domain the fixtures
+    use — pmod vs % must coincide there."""
+    import random
+
+    from mapreduce_6_824_lab1_spark.operators.text_analysis import (
+        _KNUTH,
+        _MOD,
+    )
+
+    rng = random.Random(7)
+    keys = [0, 1, 2**31 - 1, 2**40 + 17] + [
+        rng.randrange(0, 2**45) for _ in range(2000)
+    ]
+    py = [(k * _KNUTH) % _MOD for k in keys]
+    rows = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "i long, k long"
+    )
+    from pyspark.sql import functions as F
+
+    got_spark = [
+        r.h
+        for r in rows.select(
+            F.pmod(F.col("k") * _KNUTH, F.lit(_MOD)).alias("h")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    duck.execute(
+        "CREATE OR REPLACE TABLE _kh AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, CAST({k} AS BIGINT))" for i, k in enumerate(keys))
+        + ") t(i, k)"
+    )
+    got_duck = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT (k * {_KNUTH}) % {_MOD} FROM _kh ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_spark == py
+    assert got_duck == py
