@@ -393,6 +393,10 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never changes, which is the property training pipelines actually need.
 _KNUTH = 2654435761
 _MOD = 4294967296  # 2^32
+# Domain bound: key·_KNUTH must stay under 2⁶³ (Spark ANSI raises on long
+# overflow — pinned in tests/test_properties.py), so keys must be < ~2³¹.
+# Fixture keys are ≪ that; for 64-bit production IDs (snowflakes), fold the
+# key first (pmod(key, 2³²)·_KNUTH) — same determinism, overflow-safe.
 
 
 @query(
