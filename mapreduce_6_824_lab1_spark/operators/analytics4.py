@@ -541,3 +541,77 @@ def basket_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (CEP-lite / MATCH_RECOGNIZE analogue)
+# ---------------------------------------------------------------------------
+
+# lazy quantifier = first purchase CLOSES the open view-chain (earliest-
+# completion semantics, like CEP's AFTER MATCH SKIP PAST LAST ROW)
+CONVERSION_PATTERN = "v[vc]*?p"
+DIRECT_PATTERN = "vp"
+
+PATTERN_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, '{CONVERSION_PATTERN}')) AS BIGINT)
+           AS n_conversions,
+       CAST(len(regexp_extract_all(s, '{DIRECT_PATTERN}')) AS BIGINT)
+           AS n_direct
+FROM seq
+"""
+
+
+@query("events_pattern_match", oracle=PATTERN_ORACLE)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection over each user's event stream — the
+    CEP / MATCH_RECOGNIZE shape: count conversions (a view leading to a
+    purchase through only views/clicks; signup/error break the chain) and
+    direct view→purchase bigrams.
+
+    Event types compress to one symbol each (the five types have distinct
+    initials), so a user's entire history becomes a ~1-byte-per-event
+    string and the pattern machine is a regex — leftmost non-overlapping
+    with a LAZY quantifier, i.e. the first purchase closes the open chain
+    (CEP's skip-past-last-row). Both engines' regex engines agree on this
+    fragment (alternation-free, no backrefs). 100 TB: one shuffle to
+    user grain; per-user state is the symbol string, bounded by activity,
+    and the regex scan is linear — the standard distributed-CEP layout
+    (symbolize, co-locate by key, run the automaton per key).
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("sym"),
+                        )
+                    )
+                ),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.regexp_count("s", F.lit(CONVERSION_PATTERN))
+        .cast("long")
+        .alias("n_conversions"),
+        F.regexp_count("s", F.lit(DIRECT_PATTERN))
+        .cast("long")
+        .alias("n_direct"),
+    )

@@ -143,3 +143,36 @@ def test_asof_tolerance_agrees_with_unbounded_asof(spark):
     assert len(tol) == len(ev)
     valid = tol["gap_days"].dropna()
     assert ((valid >= 0) & (valid <= ASOF_TOL_DAYS)).all()
+
+
+def test_pattern_match_against_python_automaton(spark):
+    """The regex formulation must agree with an explicit event-by-event
+    state machine (open-chain automaton) — a third implementation guarding
+    against engine regex semantics drift."""
+    got = (
+        QUERIES["events_pattern_match"](spark, SF_DIR)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        syms = [t[0] for t in grp["event_type"]]
+        conv = 0
+        open_chain = False
+        for s in syms:
+            if s == "v" and not open_chain:
+                open_chain = True
+            elif s == "p" and open_chain:
+                conv += 1
+                open_chain = False
+            elif s in ("s", "e"):
+                open_chain = False
+        direct = sum(
+            1 for a, b in zip(syms, syms[1:]) if a == "v" and b == "p"
+        )
+        assert got.loc[uid, "n_conversions"] == conv, uid
+        assert got.loc[uid, "n_events"] == len(syms), uid
+        # n_direct counts non-overlapping 'vp' bigrams; with 2-char
+        # patterns overlap is impossible, so the zip count matches
+        assert got.loc[uid, "n_direct"] == direct, uid
