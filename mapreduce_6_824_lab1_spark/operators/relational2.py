@@ -1020,3 +1020,139 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("diff_kind")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed higher-order functions (construct → filter → transform → explode)
+# ---------------------------------------------------------------------------
+
+MAP_HOF_ORACLE = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) * 2 AS BIGINT) AS doubled
+FROM events
+GROUP BY user_id, event_type
+HAVING count(*) >= 2
+"""
+
+
+@query("scalar_map_hof", oracle=MAP_HOF_ORACLE)
+def scalar_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip through the map higher-order functions: build a
+    per-user map<event_type, count> with ``map_from_entries``, prune rare
+    types with ``map_filter``, derive with ``transform_values``, and
+    explode back to rows.
+
+    The oracle is the plain GROUP BY the pipeline is equivalent to — the
+    point is that the entire map construct/filter/transform/explode chain
+    is JVM-side (no Python, whole-stage codegen) and loses nothing. Maps
+    are how per-key feature bundles travel through real pipelines (one row
+    per entity, features as a map); this key pins that the HOF algebra on
+    them is exact. 100 TB: the map is per-user (bounded by |event_types|),
+    built on the same single shuffle the flat aggregate needs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    pruned = maps.select(
+        "user_id",
+        F.map_filter("m", lambda k, v: v >= F.lit(2)).alias("m"),
+    ).select(
+        "user_id",
+        F.transform_values("m", lambda k, v: F.struct(
+            v.alias("cnt"), (v * 2).alias("doubled")
+        )).alias("m"),
+    )
+    return pruned.select(
+        "user_id", F.explode("m").alias("event_type", "s")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("s.cnt").cast("long").alias("cnt"),
+        F.col("s.doubled").cast("long").alias("doubled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-mode try_* arithmetic (NULL-on-error instead of job failure)
+# ---------------------------------------------------------------------------
+
+_MUL_BIG = 1 << 40
+_MUL_GUARD = (1 << 63) - 1
+
+TRY_ARITH_ORACLE = f"""
+WITH t AS (
+    SELECT o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o_custkey % 7 AS d
+    FROM orders
+),
+m AS (
+    SELECT o_orderstatus,
+           CASE WHEN d = 0 THEN NULL
+                ELSE CAST(cents AS DOUBLE) / d END AS ratio,
+           CASE WHEN cents > {_MUL_GUARD} // {_MUL_BIG} THEN NULL
+                ELSE cents * {_MUL_BIG} END AS big
+    FROM t
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_div_null,
+       CAST(sum(CASE WHEN big IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mul_null,
+       CAST(sum(CASE WHEN big IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mul_ok
+FROM m
+GROUP BY o_orderstatus
+"""
+
+
+@query("scalar_try_arith", oracle=TRY_ARITH_ORACLE)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: ``try_divide`` and ``try_multiply``
+    yield NULL where strict ANSI evaluation would kill the job (division
+    by zero; long overflow — this session runs ANSI mode, where a plain
+    ``*`` on overflowing longs raises, as pinned in test_properties'
+    Knuth-domain test).
+
+    The audit counts NULL-ed rows per status; the oracle spells out the
+    same semantics with explicit CASE guards (divide-by-zero predicate;
+    overflow bound 2⁶³-1 div multiplier). At 100 TB try_* is the
+    difference between one poison row killing a 10⁵-task job and a
+    countable quarantine column — the arithmetic sibling of
+    source_corrupt_records' parse quarantine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.pmod("o_custkey", F.lit(7)).alias("d"),
+    )
+    m = t.select(
+        "o_orderstatus",
+        F.try_divide(F.col("cents").cast("double"), F.col("d")).alias(
+            "ratio"
+        ),
+        F.try_multiply(F.col("cents"), F.lit(_MUL_BIG)).alias("big"),
+    )
+    return m.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_div_null"),
+        F.sum(F.when(F.col("big").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mul_null"),
+        F.sum(F.when(F.col("big").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mul_ok"),
+    )
