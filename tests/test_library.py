@@ -96,3 +96,46 @@ def test_stream_runner_restores_shuffle_partitions(spark):
     assert before != str(STATE_PARTITIONS)  # the test would be vacuous
     QUERIES["stream_grep"](spark, SF_DIR).count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---------------------------------------------------------------------------
+# CLI entry points (python -m mapreduce_6_824_lab1_spark ...)
+# ---------------------------------------------------------------------------
+
+
+def test_cli_list(capsys):
+    from mapreduce_6_824_lab1_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "wordcount\toracle" in out
+    assert "dedup_minhash_lsh\trows-only" in out
+
+
+def test_cli_run_text_out(tmp_path, capsys):
+    """--format text is the mr-out-* analogue: sorted space-joined lines."""
+    from mapreduce_6_824_lab1_spark.__main__ import main
+
+    out_dir = str(tmp_path / "wc_out")
+    assert main(["run", "wordcount", "--out", out_dir]) == 0
+    import glob
+
+    lines = []
+    for f in glob.glob(f"{out_dir}/part-*"):
+        with open(f, encoding="utf-8") as fh:
+            lines += [ln.rstrip("\n") for ln in fh]
+    assert lines == sorted(lines) or len(glob.glob(f"{out_dir}/part-*")) > 1
+    assert any(ln.startswith("sort ") for ln in lines)
+
+
+def test_cli_verify_matches_oracle(capsys):
+    from mapreduce_6_824_lab1_spark.__main__ import main
+
+    assert main(["verify", "wordcount"]) == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_cli_unknown_key(capsys):
+    from mapreduce_6_824_lab1_spark.__main__ import main
+
+    assert main(["run", "nope_key"]) == 2
