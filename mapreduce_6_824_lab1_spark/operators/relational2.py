@@ -1156,3 +1156,76 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_mul_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Three-valued-logic torture test (NULL semantics parity)
+# ---------------------------------------------------------------------------
+
+NULL_SEMANTICS_ORACLE = """
+WITH t AS (
+    SELECT o_orderstatus,
+           nullif(o_custkey % 5, 0) AS k,          -- every 5th key NULL
+           CASE WHEN o_custkey % 3 = 0 THEN NULL
+                ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           END AS cents
+    FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(cents) AS BIGINT) AS n_cents,         -- NULLs not counted
+       CAST(count(DISTINCT k) AS BIGINT) AS n_k,        -- NULL excluded
+       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
+       CAST(sum(CASE WHEN k IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_k_null,
+       CAST(sum(CASE WHEN (k > 2) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unknown,                                -- 3VL: NULL>2 = NULL
+       CAST(sum(CASE WHEN coalesce(k > 2, FALSE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true
+FROM t
+GROUP BY o_orderstatus
+"""
+
+
+@query("scalar_null_semantics", oracle=NULL_SEMANTICS_ORACLE)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity: NULLs are injected deterministically
+    (nullif / CASE) and every classic divergence point is audited per
+    status — count(*) vs count(col), count(DISTINCT) excluding NULL,
+    sum over a NULL-bearing column, null-safe equality (IS NOT DISTINCT
+    FROM / <=>), and a predicate whose UNKNOWN outcome is counted
+    separately from its TRUE outcome.
+
+    Cross-engine NULL behavior is where silent corruption usually hides
+    (a filter that drops UNKNOWN rows vs one that keeps them changes row
+    counts with no error anywhere); pinning the full 3VL matrix against
+    the oracle makes the convention load-bearing. Everything is a single
+    hash aggregate — NULL handling must cost nothing at scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    t = o.select(
+        "o_orderstatus",
+        F.nullif(F.pmod("o_custkey", F.lit(5)), F.lit(0)).alias("k"),
+        F.when(F.pmod("o_custkey", F.lit(3)) == 0, None)
+        .otherwise(cents)
+        .alias("cents"),
+    )
+    gt2 = F.col("k") > 2
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("cents").alias("n_cents"),
+        F.countDistinct("k").cast("long").alias("n_k"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("sum_cents"),
+        F.sum(
+            F.when(F.col("k").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_k_null"),
+        F.sum(F.when(gt2.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unknown"),
+        F.sum(F.when(F.coalesce(gt2, F.lit(False)), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+    )
