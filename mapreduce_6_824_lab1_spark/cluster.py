@@ -60,9 +60,41 @@ RUNTIME_CLUSTER_CONF: dict[str, str] = {
 }
 
 
+#: Structured Streaming state-store profile for the stream_* surface.
+#: Rationale:
+#: - RocksDB provider: the default in-memory HDFS-backed store holds every
+#:   key in executor heap — a sessionizer over 10⁹ users OOMs; RocksDB
+#:   spills to local SSD and bounds heap by block cache, the supported
+#:   store for transformWithState.
+#: - changelog checkpointing: uploads per-batch deltas instead of full
+#:   RocksDB snapshots — checkpoint cost tracks update rate, not total
+#:   state size (decisive once state ≫ batch).
+#: - unloadOnCommit=false + maintenance interval: keep stores cached
+#:   between batches; compaction happens off the critical path.
+#: - shuffle partitions are FROZEN into the state layout at first start
+#:   (streaming/jobs.py STATE_PARTITIONS documents the local choice) —
+#:   size to target steady-state parallelism before the first checkpoint,
+#:   because changing it later means rebuilding state.
+STREAMING_CLUSTER_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+    "spark.sql.streaming.stateStore.maintenanceInterval": "60s",
+    "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+}
+
+
 def cluster_conf() -> dict[str, str]:
-    """The full 100 TB profile (static + runtime)."""
-    return {**STATIC_CLUSTER_CONF, **RUNTIME_CLUSTER_CONF}
+    """The full 100 TB profile (static + runtime + streaming state)."""
+    return {
+        **STATIC_CLUSTER_CONF,
+        **RUNTIME_CLUSTER_CONF,
+        **STREAMING_CLUSTER_CONF,
+    }
 
 
 def apply_cluster_profile(spark: SparkSession) -> list[str]:
