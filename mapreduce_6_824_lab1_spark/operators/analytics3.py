@@ -493,3 +493,171 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") >= 2) & (varx > 0) & (vary > 0), corr
         ).alias("corr8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD (integer-exact two-pass)
+# ---------------------------------------------------------------------------
+
+MAD_K = 6  # flag |x - med| > K * MAD (~4 sigma if normal; MAD≈0.674σ)
+
+ANOMALY_MAD_ORACLE = f"""
+WITH t AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+med AS (
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+    FROM t GROUP BY event_type
+),
+dev AS (
+    SELECT t.event_type, t.cents, med.med,
+           abs(t.cents - med.med) AS adev
+    FROM t JOIN med USING (event_type)
+),
+mad AS (
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(max(d.med) AS BIGINT) AS med_cents,
+       CAST(max(m.mad) AS BIGINT) AS mad_cents,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@query("anomaly_mad_robust", oracle=ANOMALY_MAD_ORACLE)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type via median/MAD — the
+    heavy-tail-safe complement of ``anomaly_zscore`` (one planted extreme
+    value drags a mean+stddev fence toward itself; the median and the
+    median-absolute-deviation barely move).
+
+    Exact and integer end-to-end: both medians are ``percentile_disc``
+    over integer cents (engine-agreement pinned in customer_rfm's
+    machinery), and the fence is the integer comparison
+    |x−med| > K·MAD. Two aggregate passes with the per-type statistics
+    broadcast back — the same two-pass broadcast-moments shape as
+    anomaly_zscore, so the robust version costs the same at 100 TB:
+    no per-row window, no sort of the full data.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    med = t.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+        ).alias("med")
+    )
+    dev = t.join(broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)"
+        ).alias("mad")
+    )
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").cast("long").alias("med_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("adev") > MAD_K * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto-share classification of parts by revenue
+# ---------------------------------------------------------------------------
+
+ABC_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, cents,
+           sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+           sum(cents) OVER () AS total
+    FROM rev
+),
+classed AS (
+    SELECT l_partkey, cents,
+           CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM ranked
+)
+SELECT abc,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS class_cents
+FROM classed
+GROUP BY abc
+"""
+
+
+@query("abc_classification", oracle=ABC_ORACLE)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto-share) inventory classification: parts covering the
+    first 80% of cumulative revenue are class A, to 95% B, the tail C.
+
+    The cumulative share is an integer comparison (cum·100 ≤ total·80) on
+    exact cent sums — no ratio ever floats. The running sum orders by
+    (revenue desc, partkey) so ties split deterministically. The global
+    window runs over the PART-grain aggregate, not line items — parts are
+    the bounded dimension (the same domain argument as pareto_frontier);
+    the lineitem-sized data only ever sees one partial-agg shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).cast("long").alias("cents")
+    )
+    w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    classed = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+    )
