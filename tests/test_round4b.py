@@ -202,3 +202,51 @@ def test_rolling_corr_bounded_and_matches_numpy(spark):
             else:
                 exp = np.corrcoef(wx, wy)[0, 1]
                 assert abs(have - exp) < 1e-6, (key, have, exp)
+
+
+def test_mad_fence_is_robust_to_extremes(spark, events_pd):
+    """Pandas recompute plus the robustness property itself: the median/
+    MAD statistics computed WITH the outliers must equal numpy's on the
+    same data (exactness), and the flagged rows must all sit strictly
+    outside the fence (consistency)."""
+    from mapreduce_6_824_lab1_spark.operators.analytics3 import MAD_K
+
+    got = (
+        QUERIES["anomaly_mad_robust"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    cents = _cents(events_pd["value"])
+    for et, grp in events_pd.assign(c=cents).groupby("event_type"):
+        xs = np.sort(grp["c"].to_numpy())
+        med = xs[(len(xs) + 1) // 2 - 1]  # percentile_disc(0.5): lower
+        adev = np.sort(np.abs(grp["c"].to_numpy() - med))
+        mad = adev[(len(adev) + 1) // 2 - 1]
+        assert got.loc[et, "med_cents"] == med, et
+        assert got.loc[et, "mad_cents"] == mad, et
+        n_out = int((np.abs(grp["c"].to_numpy() - med) > MAD_K * mad).sum())
+        assert got.loc[et, "n_outliers"] == n_out, et
+
+
+def test_abc_classes_partition_and_order(spark):
+    got = (
+        QUERIES["abc_classification"](spark, SF_DIR)
+        .toPandas()
+        .set_index("abc")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    rev = (
+        li.assign(c=_cents(li["l_extendedprice"]))
+        .groupby("l_partkey")["c"]
+        .sum()
+    )
+    assert got["n_parts"].sum() == len(rev)
+    assert got["class_cents"].sum() == rev.sum()
+    total = rev.sum()
+    # class A holds <= 80% of revenue by construction (the NEXT part would
+    # cross the line), and A parts out-earn C parts per capita
+    if "A" in got.index and "C" in got.index:
+        assert got.loc["A", "class_cents"] * 100 <= total * 80 + total
+        per_a = got.loc["A", "class_cents"] / got.loc["A", "n_parts"]
+        per_c = got.loc["C", "class_cents"] / got.loc["C", "n_parts"]
+        assert per_a > per_c
