@@ -661,3 +661,51 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("cents").cast("long").alias("class_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental top-k maintenance (TakeOrdered as a merge of segment top-ks)
+# ---------------------------------------------------------------------------
+
+INC_TOPK_K = 25
+INC_TOPK_CUTOFF = "1998-01-01"
+
+INC_TOPK_ORACLE = f"""
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day
+FROM orders
+ORDER BY cents DESC, o_orderkey
+LIMIT {INC_TOPK_K}
+"""
+
+
+@query("incremental_topk", oracle=INC_TOPK_ORACLE)
+def incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k maintenance under append-only ingest: the global top-25 is
+    recomputed as top-k(top-k(history) ∪ top-k(delta)) — never a rescan
+    of history's full order set.
+
+    Sound because static top-k is a monoid: any row in the merged top-k
+    is in its segment's top-k (k-truncation below rank k can never evict
+    a global winner). The oracle is the flat one-shot TakeOrdered over
+    everything — merging must be exactly equivalent, tie-break included
+    (cents desc, orderkey asc pinned on every cut). 100 TB: history
+    contributes a k-row summary, so a refresh touches only the delta
+    partition plus 2k rows — the TakeOrdered sibling of
+    ``incremental_agg``'s partial-merge argument.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    priced = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+    hist = priced.filter(F.col("order_day") < INC_TOPK_CUTOFF)
+    delta = priced.filter(F.col("order_day") >= INC_TOPK_CUTOFF)
+    top = lambda df: df.orderBy(  # noqa: E731 - local plan builder
+        F.desc("cents"), "o_orderkey"
+    ).limit(INC_TOPK_K)
+    return top(top(hist).unionByName(top(delta)))

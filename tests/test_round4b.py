@@ -250,3 +250,17 @@ def test_abc_classes_partition_and_order(spark):
         per_a = got.loc["A", "class_cents"] / got.loc["A", "n_parts"]
         per_c = got.loc["C", "class_cents"] / got.loc["C", "n_parts"]
         assert per_a > per_c
+
+
+def test_incremental_topk_segments_both_contribute(spark):
+    """The merge must genuinely draw from both segments (otherwise the
+    operator silently degenerates to a plain top-k of one side)."""
+    from mapreduce_6_824_lab1_spark.operators.analytics3 import (
+        INC_TOPK_CUTOFF,
+    )
+
+    got = QUERIES["incremental_topk"](spark, SF_DIR).toPandas()
+    before = (got["order_day"] < INC_TOPK_CUTOFF).sum()
+    after = (got["order_day"] >= INC_TOPK_CUTOFF).sum()
+    assert before > 0 and after > 0, (before, after)
+    assert len(got) == 25
