@@ -1,8 +1,10 @@
-"""Path mining, EWMA smoothing, skyline, sliding median, weighted sampling.
+"""Path mining, EWMA smoothing, skyline, sliding median, weighted
+sampling, rolling correlation, robust MAD anomaly fences, ABC classes,
+incremental top-k.
 
-Five analytical shapes rounding out the event/curation surface (reference
-has no equivalent — driver extension mandate, SURVEY.md §2.C lineage).
-Each picks the scale-correct plan over the obvious one:
+Analytical shapes rounding out the event/curation surface (reference has
+no equivalent — driver extension mandate, SURVEY.md §2.C lineage). Each
+picks the scale-correct plan over the obvious one:
 
 - path mining: rank-truncate per user BEFORE building the path string —
   the per-user state is the first k events, never the whole history.

@@ -1,9 +1,9 @@
 """RFM segmentation, basket co-occurrence, touch attribution, composite
 quality gate, tolerance-bounded as-of join.
 
-Five more pipeline shapes (reference has no equivalent — driver extension
-mandate, SURVEY.md §2.C lineage), each built around the scale decision
-that matters:
+Pipeline shapes (reference has no equivalent — driver extension
+mandate, SURVEY.md §2.C lineage) plus FPGrowth itemsets and CEP-style
+sequence matching, each built around the scale decision that matters:
 
 - RFM: quintile CUTOFFS (12 scalars) are the only global computation —
   broadcast back for a map-side bucket assignment. The textbook ntile()
