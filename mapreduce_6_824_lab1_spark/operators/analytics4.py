@@ -615,3 +615,110 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_direct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test z-score (two-proportion test on hash-assigned variants)
+# ---------------------------------------------------------------------------
+
+AB_ZTEST_ORACLE = """
+WITH assigned AS (
+    SELECT user_id,
+           (user_id * 2654435761) % 4294967296 % 2 AS variant,
+           CASE WHEN max(CASE WHEN event_type = 'purchase'
+                              THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              ELSE 0 END) > 9000
+                THEN 1 ELSE 0 END AS converted
+    FROM events
+    GROUP BY user_id
+),
+counts AS (
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(converted) AS BIGINT) AS conv
+    FROM assigned GROUP BY variant
+),
+wide AS (
+    SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+           max(CASE WHEN variant = 0 THEN conv END) AS c0,
+           max(CASE WHEN variant = 1 THEN n END) AS n1,
+           max(CASE WHEN variant = 1 THEN conv END) AS c1
+    FROM counts
+)
+SELECT n0, c0, n1, c1,
+       floor((CAST(c0 AS DOUBLE) / n0) * 10000 + 0.5) / 10000 AS p0,
+       floor((CAST(c1 AS DOUBLE) / n1) * 10000 + 0.5) / 10000 AS p1,
+       CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+            ELSE floor((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))
+                 * 10000 + 0.5) / 10000 END AS z
+FROM wide
+"""
+
+
+@query("events_ab_ztest", oracle=AB_ZTEST_ORACLE)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 experiment split:
+    variant = knuth(user_id) mod 2, conversion = any purchase over $90
+    (the any-purchase metric saturates at 100% in the fixtures); the
+    pooled-variance z statistic decides whether variants differ.
+
+    Everything until the final statistic is exact integers (user-grain
+    conversion flags, per-variant counts); the z-score itself is ONE
+    pinned-shape IEEE expression evaluated on identical inputs in both
+    engines (the rolling-corr technique). Hash assignment makes the
+    experiment reproducible and nested — adding users never reshuffles
+    existing assignments (the same property the samplers pin).
+    100 TB: one shuffle to user grain, one 2-row aggregate, and the
+    statistic is driver-free scalar arithmetic in the plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+    ).otherwise(0)
+    assigned = e.groupBy("user_id").agg(
+        (F.max(purchase_cents) > 9000).cast("int").alias("converted")
+    ).select(
+        F.pmod(F.pmod(F.col("user_id") * 2654435761, F.lit(4294967296)), 2)
+        .alias("variant"),
+        "converted",
+    )
+    counts = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = counts.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p1 - p0) / F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            F.lit(1).cast("double") / F.col("n0")
+            + F.lit(1).cast("double") / F.col("n1")
+        )
+    )
+    hr4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    # degenerate experiment (0% or 100% pooled conversion): zero pooled
+    # variance, the statistic is undefined -- honestly NULL on both sides
+    degenerate = (
+        (F.col("c0") + F.col("c1") == 0)
+        | (F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        hr4(p0).alias("p0"),
+        hr4(p1).alias("p1"),
+        F.when(~degenerate, hr4(z)).alias("z"),
+    )
