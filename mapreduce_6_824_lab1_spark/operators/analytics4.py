@@ -722,3 +722,91 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         hr4(p1).alias("p1"),
         F.when(~degenerate, hr4(z)).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session duration histogram (composition: sessionize → bucket → count)
+# ---------------------------------------------------------------------------
+
+SESSION_HIST_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     < INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_s
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+durs AS (
+    SELECT user_id, sid,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+)
+SELECT CASE WHEN dur_s = 0 THEN '0_single'
+            WHEN dur_s < 600 THEN '1_under10m'
+            WHEN dur_s < 1800 THEN '2_10to30m'
+            ELSE '3_over30m' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(dur_s) AS BIGINT) AS total_seconds
+FROM durs
+GROUP BY 1
+"""
+
+
+@query("session_duration_hist", oracle=SESSION_HIST_ORACLE)
+def session_duration_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session lengths: sessionize (30-min gap), measure
+    each session's span in whole seconds, bucket into named duration
+    classes — the one-glance session-health report.
+
+    Durations are integer microseconds floor-divided to seconds, so the
+    bucket edges are exact integer comparisons on both engines (the same
+    lag/cumsum sessionization the window_session oracle pins). Single-
+    event sessions land in their own bucket rather than polluting the
+    short-session class. 100 TB: one user shuffle for the session window,
+    then session-grain rows only — the histogram is a 4-row aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            < 30 * 60 * 1_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_s"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(w_run))
+    durs = sess.groupBy("user_id", "sid").agg(
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000"
+        ).alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bucket = (
+        F.when(F.col("dur_s") == 0, "0_single")
+        .when(F.col("dur_s") < 600, "1_under10m")
+        .when(F.col("dur_s") < 1800, "2_10to30m")
+        .otherwise("3_over30m")
+    )
+    return durs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("dur_s").cast("long").alias("total_seconds"),
+    )
