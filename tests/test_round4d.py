@@ -151,3 +151,52 @@ def test_tws_processor_matches_groupstate_harness():
     # ValueState carry-over) into one session, closed by the flush sentinel
     assert tws["n_events"].tolist() == [3]
     assert handle.state.v is None  # flush left no dangling state
+
+
+def test_csv_column_pruning_hides_unreferenced_corruption(spark, tmp_path):
+    """Pins the trap source_corrupt_records defends against: when only
+    n_chars is referenced, a row with a poisoned doc_id parses as GOOD
+    (Spark prunes unparsed columns, so their type failures raise no
+    corrupt flag). If this behavior ever changes, the full-column audit
+    can be simplified — until then it is load-bearing."""
+    p = tmp_path / "zone"
+    p.mkdir()
+    (p / "data.csv").write_text("1,ok,en,web,5\nbadid,txt,en,web,7\n")
+    schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, _bad string"
+    )
+    back = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(schema)
+        .csv(str(p))
+    )
+    import pyspark.sql.functions as F
+
+    narrow = back.select(
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias("bad"),
+        F.sum("n_chars").alias("chars"),
+    ).collect()[0]
+    assert narrow.bad == 0 and narrow.chars == 12  # poison invisible!
+    full = back.select(
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias("bad"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).alias(
+            "chars"
+        ),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("doc_id"))).alias("ids"),
+    ).collect()[0]
+    assert full.bad == 1 and full.chars == 5 and full.ids == 1
+
+
+def test_try_arith_exercises_both_outcome_classes(spark):
+    """The quarantine only means something if the fixtures actually
+    produce BOTH outcomes for each try_* operator."""
+    got = QUERIES["scalar_try_arith"](spark, SF_DIR).toPandas()
+    assert got["n_div_null"].sum() > 0
+    assert got["n_mul_null"].sum() > 0
+    assert got["n_mul_ok"].sum() > 0
+    assert (
+        got["n_mul_null"].sum() + got["n_mul_ok"].sum()
+        == got["n_rows"].sum()
+    )
