@@ -1229,3 +1229,148 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_true"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise / boolean aggregate family
+# ---------------------------------------------------------------------------
+
+BITWISE_ORACLE = """
+WITH t AS (
+    SELECT o_orderstatus,
+           CAST(
+             CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END
+             + CASE WHEN o_orderpriority LIKE '2%' THEN 2 ELSE 0 END
+             + CASE WHEN o_totalprice > 100000 THEN 4 ELSE 0 END
+             + CASE WHEN o_custkey % 2 = 0 THEN 8 ELSE 0 END
+           AS BIGINT) AS flags
+    FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_and(flags) AS BIGINT) AS flags_and,
+       CAST(bit_or(flags) AS BIGINT) AS flags_or,
+       CAST(bit_xor(flags) AS BIGINT) AS flags_xor,
+       bool_and(flags > 0) AS any_flag_everywhere,
+       bool_or(flags >= 8) AS has_even_cust
+FROM t
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_bitwise", oracle=BITWISE_ORACLE)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregate family over a packed flag column —
+    bit_and/bit_or/bit_xor plus bool_and/bool_or, the idiom for auditing
+    feature-flag bitmasks without exploding them to one row per flag.
+
+    Flags pack four independent predicates into one BIGINT map-side; all
+    five aggregates are algebraic (partial-merge exact), so the whole
+    audit is one partial-agg shuffle regardless of row count — the reason
+    packed bitmasks beat per-flag boolean columns at 100 TB (one column
+    scanned, one aggregate buffer per group).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    flags = (
+        F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0)
+        + F.when(F.col("o_orderpriority").like("2%"), 2).otherwise(0)
+        + F.when(F.col("o_totalprice") > 100000, 4).otherwise(0)
+        + F.when(F.pmod("o_custkey", F.lit(2)) == 0, 8).otherwise(0)
+    ).cast("long")
+    t = o.select("o_orderstatus", flags.alias("flags"))
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_and("flags").cast("long").alias("flags_and"),
+        F.bit_or("flags").cast("long").alias("flags_or"),
+        F.bit_xor("flags").cast("long").alias("flags_xor"),
+        F.bool_and(F.col("flags") > 0).alias("any_flag_everywhere"),
+        F.bool_or(F.col("flags") >= 8).alias("has_even_cust"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generator functions: posexplode (ordinal explode) + inline (struct-array)
+# ---------------------------------------------------------------------------
+
+GEN_DIMS = 4
+
+GENERATORS_ORACLE = f"""
+WITH emb AS (
+    SELECT 'emb' AS src, vec_id AS id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS v
+    FROM embeddings,
+         generate_series(1, {GEN_DIMS}) AS gs(i)
+    WHERE len(embedding) >= {GEN_DIMS}
+),
+doc AS (
+    SELECT 'doc' AS src, doc_id AS id, CAST(0 AS BIGINT) AS pos,
+           CAST(n_chars AS BIGINT) AS v
+    FROM documents
+    UNION ALL
+    SELECT 'doc', doc_id, CAST(1 AS BIGINT),
+           CAST(len(string_split(text, ' ')) AS BIGINT)
+    FROM documents
+)
+SELECT src, id, pos, v FROM emb
+UNION ALL
+SELECT src, id, pos, v FROM doc
+"""
+
+
+@query("scalar_generators", oracle=GENERATORS_ORACLE)
+def scalar_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator-function family beyond plain explode: ``posexplode``
+    (element + ordinal in one pass — the ordinal would otherwise need a
+    separate sequence join) over embedding prefixes, and ``inline``
+    (array<struct> → columns, the 1-row-to-N-typed-rows generator) over
+    per-document feature structs; both unioned into one long table.
+
+    Values quantize to integer micro-units (embeddings are float32 —
+    promoted to double BEFORE scaling, the house vector rule) so the
+    union hashes exactly. 100 TB: generators are map-side row expansion
+    with no shuffle at all — the plan is scan → generate → union.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.filter(F.size("embedding") >= GEN_DIMS)
+        .select(
+            "vec_id",
+            F.posexplode(F.slice("embedding", 1, GEN_DIMS)).alias(
+                "pos", "val"
+            ),
+        )
+        .select(
+            F.lit("emb").alias("src"),
+            F.col("vec_id").alias("id"),
+            F.col("pos").cast("long").alias("pos"),
+            F.floor(
+                F.col("val").cast("double") * 1000000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("pos"),
+                    F.col("n_chars").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("pos"),
+                    F.size(F.split("text", " ")).cast("long").alias("v"),
+                ),
+            )
+        ),
+    ).select(
+        F.lit("doc").alias("src"),
+        F.col("doc_id").alias("id"),
+        "pos",
+        "v",
+    )
+    return e.unionByName(d)
