@@ -18,6 +18,7 @@ import mapreduce_6_824_lab1_spark.operators.analytics  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.analytics2  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.analytics3  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.analytics4  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.analytics5  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.pipeline  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.curation  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.curation2  # noqa: F401

@@ -1,0 +1,343 @@
+"""Operational / planning analytics: cross-table data-quality
+expectations, range-partitioner boundary planning, OHLC downsampling.
+
+Reference scope: the reference checkout carries no equivalents (it is the
+MIT 6.824 MapReduce lab scaffold); these are the driver-mandated pipeline
+extensions (SURVEY.md §2.C lineage) a production ingest needs before any
+query in the rest of the registry can be trusted or scheduled:
+
+- expectations: every constraint is either a conditional count folded
+  into ONE scan of its table, or a conditional count folded into ONE
+  left join — never one job per rule. 7 rules cost 3 scans total.
+- range bounds: the exact version of what Spark's RangePartitioner
+  samples for. Value-grain compaction first (one hash shuffle), then the
+  distributed_sort bucket+offset trick for cumulative counts — no
+  single-partition window over fact-grain data anywhere.
+- OHLC: open/close are min/max over a (ts, id, value) struct — algebraic
+  aggregates, so the whole candle build is one partial-agg shuffle; the
+  textbook row_number() formulation needs a full sort per key first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from mapreduce_6_824_lab1_spark.catalog import load_table
+from mapreduce_6_824_lab1_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations — Deequ-style constraint audit, fused per scan
+# ---------------------------------------------------------------------------
+
+EXPECTATIONS_ORACLE = """
+WITH o AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+               AS null_custkey
+    FROM orders
+),
+oc AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+               AS orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+lo AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS orphans,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NOT NULL
+                                   AND l.l_shipdate < o.o_orderdate)
+                AS BIGINT) AS ship_before_order,
+           CAST(count(*) FILTER (WHERE l.l_quantity <= 0) AS BIGINT)
+               AS bad_qty,
+           CAST(count(*) FILTER (WHERE l.l_discount < 0
+                                    OR l.l_discount > 0.1) AS BIGINT)
+               AS bad_discount
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT constraint_name, n_checked, n_violations,
+       n_violations = 0 AS passed
+FROM (
+    SELECT 'orders_pk_unique' AS constraint_name, n AS n_checked,
+           dup_pk AS n_violations FROM o
+    UNION ALL SELECT 'orders_custkey_not_null', n, null_custkey FROM o
+    UNION ALL SELECT 'orders_fk_customer', n, orphans FROM oc
+    UNION ALL SELECT 'lineitem_fk_orders', n, orphans FROM lo
+    UNION ALL SELECT 'lineitem_ship_after_order', n, ship_before_order FROM lo
+    UNION ALL SELECT 'lineitem_quantity_positive', n, bad_qty FROM lo
+    UNION ALL SELECT 'lineitem_discount_domain', n, bad_discount FROM lo
+) t
+"""
+
+
+def _tall(wide: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """1-row wide metrics frame -> (constraint_name, n_checked, n_violations)
+    rows via ``inline`` — pure map-side expansion of an already-aggregated
+    single row, so adding rules never adds jobs."""
+    return wide.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint_name"),
+                        F.col("n").alias("n_checked"),
+                        F.col(col).alias("n_violations"),
+                    )
+                    for name, col in rules
+                ]
+            )
+        )
+    )
+
+
+@query("table_expectations", oracle=EXPECTATIONS_ORACLE)
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality expectation audit (the Deequ pattern):
+    PK uniqueness, NOT NULL, two referential-integrity rules, and three
+    domain rules, reported as a tall (constraint, checked, violations,
+    passed) table.
+
+    Scale design: rules are FUSED per input — all single-table orders
+    rules ride one aggregate over one scan; each FK rule is a left join
+    whose violation count is a conditional count in the SAME aggregate
+    that counts checked rows (no separate anti-join job); the
+    lineitem→orders join also carries the cross-table domain rule
+    (ship_after_order) for free. 7 rules = 3 jobs, and that ratio holds
+    at 100 TB because adding a rule on a covered table adds a column,
+    not a pass. Complements table_profile (per-column single-table
+    profiling, curation.py).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_pk"),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_custkey"),
+    )
+    oc = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == customer.c_custkey,
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("c_custkey").isNull()).alias("orphans"),
+        )
+    )
+    lo = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("o_orderkey").isNull()).alias("orphans"),
+            F.count_if(
+                F.col("o_orderkey").isNotNull()
+                & (F.col("l_shipdate") < F.col("o_orderdate"))
+            ).alias("ship_before_order"),
+            F.count_if(F.col("l_quantity") <= 0).alias("bad_qty"),
+            F.count_if(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ).alias("bad_discount"),
+        )
+    )
+
+    tall = (
+        _tall(
+            o,
+            [
+                ("orders_pk_unique", "dup_pk"),
+                ("orders_custkey_not_null", "null_custkey"),
+            ],
+        )
+        .unionByName(_tall(oc, [("orders_fk_customer", "orphans")]))
+        .unionByName(
+            _tall(
+                lo,
+                [
+                    ("lineitem_fk_orders", "orphans"),
+                    ("lineitem_ship_after_order", "ship_before_order"),
+                    ("lineitem_quantity_positive", "bad_qty"),
+                    ("lineitem_discount_domain", "bad_discount"),
+                ],
+            )
+        )
+    )
+    return tall.withColumn("passed", F.col("n_violations") == 0)
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioner boundary planning — exact balanced splits
+# ---------------------------------------------------------------------------
+
+_RB_K = 8  # target partition count
+_RB_BUCKET = 100_000  # $1000 coarse buckets over extendedprice cents
+
+RANGE_BOUNDS_ORACLE = f"""
+WITH v AS (
+    SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY 1
+),
+cum AS (
+    SELECT cents,
+           CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum_rows
+    FROM v
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+tgt AS (
+    SELECT CAST(i AS BIGINT) AS bucket_id,
+           (i * n + {_RB_K - 1}) // {_RB_K} AS target_rows
+    FROM generate_series(1, {_RB_K - 1}) AS gs(i), tot
+)
+SELECT t.bucket_id, t.target_rows,
+       CAST(min(c.cents) AS BIGINT) AS split_cents,
+       CAST(min(c.cum_rows) AS BIGINT) AS rows_le_split
+FROM tgt t JOIN cum c ON c.cum_rows >= t.target_rows
+GROUP BY t.bucket_id, t.target_rows
+"""
+
+
+@query("partition_range_bounds", oracle=RANGE_BOUNDS_ORACLE)
+def partition_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact balanced range-partition boundaries for lineitem ordered by
+    extendedprice — the planning step behind ``repartitionByRange`` /
+    RangePartitioner, computed exactly instead of by reservoir sampling.
+    Split i is the smallest value whose cumulative row count reaches
+    ceil(i·N/k).
+
+    Scale shape (the same trick distributed_sort pins): compact to value
+    grain with one hash aggregate, then cumulative counts WITHOUT a
+    single-partition window — a windowed local cumsum per coarse value
+    bucket plus a broadcast per-bucket offset join (bucket table is
+    ~100 rows). The k−1 targets are a broadcast literal join against the
+    value-grain table, then an argmin struct-fold. No sort or window ever
+    touches fact-grain data, so the plan survives 100 TB where the naive
+    ``row_number() OVER (ORDER BY price)`` collapses to one task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    v = (
+        li.select(cents.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bkt", F.expr(f"cents div {_RB_BUCKET}"))
+    )
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = v.withColumn("local_cum", F.sum("cnt").over(wloc))
+    btot = v.groupBy("bkt").agg(F.sum("cnt").alias("bkt_rows"))
+    woff = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # dimension-sized: ~100 coarse buckets, same shape as distributed_sort
+    offsets = btot.select(
+        "bkt", F.coalesce(F.sum("bkt_rows").over(woff), F.lit(0)).alias("off")
+    )
+    cum = local.join(broadcast(offsets), "bkt").select(
+        "cents", (F.col("local_cum") + F.col("off")).alias("cum_rows")
+    )
+
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    tgt = (
+        spark.range(1, _RB_K)
+        .select(F.col("id").alias("bucket_id"))
+        .crossJoin(broadcast(tot))
+        .select(
+            "bucket_id",
+            F.expr(f"(bucket_id * n + {_RB_K - 1}) div {_RB_K}").alias(
+                "target_rows"
+            ),
+        )
+    )
+    hit = cum.join(
+        broadcast(tgt), F.col("cum_rows") >= F.col("target_rows")
+    )
+    return hit.groupBy("bucket_id", "target_rows").agg(
+        F.min("cents").alias("split_cents"),
+        F.min("cum_rows").alias("rows_le_split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candle downsampling — one partial-agg shuffle, no per-key sort
+# ---------------------------------------------------------------------------
+
+OHLC_ORACLE = """
+WITH e AS (
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           event_type, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY week, event_type
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY week, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM e
+)
+SELECT week, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(min(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(sum(cents) AS BIGINT) AS volume_cents
+FROM r GROUP BY week, event_type
+"""
+
+
+@query("timeseries_ohlc", oracle=OHLC_ORACLE)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC candles per event type: open/close are the values at
+    the first/last (ts, event_id) of the window, high/low/volume the
+    min/max/sum of integer cents.
+
+    Open and close are min/max over a (ts, event_id, cents) STRUCT —
+    lexicographic struct comparison makes first/last-by-time an ALGEBRAIC
+    aggregate (partial-merge exact, deterministic because event_id is
+    unique), so the whole candle build is one partial-agg shuffle with
+    map-side combine. The textbook formulation (row_number per key, keep
+    rn=1 — what the oracle does) needs a full per-key sort first; at
+    100 TB that is a second shuffle plus a sort the struct fold never
+    pays. sum() stays on pre-quantized BIGINT cents (house vector rule).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return e.groupBy("week", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct("ts", "event_id", "cents"))
+        .getField("cents")
+        .alias("open_cents"),
+        F.max(F.struct("ts", "event_id", "cents"))
+        .getField("cents")
+        .alias("close_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+    )
