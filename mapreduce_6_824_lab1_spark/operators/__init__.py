@@ -22,5 +22,6 @@ import mapreduce_6_824_lab1_spark.operators.analytics5  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.pipeline  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.curation  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.curation2  # noqa: F401
+import mapreduce_6_824_lab1_spark.operators.curation3  # noqa: F401
 import mapreduce_6_824_lab1_spark.operators.embeddings  # noqa: F401
 import mapreduce_6_824_lab1_spark.sources  # noqa: F401
