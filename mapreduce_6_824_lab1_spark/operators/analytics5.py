@@ -341,3 +341,150 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("low_cents"),
         F.sum("cents").cast("long").alias("volume_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test — event type vs weekday
+# ---------------------------------------------------------------------------
+
+CHI2_ORACLE = """
+WITH obs AS (
+    SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type, weekday, n_obs,
+           CAST(sum(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+           CAST(sum(n_obs) OVER (PARTITION BY weekday) AS BIGINT) AS ct,
+           CAST(sum(n_obs) OVER () AS BIGINT) AS n
+    FROM obs
+)
+SELECT event_type, weekday, n_obs,
+       CAST(floor((CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000
+                  + 0.5) AS BIGINT) AS expected_micro,
+       CAST(floor(((CAST(n_obs AS DOUBLE)
+                    - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(n_obs AS DOUBLE)
+                      - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+FROM m
+"""
+
+
+@query("events_chi_square", oracle=CHI2_ORACLE)
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type × weekday: per-cell
+    observed counts, expected counts under independence, and the χ²
+    contribution — sum(contrib)/1e6 is the statistic, dof =
+    (|types|−1)(6). The A/B sibling of events_ab_ztest for >2 categories.
+
+    Scale shape: ONE fact-grain hash aggregate builds the contingency
+    table; every marginal (row/column/grand totals) is a window over that
+    |types|×7-row table, so the statistic costs one shuffle regardless of
+    event count. Expected/contrib are pinned-shape IEEE expressions
+    (identical operation sequence both engines) quantized to integer
+    micro-units, the house rule for hash-exact floats. rt·ct stays in
+    BIGINT (≤ n², overflow-safe until n ≈ 3·10⁹ cells — salt the product
+    into DOUBLE first beyond that, documented not needed at fixture
+    scales).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", F.weekday("ts").cast("long").alias("weekday"))
+        .groupBy("event_type", "weekday")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    rt = F.sum("n_obs").over(Window.partitionBy("event_type")).cast("long")
+    ct = F.sum("n_obs").over(Window.partitionBy("weekday")).cast("long")
+    # dimension-sized global window: |types|x7 rows, same shape family as
+    # partition_range_bounds' bucket-offset table
+    n = F.sum("n_obs").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ).cast("long")
+    m = obs.select("event_type", "weekday", "n_obs", rt.alias("rt"),
+                   ct.alias("ct"), n.alias("n"))
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    diff = F.col("n_obs").cast("double") - exp
+    return m.select(
+        "event_type",
+        "weekday",
+        "n_obs",
+        F.floor(exp * 1000000 + F.lit(0.5)).cast("long").alias(
+            "expected_micro"
+        ),
+        F.floor((diff * diff / exp) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("contrib_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — fraud/quality screening on amounts
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_PPM = {
+    str(d): int(_math.floor(_math.log10(1 + 1 / d) * 1_000_000 + 0.5))
+    for d in range(1, 10)
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+) + " END"
+
+BENFORD_ORACLE = f"""
+WITH d AS (
+    SELECT substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS digit
+    FROM orders
+),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+SELECT digit, n_orders,
+       (n_orders * 1000000) // n AS observed_ppm,
+       CAST({_BENFORD_CASE_SQL} AS BIGINT) AS benford_ppm
+FROM obs, tot
+"""
+
+
+@query("stats_benford_digits", oracle=BENFORD_ORACLE)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts: observed
+    first-significant-digit frequencies (integer ppm) next to the Benford
+    expectation log10(1+1/d) — the classic screen for fabricated or
+    truncated monetary data.
+
+    The first digit comes from the STRING form of exact integer cents
+    (never log10 on the engine — libm digits differ across JVMs/libcs),
+    and the Benford expectations are Python-computed integer literals
+    baked into both query and oracle, so no float ever crosses an engine
+    boundary. One fact aggregate over ≤9 groups + a broadcast grand
+    total; map-side combine makes the shuffle 9 rows per task at any
+    scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    d = orders.select(
+        F.substring(cents.cast("string"), 1, 1).alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = orders.agg(F.count(F.lit(1)).alias("n"))
+    benford = F.coalesce(
+        *[
+            F.when(F.col("digit") == dd, F.lit(ppm))
+            for dd, ppm in _BENFORD_PPM.items()
+        ]
+    )
+    return obs.crossJoin(broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        F.expr("(n_orders * 1000000) div n").alias("observed_ppm"),
+        benford.cast("long").alias("benford_ppm"),
+    )

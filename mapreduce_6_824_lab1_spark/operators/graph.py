@@ -332,3 +332,66 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("documents",):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(REACHABILITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Iterative frontier-dedup BFS — the production counterpart of the
+# recursive-CTE walk above (same graph, same oracle, different execution)
+# ---------------------------------------------------------------------------
+
+
+@query("graph_bfs_frontier", oracle=REACHABILITY_SQL)
+def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS from the first source node as an ITERATIVE DataFrame
+    loop with frontier dedup — the scale-correct execution of exactly the
+    computation ``sql_recursive_reachability`` expresses as WITH RECURSIVE
+    (shared oracle string: both must produce identical hop tables).
+
+    Why this form wins at scale: Spark's recursive CTE is UNION ALL only,
+    so every WALK survives — exponential (~7x/hop) on cyclic graphs. Here
+    each hop joins the frontier to the edge list, ``distinct()``s the new
+    frontier, and anti-joins the visited set, bounding every iteration's
+    state by |V| — cycles cost nothing. ``localCheckpoint`` cuts the
+    growing lineage each hop (the pagerank_sources recipe, graph.py:120),
+    and the loop exits early once a hop yields no unvisited node, so
+    bounded-diameter graphs never pay MAX_HOPS joins. Driver involvement
+    per hop is one empty-check on a node-grain frame — no fact-grain
+    collect."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    succ = docs.select(
+        F.col("doc_id").alias("tid"), F.col("source").alias("dst")
+    )
+    edges = (
+        docs.select(
+            (F.col("doc_id") + F.col("n_chars") % 7 + 1).alias("target_id"),
+            F.col("source").alias("src"),
+        )
+        .join(succ, F.col("target_id") == F.col("tid"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    root = docs.agg(F.min("source").alias("node"))
+    visited = root.select("node", F.lit(0).cast("long").alias("hops"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    try:
+        for depth in range(1, MAX_HOPS + 1):
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(
+                nxt.select("node", F.lit(depth).cast("long").alias("hops"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        edges.unpersist()
+    return visited.select(F.col("node").alias("source"), "hops")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 
 from mapreduce_6_824_lab1_spark import QUERIES
@@ -86,3 +87,69 @@ def test_reservoir_is_exact_k_smallest_hashes_via_takeordered(spark):
     # stability: the sample is the k-smallest-hash set, so restricting the
     # corpus to any superset of it reproduces it exactly (diffable samples)
     assert (got.sort_values("h")["h"].to_numpy() == ref["h"].to_numpy()).all()
+
+
+def test_chi_square_statistic_matches_python(spark):
+    got = QUERIES["events_chi_square"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    wd = pd.to_datetime(ev["ts"]).dt.weekday  # 0=Mon, matches F.weekday
+    ct = pd.crosstab(ev["event_type"], wd)
+    n = ct.to_numpy().sum()
+    chi2 = 0.0
+    cells = 0
+    for et in ct.index:
+        for d in ct.columns:
+            o = ct.loc[et, d]
+            if o == 0:
+                continue  # empty cells never appear in the grouped output
+            e = ct.loc[et].sum() * ct[d].sum() / n
+            row = got[(got["event_type"] == et) & (got["weekday"] == d)]
+            assert len(row) == 1
+            assert row["n_obs"].iloc[0] == o
+            # micro-quantized cell values agree with float recompute to 1 ULP
+            assert abs(row["expected_micro"].iloc[0] - e * 1e6) <= 1.0
+            contrib = (o - e) ** 2 / e
+            assert abs(row["contrib_micro"].iloc[0] - contrib * 1e6) <= 1.0
+            chi2 += contrib
+            cells += 1
+    assert cells == len(got)
+    assert abs(got["contrib_micro"].sum() / 1e6 - chi2) < 1e-3
+
+
+def test_benford_ppm_sums_and_expectations(spark):
+    import math
+
+    got = QUERIES["stats_benford_digits"](spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    first = pd.Series([str(c)[0] for c in cents])
+    ref = first.value_counts()
+    assert got["n_orders"].sum() == len(orders)
+    for _, row in got.iterrows():
+        assert row["n_orders"] == ref[row["digit"]]
+        d = int(row["digit"])
+        assert row["benford_ppm"] == math.floor(
+            math.log10(1 + 1 / d) * 1e6 + 0.5
+        )
+        assert row["observed_ppm"] == row["n_orders"] * 1_000_000 // len(
+            orders
+        )
+
+
+def test_bfs_frontier_equals_recursive_cte(spark):
+    bfs = (
+        QUERIES["graph_bfs_frontier"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("source", ignore_index=True)
+    )
+    rec = (
+        QUERIES["sql_recursive_reachability"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("source", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(bfs, rec, check_dtype=False)
+    # hop levels form a contiguous BFS layering from a single root
+    assert (bfs["hops"] == 0).sum() == 1
+    assert set(bfs["hops"]) == set(range(bfs["hops"].max() + 1))
