@@ -63,6 +63,11 @@ EXTENDED = [
     "cdc_apply_latest",
     "customer_rfm",
     "basket_pair_support",
+    "dedup_substring_ngrams",
+    "partition_range_bounds",
+    "timeseries_ohlc",
+    "table_expectations",
+    "events_chi_square",
 ]
 
 

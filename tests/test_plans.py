@@ -77,6 +77,14 @@ def test_no_python_udf_in_relational_paths(spark):
         "pareto_frontier",
         "sample_weighted",
         "events_path_topk",
+        "dedup_substring_ngrams",
+        "partition_range_bounds",
+        "timeseries_ohlc",
+        "table_expectations",
+        "text_vocab_coverage",
+        "events_chi_square",
+        "stats_benford_digits",
+        "sample_reservoir",
     ):
         plan = formatted_plan(QUERIES[key](spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
