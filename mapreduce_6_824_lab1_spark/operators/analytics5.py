@@ -488,3 +488,70 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_orders * 1000000) div n").alias("observed_ppm"),
         benford.cast("long").alias("benford_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tree-ensemble batch scoring — models compiled to CASE expressions
+# ---------------------------------------------------------------------------
+
+# A fitted tree ensemble is constants: batch inference at 100 TB is NOT a
+# UDF problem, it is expression compilation — each tree becomes a nested
+# CASE over the feature columns, whole-stage-codegen fuses the ensemble
+# into the scan, and scoring is map-only with zero Python. The shared SQL
+# string (TPC-H pattern) IS both the Spark query and the oracle.
+
+_T1_LEAF = """CASE WHEN cents < 5000000 THEN
+         CASE WHEN urgent THEN 'A1' ELSE 'A2' END
+       ELSE CASE WHEN status = 'F' THEN
+              CASE WHEN cents < 15000000 THEN 'A3' ELSE 'A4' END
+            ELSE 'A5' END END"""
+_T1_VAL = """CASE WHEN cents < 5000000 THEN
+         CASE WHEN urgent THEN 820000 ELSE 350000 END
+       ELSE CASE WHEN status = 'F' THEN
+              CASE WHEN cents < 15000000 THEN 150000 ELSE 90000 END
+            ELSE 600000 END END"""
+_T2_LEAF = """CASE WHEN urgent THEN
+         CASE WHEN cents < 2000000 THEN 'B1' ELSE 'B2' END
+       ELSE CASE WHEN status = 'O' THEN 'B3' ELSE 'B4' END END"""
+_T2_VAL = """CASE WHEN urgent THEN
+         CASE WHEN cents < 2000000 THEN 900000 ELSE 500000 END
+       ELSE CASE WHEN status = 'O' THEN 300000 ELSE 120000 END END"""
+
+TREE_SCORE_SQL = f"""
+WITH f AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+               AS urgent,
+           o_orderstatus AS status
+    FROM orders
+),
+s AS (
+    SELECT {_T1_LEAF} AS leaf1, {_T2_LEAF} AS leaf2,
+           CAST({_T1_VAL} + {_T2_VAL} AS BIGINT) AS score_micro
+    FROM f
+)
+SELECT leaf1, leaf2, score_micro, CAST(count(*) AS BIGINT) AS n_orders
+FROM s GROUP BY leaf1, leaf2, score_micro
+"""
+
+
+@query("score_tree_ensemble", oracle=TREE_SCORE_SQL)
+def score_tree_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference of a (hand-fitted) two-tree ensemble over order
+    features, audited as per-leaf-path populations with the ensemble
+    score in integer micro-units.
+
+    The point is the COMPILATION STRATEGY: a fitted tree is constants, so
+    scoring is nested CASE expressions the engine fuses into the scan via
+    whole-stage codegen — map-only, zero Python, zero shuffle before the
+    leaf-grain (≤5×4 cells) audit aggregate. This is how GBDT/RF models
+    deploy on 100 TB (export trees → SQL), versus a per-row UDF that
+    leaves codegen and pays serialization per row. Shared SQL string =
+    query and oracle (the sql_tpch pattern), so semantics are identical
+    by construction.
+    """
+    from mapreduce_6_824_lab1_spark.catalog import configure
+
+    configure(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(TREE_SCORE_SQL)

@@ -120,3 +120,101 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_sq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix (X^T X) — the distributed normal-equations / PCA primitive
+# ---------------------------------------------------------------------------
+
+GRAM_QUANT = 1_000_000  # per-row products quantize to integer micro-units
+
+GRAM_ORACLE = f"""
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[j] AS DOUBLE)
+                           * {GRAM_QUANT} + 0.5) AS BIGINT)) AS BIGINT)
+           AS g_micro
+FROM embeddings,
+     generate_series(1, {DIM}) AS g1(i),
+     generate_series(1, {DIM}) AS g2(j)
+WHERE j >= i
+GROUP BY i, j
+"""
+
+
+@query("embedding_gram_matrix", oracle=GRAM_ORACLE)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix X^T X over the embedding corpus (upper triangle,
+    d(d+1)/2 = 2080 cells at d=64) — the single aggregate behind
+    normal-equation linear regression, covariance/PCA, and ridge solvers
+    at scale: the driver only ever sees d² numbers, never a row.
+
+    Per-row outer products are generated JVM-side (nested sequence
+    transforms + one explode — no Python, no self-join) and quantized to
+    integer micro-units BEFORE the sum, so the matrix is an exact integer
+    and hash-identical cross-engine regardless of summation order (the
+    float-sum would not be). One hash aggregate with map-side combine:
+    each task emits at most 2080 partial cells however many rows it
+    scanned — the shuffle is O(tasks·d²), independent of corpus size.
+    Floats promote to DOUBLE before multiplying (house vector rule).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, {DIM}), i ->
+                      transform(sequence(i, {DIM}), j -> struct(
+                        CAST(i AS BIGINT) AS i,
+                        CAST(j AS BIGINT) AS j,
+                        CAST(floor(CAST(element_at(embedding, i) AS DOUBLE)
+                                   * CAST(element_at(embedding, j) AS DOUBLE)
+                                   * {GRAM_QUANT} + 0.5) AS BIGINT) AS p))))"""
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    return pairs.groupBy("i", "j").agg(
+        F.sum("p").cast("long").alias("g_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component — power iteration on the collected Gram matrix
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 200  # spectrum is tight on near-random embeddings (gap ratio ~0.93): 200 fixed iterations push the residual below 1e-6 while staying a <1 ms driver loop
+
+
+@query("embedding_pca_power")  # rows-only: eigenvectors aren't SQL
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding corpus via
+    power iteration on the Gram matrix — the two-phase PCA recipe that
+    actually scales: phase 1 is the distributed d²-cell integer aggregate
+    (``embedding_gram_matrix``), phase 2 collects only the d×d matrix and
+    iterates driver-side with numpy (64×64 — dimension-sized, the
+    pagerank/localCheckpoint rule for when driver math is legitimate).
+
+    Deterministic end to end: the Gram matrix is exact integer, the start
+    vector is all-ones, iteration count is fixed, and the sign is pinned
+    by making the largest-|loading| component positive. Output loadings
+    are micro-quantized. Verified against numpy.linalg.eigh in
+    tests/test_round4g.py (rows-only key — no SQL oracle can express an
+    eigenvector).
+    """
+    import numpy as np  # noqa: PLC0415 — driver-side, d×d only
+
+    cells = embedding_gram_matrix(spark, sf_dir).collect()  # 2080 rows
+    G = np.zeros((DIM, DIM))
+    for r in cells:
+        G[r["i"] - 1, r["j"] - 1] = r["g_micro"]
+        G[r["j"] - 1, r["i"] - 1] = r["g_micro"]
+    v = np.ones(DIM)
+    for _ in range(PCA_ITERS):
+        v = G @ v
+        v /= np.linalg.norm(v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    rows = [
+        (int(i + 1), int(np.floor(v[i] * GRAM_QUANT + 0.5)))
+        for i in range(DIM)
+    ]
+    return spark.createDataFrame(rows, "dim BIGINT, loading_micro BIGINT")

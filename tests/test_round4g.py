@@ -1,0 +1,86 @@
+"""Round-4g additions: Gram matrix / power-iteration PCA / tree-ensemble
+scoring — numpy and pandas recomputes for what the oracles can't express."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mapreduce_6_824_lab1_spark import QUERIES
+from mapreduce_6_824_lab1_spark.operators.embeddings import DIM, GRAM_QUANT
+from tests.conftest import SF_DIR
+
+
+def _gram_ref() -> np.ndarray:
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    # quantize each row's outer product to micro-units BEFORE summing,
+    # exactly as both engines do
+    G = np.zeros((DIM, DIM), dtype=np.int64)
+    for r in X:
+        G += np.floor(np.outer(r, r) * GRAM_QUANT + 0.5).astype(np.int64)
+    return G
+
+
+def test_gram_matrix_matches_numpy(spark):
+    got = QUERIES["embedding_gram_matrix"](spark, SF_DIR).toPandas()
+    G = _gram_ref()
+    assert len(got) == DIM * (DIM + 1) // 2
+    for _, row in got.iterrows():
+        assert row["j"] >= row["i"]
+        assert G[row["i"] - 1, row["j"] - 1] == row["g_micro"]
+
+
+def test_pca_power_matches_eigh(spark):
+    got = (
+        QUERIES["embedding_pca_power"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("dim", ignore_index=True)
+    )
+    G = _gram_ref().astype(np.float64)
+    w, V = np.linalg.eigh(G)
+    top = V[:, -1]
+    if top[int(np.argmax(np.abs(top)))] < 0:
+        top = -top
+    v = got["loading_micro"].to_numpy() / GRAM_QUANT
+    assert len(v) == DIM
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    cos = float(v @ top)
+    # power iteration from all-ones converges to the dominant eigenvector
+    assert cos > 0.9999, cos  # 200 iterations: residual (0.93)^200 ~ 5e-7
+
+
+def test_tree_scores_match_pandas(spark):
+    got = QUERIES["score_tree_ensemble"](spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    urgent = orders["o_orderpriority"].str.match(r"[12]").to_numpy()
+    status = orders["o_orderstatus"].to_numpy()
+
+    def t1(c, u, s):
+        if c < 5_000_000:
+            return ("A1", 820000) if u else ("A2", 350000)
+        if s == "F":
+            return ("A3", 150000) if c < 15_000_000 else ("A4", 90000)
+        return ("A5", 600000)
+
+    def t2(c, u, s):
+        if u:
+            return ("B1", 900000) if c < 2_000_000 else ("B2", 500000)
+        return ("B3", 300000) if s == "O" else ("B4", 120000)
+
+    ref: dict[tuple, list] = {}
+    for c, u, s in zip(cents, urgent, status):
+        l1, v1 = t1(c, u, s)
+        l2, v2 = t2(c, u, s)
+        k = (l1, l2, v1 + v2)
+        ref[k] = ref.get(k, 0) + 1
+    assert got["n_orders"].sum() == len(orders)
+    assert len(got) == len(ref)
+    for _, row in got.iterrows():
+        assert (
+            ref[(row["leaf1"], row["leaf2"], row["score_micro"])]
+            == row["n_orders"]
+        )
