@@ -218,3 +218,102 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(DIM)
     ]
     return spark.createDataFrame(rows, "dim BIGINT, loading_micro BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling — contrastive-training pair generation
+# ---------------------------------------------------------------------------
+
+NEG_K = 4
+_NEG_KNUTH = 2654435761
+_NEG_MOD = 4294967296
+
+NEGATIVES_ORACLE = f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cand AS (
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS anchor_label,
+           CAST(i AS BIGINT) AS slot,
+           ((e.vec_id + i) * {_NEG_KNUTH}) % {_NEG_MOD} % nn.n AS raw,
+           nn.n AS n
+    FROM embeddings e, generate_series(1, {NEG_K}) AS gs(i), nn
+),
+fix AS (
+    SELECT vec_id, anchor_label, slot,
+           CASE WHEN raw = vec_id THEN (raw + 1) % n ELSE raw END AS neg_id
+    FROM cand
+)
+SELECT c.vec_id, c.slot, c.neg_id, c.anchor_label,
+       CAST(e.label AS BIGINT) AS neg_label,
+       c.anchor_label != CAST(e.label AS BIGINT) AS is_informative
+FROM fix c JOIN embeddings e ON e.vec_id = c.neg_id
+"""
+
+
+@query("sample_contrastive_negatives", oracle=NEGATIVES_ORACLE)
+def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=4 deterministic negative samples per anchor vector for
+    contrastive training: candidate ids come from the pinned Knuth hash
+    over the dense key space (self-hits deflected to the next id), then
+    one equi-join fetches each negative's label and flags informative
+    pairs (different label).
+
+    RNG-free by design — the pair set is a pure function of the corpus,
+    so shuffling, retries, and re-runs reproduce identical training
+    pairs (the property epoch-reproducible pipelines need). Scale shape:
+    map-side candidate generation (explode of a K-element sequence), one
+    hash equi-join on the dense id — no sampling pass, no collect;
+    (vec_id+K)·knuth stays < 2⁶³ for ids < ~3·10⁹ (documented Knuth
+    domain rule, text_analysis.py:394).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        emb.select(
+            "vec_id", F.col("label").cast("long").alias("anchor_label")
+        )
+        .crossJoin(broadcast(nn))
+        .select(
+            "vec_id",
+            "anchor_label",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("slot"),
+            "n",
+        )
+        .select(
+            "vec_id",
+            "anchor_label",
+            F.col("slot").cast("long").alias("slot"),
+            F.pmod(
+                F.pmod(
+                    (F.col("vec_id") + F.col("slot")) * _NEG_KNUTH,
+                    F.lit(_NEG_MOD),
+                ),
+                F.col("n"),
+            ).alias("raw"),
+            "n",
+        )
+        .select(
+            "vec_id",
+            "anchor_label",
+            "slot",
+            F.when(
+                F.col("raw") == F.col("vec_id"),
+                F.pmod(F.col("raw") + 1, F.col("n")),
+            )
+            .otherwise(F.col("raw"))
+            .alias("neg_id"),
+        )
+    )
+    neg = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").cast("long").alias("neg_label"),
+    )
+    return cand.join(neg, "neg_id").select(
+        "vec_id",
+        "slot",
+        "neg_id",
+        "anchor_label",
+        "neg_label",
+        (F.col("anchor_label") != F.col("neg_label")).alias(
+            "is_informative"
+        ),
+    )

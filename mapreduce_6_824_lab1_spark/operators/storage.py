@@ -587,3 +587,70 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows BIGINT, n_errors BIGINT, value_cents BIGINT, n_null_users BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cache-backed multi-output fan-out — compute once, emit N aggregates
+# ---------------------------------------------------------------------------
+
+FANOUT_ORACLE = """
+WITH base AS (
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS order_cents
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT 'items_hist' AS metric, n_items AS k,
+       CAST(count(*) AS BIGINT) AS v
+FROM base GROUP BY n_items
+UNION ALL
+SELECT 'cents_bucket', order_cents // 10000000, CAST(count(*) AS BIGINT)
+FROM base GROUP BY 2
+"""
+
+
+@query("cached_fanout_reuse", oracle=FANOUT_ORACLE)
+def cached_fanout_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-output pipeline over ONE materialization of a shared base:
+    the per-order rollup is persisted, then two independent audits (item-
+    count histogram, $100k order-value buckets) read the CACHED rollup
+    instead of re-scanning lineitem — both branches show
+    ``InMemoryTableScan`` in the physical plan (pinned in test_plans).
+
+    This is the compute-once/emit-N shape every reporting pipeline hits:
+    without the persist, Spark's lazy evaluation re-runs the fact scan
+    and the order-grain shuffle per branch (no automatic common-subplan
+    reuse across a union's sides). At 100 TB the cached rollup is
+    order-grain (3 orders of magnitude smaller than lineitem) with
+    MEMORY_AND_DISK semantics, so the second branch costs its aggregate
+    only. Cents quantize per-row before the sum (house money rule).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("order_cents"),
+        )
+        .persist()
+    )
+    hist = base.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("v")
+    ).select(
+        F.lit("items_hist").alias("metric"),
+        F.col("n_items").alias("k"),
+        "v",
+    )
+    buckets = (
+        base.select(F.expr("order_cents div 10000000").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("cents_bucket").alias("metric"), "k", "v")
+    )
+    return hist.unionByName(buckets)

@@ -84,3 +84,40 @@ def test_tree_scores_match_pandas(spark):
             ref[(row["leaf1"], row["leaf2"], row["score_micro"])]
             == row["n_orders"]
         )
+
+
+def test_negatives_are_deterministic_informative_and_self_free(spark):
+    got = QUERIES["sample_contrastive_negatives"](spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    n = len(emb)
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    assert len(got) == n * 4
+    for _, r in got.iterrows():
+        raw = (r["vec_id"] + r["slot"]) * 2654435761 % 4294967296 % n
+        exp = (raw + 1) % n if raw == r["vec_id"] else raw
+        assert r["neg_id"] == exp
+        assert r["neg_id"] != r["vec_id"]  # never a self-pair
+        assert r["neg_label"] == labels[r["neg_id"]]
+        assert r["is_informative"] == (r["anchor_label"] != r["neg_label"])
+
+
+def test_cached_fanout_reads_cache_twice(spark):
+    df = QUERIES["cached_fanout_reuse"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    got = df.toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    cents = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    base = (
+        li.assign(cents=cents)
+        .groupby("l_orderkey")
+        .agg(n_items=("cents", "size"), order_cents=("cents", "sum"))
+    )
+    hist = base["n_items"].value_counts()
+    bucket = (base["order_cents"] // 10_000_000).value_counts()
+    h = got[got["metric"] == "items_hist"].set_index("k")["v"]
+    b = got[got["metric"] == "cents_bucket"].set_index("k")["v"]
+    assert h.sort_index().equals(hist.sort_index().astype("int64"))
+    assert b.sort_index().equals(bucket.sort_index().astype("int64"))
