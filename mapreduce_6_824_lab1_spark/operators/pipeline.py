@@ -82,3 +82,154 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining corpus build v2 — five curation stages, ONE lazy plan
+# ---------------------------------------------------------------------------
+
+_PP_GRAM = 8
+_PP_MIN_CHARS = 100
+_PP_MIN_TOKENS = 20
+_PP_EVAL_MOD = 97  # doc_id % 97 == 0 plays the held-out eval set
+_PP_SHARDS = 4
+
+PRETRAIN_ORACLE = f"""
+WITH gated AS (
+    SELECT doc_id, text,
+           (doc_id * {_KNUTH}) % {_MOD} AS h,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE n_chars >= {_PP_MIN_CHARS}
+      AND len(string_split(text, ' ')) >= {_PP_MIN_TOKENS}
+),
+deduped AS (
+    SELECT doc_id, text, h, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+    ) WHERE rn = 1
+),
+evalg AS (
+    SELECT DISTINCT array_to_string(t[i:i+{_PP_GRAM - 1}], ' ') AS gram
+    FROM (SELECT string_split(text, ' ') AS t,
+                 unnest(generate_series(1,
+                        len(string_split(text, ' ')) - {_PP_GRAM - 1})) AS i
+          FROM documents
+          WHERE doc_id % {_PP_EVAL_MOD} = 0
+            AND len(string_split(text, ' ')) >= {_PP_GRAM})
+),
+traing AS (
+    SELECT d.doc_id, array_to_string(t[i:i+{_PP_GRAM - 1}], ' ') AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(generate_series(1,
+                        len(string_split(text, ' ')) - {_PP_GRAM - 1})) AS i
+          FROM deduped) d
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id FROM traing t JOIN evalg e ON t.gram = e.gram
+),
+clean AS (
+    SELECT * FROM deduped
+    WHERE doc_id % {_PP_EVAL_MOD} != 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CASE WHEN h < {int(0.90 * _MOD)} THEN 'train'
+            WHEN h < {int(0.95 * _MOD)} THEN 'val'
+            ELSE 'test' END AS split,
+       (h // 65536) % {_PP_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(h) AS BIGINT) AS checksum
+FROM clean
+GROUP BY 1, 2
+"""
+
+
+def _token_grams(col: str, k: int):
+    """JVM-side token k-gram generator (the curation3 recipe)."""
+    return F.explode(
+        F.expr(
+            f"transform(sequence(1, size({col}) - {k - 1}),"
+            f" i -> array_join(slice({col}, i, {k}), ' '))"
+        )
+    )
+
+
+@query("pipeline_pretraining_corpus", oracle=PRETRAIN_ORACLE)
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining corpus build as ONE lazy plan: quality gate → exact
+    content dedup → eval-set decontamination → split assignment → shard
+    assignment → per-(split, shard) manifest with an order-insensitive
+    integer checksum. The v2 of ``pipeline_training_data``: five curation
+    stages (each also a standalone registry key family) composed so
+    Catalyst plans them as one DAG — no intermediate materialization,
+    filters and the md5 projection pushed into the shared scan.
+
+    Stage scale notes: the gate is map-only integer arithmetic; dedup is
+    min-of-struct per md5 digest (algebraic, map-side combine — bodies
+    shuffle once, 16-byte keys at 100 TB via the dedup_exact_fulltext
+    digest trick); decontamination broadcasts the EVAL gram set (eval
+    benchmarks are tiny by construction) into a semi-join marking +
+    anti-join drop, so the corpus never shuffles on grams; split/shard
+    are pure hash functions of the key (disjoint bit ranges of the same
+    Knuth hash, so shard is uncorrelated with split); the manifest
+    checksum is an exact BIGINT sum — stable under any row order,
+    diffable across corpus versions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gated = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.pmod(F.col("doc_id") * _KNUTH, F.lit(_MOD)).alias("h"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            "n_chars",
+        )
+        .filter(
+            (F.col("n_chars") >= _PP_MIN_CHARS)
+            & (F.col("n_tokens") >= _PP_MIN_TOKENS)
+        )
+        .drop("n_chars")
+    )
+    deduped = (
+        gated.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min(F.struct("doc_id", "text", "h", "n_tokens")).alias("s"))
+        .select("s.doc_id", "s.text", "s.h", "s.n_tokens")
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _PP_GRAM
+    )
+    evalg = (
+        toks.filter(F.pmod("doc_id", F.lit(_PP_EVAL_MOD)) == 0)
+        .select(_token_grams("t", _PP_GRAM).alias("gram"))
+        .distinct()
+    )
+    traing = deduped.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select("doc_id", _token_grams("t", _PP_GRAM).alias("gram"))
+    contaminated = traing.join(broadcast(evalg), "gram", "left_semi").select(
+        "doc_id"
+    ).distinct()
+    clean = deduped.filter(
+        F.pmod("doc_id", F.lit(_PP_EVAL_MOD)) != 0
+    ).join(contaminated, "doc_id", "left_anti")
+    split = (
+        F.when(F.col("h") < int(0.90 * _MOD), "train")
+        .when(F.col("h") < int(0.95 * _MOD), "val")
+        .otherwise("test")
+    )
+    return (
+        clean.select(
+            split.alias("split"),
+            F.pmod(F.expr("h div 65536"), F.lit(_PP_SHARDS)).alias("shard"),
+            "n_tokens",
+            "h",
+        )
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("h").cast("long").alias("checksum"),
+        )
+    )

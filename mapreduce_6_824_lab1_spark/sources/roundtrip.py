@@ -295,3 +295,64 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+BINARYFILE_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(len(text) + 1) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("source_binaryfile", oracle=BINARYFILE_ORACLE)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — Spark's whole-file reader (one row per file:
+    path, length, raw bytes), the ingestion path for opaque media payloads
+    (images/audio/archives) that feeds the multimodal mapInPandas
+    operators (operators/multimodal.py).
+
+    Fixture recipe: write documents as lang-partitioned text (any file
+    split the committer picks), read the directory back as whole binary
+    files, and audit PER LANG with file-split-insensitive aggregates —
+    total payload bytes and newline count — against the pristine-parquet
+    oracle (each written line is text+\\n, ASCII). Counting rows via byte
+    content proves the binary path is byte-faithful, not just present.
+    Scale note: binaryFile loads each file fully into one row — it is for
+    many small/medium objects (the partition-parallel case), never for
+    splittable big files; pathGlobFilter prunes at LISTING time, before
+    any byte is read.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        docs.select("lang", "text").write.mode("overwrite").partitionBy(
+            "lang"
+        ).text(path)
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.txt")
+            .load(path)
+        )
+        body = F.decode(F.col("content"), "UTF-8")
+        out = (
+            back.select(
+                F.regexp_extract("path", "lang=([^/]+)", 1).alias("lang"),
+                F.length("content").cast("long").alias("bytes"),
+                (
+                    F.length(body)
+                    - F.length(F.replace(body, F.lit("\n"), F.lit("")))
+                )
+                .cast("long")
+                .alias("lines"),
+            )
+            .groupBy("lang")
+            .agg(
+                F.sum("lines").cast("long").alias("n_lines"),
+                F.sum("bytes").cast("long").alias("total_bytes"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

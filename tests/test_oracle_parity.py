@@ -20,7 +20,8 @@ def test_oracle_parity(key, spark, duck):
 def test_all_queries_registered():
     # every query is either oracle-checked or explicitly rows-only
     rows_only = set(QUERIES) - set(ORACLES)
-    # sketch-based keys are the only sanctioned rows-only entries
+    # sketch/iterative-numeric keys are the only sanctioned rows-only
+    # entries (each carries a unit test pinning it to an exact reference)
     assert rows_only <= {
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -30,6 +31,7 @@ def test_all_queries_registered():
         "kmeans_embeddings",
         "agg_hll_merge",
         "agg_approx_topk",
+        "embedding_pca_power",  # eigenvector: numpy-pinned, not SQL
     }, f"unexpected rows-only queries: {rows_only}"
 
 

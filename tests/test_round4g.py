@@ -121,3 +121,53 @@ def test_cached_fanout_reads_cache_twice(spark):
     b = got[got["metric"] == "cents_bucket"].set_index("k")["v"]
     assert h.sort_index().equals(hist.sort_index().astype("int64"))
     assert b.sort_index().equals(bucket.sort_index().astype("int64"))
+
+
+def test_pretraining_pipeline_stage_invariants(spark):
+    got = QUERIES["pipeline_pretraining_corpus"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    K, MOD = 2654435761, 4294967296
+    toks = docs["text"].str.split(" ")
+    gated = docs[(docs["n_chars"] >= 100) & (toks.str.len() >= 20)].copy()
+    gated["n_tokens"] = toks.loc[gated.index].str.len()
+    gated["h"] = (gated["doc_id"] * K) % MOD
+    # exact dedup: first doc_id per text
+    deduped = gated.sort_values("doc_id").drop_duplicates("text")
+    # decontamination vs the doc_id%97 eval set, 8-gram overlap
+    def grams(t):
+        return {" ".join(t[i : i + 8]) for i in range(len(t) - 7)}
+    eval_grams = set()
+    for _, r in docs[docs["doc_id"] % 97 == 0].iterrows():
+        t = r["text"].split(" ")
+        if len(t) >= 8:
+            eval_grams |= grams(t)
+    def contaminated(text):
+        return bool(grams(text.split(" ")) & eval_grams)
+    clean = deduped[
+        (deduped["doc_id"] % 97 != 0)
+        & ~deduped["text"].map(contaminated)
+    ]
+    split = np.where(
+        clean["h"] < int(0.90 * MOD),
+        "train",
+        np.where(clean["h"] < int(0.95 * MOD), "val", "test"),
+    )
+    shard = (clean["h"] // 65536) % 4
+    ref = (
+        clean.assign(split=split, shard=shard)
+        .groupby(["split", "shard"])
+        .agg(
+            n_docs=("doc_id", "size"),
+            total_tokens=("n_tokens", "sum"),
+            checksum=("h", "sum"),
+        )
+        .reset_index()
+    )
+    merged = got.merge(
+        ref, on=["split", "shard"], suffixes=("", "_ref"), how="outer"
+    )
+    assert len(merged) == len(got) == len(ref)
+    for c in ("n_docs", "total_tokens", "checksum"):
+        assert (merged[c] == merged[f"{c}_ref"]).all(), c
+    # manifests cover exactly the clean corpus — nothing lost or doubled
+    assert got["n_docs"].sum() == len(clean)
