@@ -555,3 +555,167 @@ def score_tree_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(TREE_SCORE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis — the decision input for salting / AQE skew-join
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPN = 10
+
+
+def _skew_sql(name: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{name}' AS key_name, n_rows, n_keys,
+       (max_c * 1000000) // n_rows AS top1_ppm,
+       (top10 * 1000000) // n_rows AS top10_ppm
+FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS c
+            FROM {table} GROUP BY 1)) s,
+     (SELECT CAST(sum(c) AS BIGINT) AS top10
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c, {key} AS k
+            FROM {table} GROUP BY {key}
+            ORDER BY c DESC, k LIMIT {_SKEW_TOPN})) t
+"""
+
+
+SKEW_ORACLE = " UNION ALL ".join(
+    [
+        _skew_sql("orders.o_custkey", "orders", "o_custkey"),
+        _skew_sql("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        _skew_sql("events.user_id", "events", "user_id"),
+    ]
+)
+
+
+def _skew_audit(df: DataFrame, name: str, key: str) -> DataFrame:
+    kc = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = kc.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    t = (
+        kc.orderBy(F.desc("c"), "k")
+        .limit(_SKEW_TOPN)
+        .agg(F.sum("c").cast("long").alias("top10"))
+    )
+    return s.crossJoin(broadcast(t)).select(
+        F.lit(name).alias("key_name"),
+        "n_rows",
+        "n_keys",
+        F.expr("(max_c * 1000000) div n_rows").alias("top1_ppm"),
+        F.expr("(top10 * 1000000) div n_rows").alias("top10_ppm"),
+    )
+
+
+@query("diagnose_partition_skew", oracle=SKEW_ORACLE)
+def diagnose_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnosis for three hot keys: row and
+    distinct-key counts plus the ppm share of the heaviest key and the
+    top-10 keys — the numbers that decide between a plain hash join,
+    salting (join_skew_salted), and AQE skew-split (pinned live in
+    test_scale_stress).
+
+    Scale shape per key: one key-grain hash aggregate (map-side combine),
+    then dimension-sized folds — the top-10 head is TakeOrderedAndProject
+    over key-grain rows, never fact rows. This is exactly the planning
+    pass a 100 TB join should buy BEFORE shuffling: its cost is the
+    partial-agg scan, its output is 1 row, and a top1_ppm in the
+    hundreds of thousands says the plain join will stall on one task.
+    """
+    out = None
+    for name, table, key in (
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"),
+    ):
+        a = _skew_audit(load_table(spark, sf_dir, table), name, key)
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Equi-join cardinality estimation — Σ |A_k|·|B_k| on key-grain tables
+# ---------------------------------------------------------------------------
+
+
+def _card_sql(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+SELECT '{name}' AS join_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM {ta}) AS rows_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM {tb}) AS rows_right,
+       CAST(count(*) AS BIGINT) AS shared_keys,
+       CAST(sum(ca * cb) AS BIGINT) AS est_rows
+FROM (SELECT {ka} AS k, CAST(count(*) AS BIGINT) AS ca
+      FROM {ta} GROUP BY 1) a
+JOIN (SELECT {kb} AS k, CAST(count(*) AS BIGINT) AS cb
+      FROM {tb} GROUP BY 1) b USING (k)
+"""
+
+
+CARDINALITY_ORACLE = " UNION ALL ".join(
+    [
+        _card_sql(
+            "orders*customer", "orders", "o_custkey", "customer", "c_custkey"
+        ),
+        _card_sql(
+            "lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"
+        ),
+    ]
+)
+
+
+def _card_audit(
+    spark: SparkSession, sf_dir: str, name: str, ta: str, ka: str, tb: str, kb: str
+) -> DataFrame:
+    a = load_table(spark, sf_dir, ta)
+    b = load_table(spark, sf_dir, tb)
+    ga = a.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    gb = b.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    est = ga.join(gb, "k").agg(
+        F.count(F.lit(1)).alias("shared_keys"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("est_rows"),
+    )
+    na = a.agg(F.count(F.lit(1)).alias("rows_left"))
+    nb = b.agg(F.count(F.lit(1)).alias("rows_right"))
+    return (
+        est.crossJoin(broadcast(na))
+        .crossJoin(broadcast(nb))
+        .select(
+            F.lit(name).alias("join_name"),
+            "rows_left",
+            "rows_right",
+            "shared_keys",
+            "est_rows",
+        )
+    )
+
+
+@query("estimate_join_cardinality", oracle=CARDINALITY_ORACLE)
+def estimate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-join output cardinality WITHOUT running the join:
+    |A ⋈ B| = Σ_k |A_k|·|B_k| over the shared key domain — the CBO/AQE
+    statistic that predicts shuffle write volume before committing to a
+    plan (and the quantity diagnose_partition_skew's shares are ratios
+    of).
+
+    Scale shape: two key-grain partial aggregates + one key-grain join —
+    for an N-row fact with K distinct keys this costs O(K) shuffle rows
+    instead of the join's O(N); the identity est_rows == actual join
+    count is pinned in tests/test_round4g.py, which is what makes this
+    an EXACT planning primitive rather than a histogram guess.
+    """
+    return _card_audit(
+        spark, sf_dir, "orders*customer", "orders", "o_custkey",
+        "customer", "c_custkey",
+    ).unionByName(
+        _card_audit(
+            spark, sf_dir, "lineitem*orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey",
+        )
+    )

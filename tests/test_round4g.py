@@ -171,3 +171,46 @@ def test_pretraining_pipeline_stage_invariants(spark):
         assert (merged[c] == merged[f"{c}_ref"]).all(), c
     # manifests cover exactly the clean corpus — nothing lost or doubled
     assert got["n_docs"].sum() == len(clean)
+
+
+def test_cardinality_estimate_equals_actual_join(spark):
+    got = QUERIES["estimate_join_cardinality"](spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    actual = {
+        "orders*customer": len(
+            orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        ),
+        "lineitem*orders": len(
+            li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        ),
+    }
+    for _, r in got.iterrows():
+        # the sum-of-products "estimate" is EXACT for equi-joins
+        assert r["est_rows"] == actual[r["join_name"]], r["join_name"]
+
+
+def test_skew_shares_match_value_counts(spark):
+    got = QUERIES["diagnose_partition_skew"](spark, SF_DIR).toPandas()
+    frames = {
+        "orders.o_custkey": pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+            "o_custkey"
+        ],
+        "lineitem.l_suppkey": pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+            "l_suppkey"
+        ],
+        "events.user_id": pd.read_parquet(f"{SF_DIR}/events.parquet")[
+            "user_id"
+        ],
+    }
+    for _, r in got.iterrows():
+        s = frames[r["key_name"]]
+        vc = s.value_counts()
+        assert r["n_rows"] == len(s)
+        assert r["n_keys"] == s.nunique()
+        assert r["top1_ppm"] == vc.iloc[0] * 1_000_000 // len(s)
+        # top-10 tie-break is by key asc, but the SUM of any 10 largest
+        # counts is tie-insensitive
+        assert r["top10_ppm"] == vc.iloc[:10].sum() * 1_000_000 // len(s)
+        assert r["top1_ppm"] <= r["top10_ppm"] <= 1_000_000
