@@ -719,3 +719,176 @@ def estimate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders", "o_orderkey",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted percentiles — quantity-weighted price quantiles per group
+# ---------------------------------------------------------------------------
+
+WEIGHTED_PCT_ORACLE = """
+WITH v AS (
+    SELECT l_returnflag AS flag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+c AS (
+    SELECT flag, cents, w,
+           CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT)
+               AS cumw,
+           CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS totw
+    FROM v
+)
+SELECT flag, CAST(max(totw) AS BIGINT) AS w_total,
+       CAST(min(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+           AS p50_cents,
+       CAST(min(CASE WHEN 10 * cumw >= 9 * totw THEN cents END) AS BIGINT)
+           AS p90_cents
+FROM c GROUP BY flag
+"""
+
+
+@query("agg_weighted_percentile", oracle=WEIGHTED_PCT_ORACLE)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentiles (quantity-weighted p50/p90 of price per
+    return flag) — the operator percentile_approx cannot express and
+    plain percentile gets wrong (every unit of quantity counts, not every
+    row).
+
+    Scale shape: compact to (group, value)-grain with one hash aggregate
+    (weights sum map-side), then cumulative weight runs per group over
+    VALUE-grain rows (the pareto_frontier/partition_range_bounds
+    justification: the window never sees fact rows), and the quantile is
+    min(value | k·cumw ≥ p·totw) — integer cross-multiplied, no float
+    division anywhere, so it hashes exactly. Weights floor-round to
+    BIGINT (TPC-H quantities are integral).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("q").cast("long").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("flag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = v.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).cast("long").alias("cumw"),
+        F.sum("w").over(wtot).cast("long").alias("totw"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("totw").cast("long").alias("w_total"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents")))
+        .cast("long")
+        .alias("p50_cents"),
+        F.min(
+            F.when(10 * F.col("cumw") >= 9 * F.col("totw"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p90_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval union length — covered time under overlapping activity windows
+# ---------------------------------------------------------------------------
+
+_IVL_SPAN_US = 30 * 60 * 1_000_000  # each event covers [ts, ts+30min)
+
+INTERVAL_UNION_ORACLE = f"""
+WITH iv AS (
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS s,
+           CAST(epoch_us(ts) + {_IVL_SPAN_US} AS BIGINT) AS e
+    FROM events
+),
+m AS (
+    SELECT user_id, s, e,
+           CAST(max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS BIGINT) AS pmax
+    FROM iv
+),
+isl AS (
+    SELECT user_id, s, e,
+           CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS island
+    FROM m
+)
+SELECT user_id,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(mx - mn) AS BIGINT) AS covered_us
+FROM (SELECT user_id, island, min(s) AS mn, max(e) AS mx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM isl GROUP BY user_id, island)
+GROUP BY user_id
+"""
+
+
+@query("interval_union_length", oracle=INTERVAL_UNION_ORACLE)
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total COVERED time per user when each event opens a 30-minute
+    activity window — the interval-union problem (overlaps must count
+    once), the measurement behind 'active minutes' metrics.
+
+    Classic two-window solve, both windows over the user's own ordered
+    rows (one shuffle total): a running max of interval ends over
+    PRECEDING rows detects island starts (s > pmax), a running sum of
+    the start flags numbers islands, and each island contributes
+    max(end) − min(start) exactly once however deep its overlaps. All
+    arithmetic is integer µs — exact. The n_events ≥ n_islands and
+    covered ≤ n·span invariants are pinned in tests/test_round4g.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_IVL_SPAN_US)).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.select(
+        "user_id", "s", "e", F.max("e").over(wprev).alias("pmax")
+    )
+    flag = F.when(
+        F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+    ).otherwise(0)
+    wisl = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = m.select(
+        "user_id", "s", "e", F.sum(flag).over(wisl).alias("island")
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("mn"), F.max("e").alias("mx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("mx") - F.col("mn")).cast("long").alias("covered_us"),
+    )

@@ -214,3 +214,62 @@ def test_skew_shares_match_value_counts(spark):
         # counts is tie-insensitive
         assert r["top10_ppm"] == vc.iloc[:10].sum() * 1_000_000 // len(s)
         assert r["top1_ppm"] <= r["top10_ppm"] <= 1_000_000
+
+
+def test_weighted_percentile_matches_expansion(spark):
+    got = (
+        QUERIES["agg_weighted_percentile"](spark, SF_DIR)
+        .toPandas()
+        .set_index("flag")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    cents = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    q = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    df = pd.DataFrame(
+        {"flag": li["l_returnflag"], "cents": cents, "q": q}
+    )
+    for flag, g in df.groupby("flag"):
+        # brute-force: expand each row q times, take positional quantiles
+        exp = np.sort(np.repeat(g["cents"].to_numpy(), g["q"].to_numpy()))
+        tot = len(exp)
+        p50 = exp[int(np.ceil(tot * 0.5)) - 1]
+        p90 = exp[int(np.ceil(tot * 0.9)) - 1]
+        assert got.loc[flag, "w_total"] == tot
+        assert got.loc[flag, "p50_cents"] == p50, flag
+        assert got.loc[flag, "p90_cents"] == p90, flag
+
+
+def test_interval_union_matches_sweep(spark):
+    got = (
+        QUERIES["interval_union_length"](spark, SF_DIR)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    span = 30 * 60 * 1_000_000
+    us = (
+        pd.to_datetime(ev["ts"]).values.astype("datetime64[us]").astype(
+            "int64"
+        )
+    )
+    df = pd.DataFrame({"u": ev["user_id"], "s": us, "e": us + span})
+    for u, g in df.groupby("u"):
+        ivs = sorted(zip(g["s"], g["e"]))
+        covered, islands = 0, 0
+        cur_s, cur_e = None, None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+                islands += 1
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        assert got.loc[u, "n_events"] == len(ivs)
+        assert got.loc[u, "n_islands"] == islands
+        assert got.loc[u, "covered_us"] == covered
+        # unions never exceed the naive sum and never undercut one span
+        assert span <= covered <= len(ivs) * span
