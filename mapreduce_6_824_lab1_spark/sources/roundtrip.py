@@ -356,3 +356,104 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+DYN_OVERWRITE_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars + CASE WHEN lang = 'de' THEN 1000000 ELSE 0 END)
+            AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("sink_dynamic_partition_overwrite", oracle=DYN_OVERWRITE_ORACLE)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill sink mode:
+    a second write with ``partitionOverwriteMode=dynamic`` replaces ONLY
+    the partitions present in its input ('de' here, bumped by 1e6 chars
+    per doc), leaving every other partition's v1 files untouched; STATIC
+    mode (the default) would have truncated the whole table to one lang.
+
+    The read-back audit aggregates all partitions, so it fails BOTH
+    failure modes: if the backfill nuked the other langs the rows vanish,
+    and if it appended instead of replacing, 'de' double-counts. This is
+    how day-partitioned 100 TB tables take corrections — rewrite one
+    day's directory atomically (per-partition job commit), never the
+    table; partition pruning keeps the backfill's read side to the
+    affected day too.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+        v2 = docs.filter(F.col("lang") == "de").withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1_000_000)
+        )
+        v2.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("lang").parquet(path)
+        back = spark.read.parquet(path)
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+CODEC_ORACLE = """
+SELECT codec,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(checksum AS BIGINT) AS checksum
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars * ((doc_id % 97) + 1)) AS BIGINT) AS checksum
+      FROM documents) s,
+     (VALUES ('gzip'), ('snappy'), ('zstd')) AS c(codec)
+"""
+
+
+@query("sink_codec_roundtrip", oracle=CODEC_ORACLE)
+def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec fidelity: the same table written as parquet
+    under gzip, snappy, and zstd, re-read, and reduced to an
+    order-weighted integer checksum — one output row per codec, all
+    three REQUIRED to carry the identical checksum as the pristine
+    source (the oracle fans the source checksum across the codec list).
+
+    Codec choice is a scale lever, not a semantics lever — zstd ≈ gzip
+    ratios at snappy-class decode speed is why it's the modern 100 TB
+    default — and this audit is the proof the lever is safe to pull:
+    any decode drift in any codec breaks its row. File sizes are
+    deliberately NOT in the output (they vary by build), only content.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rows = []
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.col("n_chars") * (F.pmod("doc_id", F.lit(97)) + 1)
+        )
+        .cast("long")
+        .alias("checksum"),
+    )
+    out = None
+    for codec in ("gzip", "snappy", "zstd"):
+        path = _scratch()
+        try:
+            docs.write.mode("overwrite").option(
+                "compression", codec
+            ).parquet(path)
+            a = (
+                agg(spark.read.parquet(path))
+                .select(F.lit(codec).alias("codec"), "n_docs", "checksum")
+            )
+            a = spark.createDataFrame(a.collect(), a.schema)
+            out = a if out is None else out.unionByName(a)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -273,3 +273,26 @@ def test_interval_union_matches_sweep(spark):
         assert got.loc[u, "covered_us"] == covered
         # unions never exceed the naive sum and never undercut one span
         assert span <= covered <= len(ivs) * span
+
+
+def test_dynamic_overwrite_preserves_untouched_partitions(spark):
+    got = (
+        QUERIES["sink_dynamic_partition_overwrite"](spark, SF_DIR)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.groupby("lang").agg(
+        n_docs=("doc_id", "size"), total_chars=("n_chars", "sum")
+    )
+    for lang, row in ref.iterrows():
+        assert got.loc[lang, "n_docs"] == row["n_docs"], lang
+        bump = 1_000_000 * row["n_docs"] if lang == "de" else 0
+        assert got.loc[lang, "total_chars"] == row["total_chars"] + bump
+
+
+def test_codec_roundtrip_all_codecs_identical(spark):
+    got = QUERIES["sink_codec_roundtrip"](spark, SF_DIR).toPandas()
+    assert sorted(got["codec"]) == ["gzip", "snappy", "zstd"]
+    assert got["checksum"].nunique() == 1
+    assert got["n_docs"].nunique() == 1
