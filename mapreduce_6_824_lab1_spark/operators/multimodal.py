@@ -239,3 +239,109 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return payloads.mapInPandas(_audio_energy, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize (downsample) with the same deterministic fake decoder: payload
+# bytes as a W=16-column image, 2x2 integer average pooling. Swapping the
+# byte-grid "decoder" for PIL changes no Spark-side plumbing (environment
+# constraint documented at decode_image_batch).
+# ---------------------------------------------------------------------------
+
+IMG_W = 16
+POOL = 2
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_w long, out_h long, n_cells long, checksum long"
+)
+
+
+def _resize_pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """2x2 average-pool each payload's byte grid (floor arithmetic)."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        doc_ids, out_h, n_cells, checksum = [], [], [], []
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            h = len(b) // IMG_W
+            h2 = h - (h % POOL)
+            if h2 < POOL:
+                continue
+            a = np.frombuffer(b[: h2 * IMG_W], dtype=np.uint8).reshape(
+                h2, IMG_W
+            ).astype(np.int64)
+            pooled = (
+                a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2]
+            ) // 4
+            doc_ids.append(did)
+            out_h.append(pooled.shape[0])
+            n_cells.append(pooled.size)
+            checksum.append(int(pooled.sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "out_w": pd.Series(
+                    [IMG_W // POOL] * len(doc_ids), dtype="int64"
+                ),
+                "out_h": pd.Series(out_h, dtype="int64"),
+                "n_cells": pd.Series(n_cells, dtype="int64"),
+                "checksum": pd.Series(checksum, dtype="int64"),
+            }
+        )
+
+
+RESIZE_ORACLE = f"""
+WITH dims AS (
+    SELECT doc_id, text,
+           (len(text) // {IMG_W}) - ((len(text) // {IMG_W}) % {POOL}) AS h2
+    FROM documents
+),
+rows_i AS (
+    SELECT doc_id, text, h2,
+           unnest(generate_series(0, h2 // {POOL} - 1)) AS i
+    FROM dims WHERE h2 >= {POOL}
+),
+cells AS (
+    SELECT doc_id, h2, i, unnest(generate_series(0, {IMG_W // POOL - 1})) AS j
+    FROM rows_i
+),
+vals AS (
+    SELECT c.doc_id, c.h2,
+           (ascii(substr(d.text, CAST(2*c.i*{IMG_W} + 2*c.j + 1 AS INT), 1))
+          + ascii(substr(d.text, CAST(2*c.i*{IMG_W} + 2*c.j + 2 AS INT), 1))
+          + ascii(substr(d.text, CAST((2*c.i+1)*{IMG_W} + 2*c.j + 1 AS INT), 1))
+          + ascii(substr(d.text, CAST((2*c.i+1)*{IMG_W} + 2*c.j + 2 AS INT), 1))
+           ) // 4 AS pv
+    FROM cells c JOIN dims d USING (doc_id)
+)
+SELECT doc_id,
+       CAST({IMG_W // POOL} AS BIGINT) AS out_w,
+       CAST(max(h2) // {POOL} AS BIGINT) AS out_h,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(pv) AS BIGINT) AS checksum
+FROM vals GROUP BY doc_id
+"""
+
+
+@query("multimodal_resize", oracle=RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE (downsample) over binary payloads: each payload is
+    'decoded' to a 16-column byte grid and 2×2 integer average-pooled —
+    numpy-vectorized inside Arrow-batched ``mapInPandas``, the production
+    shape for thumbnailing/downsampling media at scale (map-only: one
+    payload in, one metadata+checksum row out; no shuffle anywhere).
+
+    The decoder is the documented deterministic fake (no media libs in
+    this container — decode_image_batch states the real contract); the
+    pooling arithmetic is REAL and floor-integer, and the oracle
+    recomputes every pooled cell relationally from the ASCII bytes, so
+    the Arrow transfer and the numpy pooling are verified value-exact,
+    not just shape-plausible. Rows shorter than one pooled row are
+    excluded on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(_resize_pool, schema=RESIZE_SCHEMA)

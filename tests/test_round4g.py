@@ -296,3 +296,30 @@ def test_codec_roundtrip_all_codecs_identical(spark):
     assert sorted(got["codec"]) == ["gzip", "snappy", "zstd"]
     assert got["checksum"].nunique() == 1
     assert got["n_docs"].nunique() == 1
+
+
+def test_resize_pooling_matches_numpy(spark):
+    got = (
+        QUERIES["multimodal_resize"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    seen = 0
+    for _, r in docs.iterrows():
+        b = r["text"].encode()
+        h2 = (len(b) // 16) - (len(b) // 16) % 2
+        if h2 < 2:
+            assert r["doc_id"] not in got.index
+            continue
+        a = np.frombuffer(b[: h2 * 16], dtype=np.uint8).reshape(h2, 16)
+        a = a.astype(np.int64)
+        pooled = (
+            a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2]
+        ) // 4
+        row = got.loc[r["doc_id"]]
+        assert row["out_w"] == 8 and row["out_h"] == h2 // 2
+        assert row["n_cells"] == pooled.size
+        assert row["checksum"] == pooled.sum()
+        seen += 1
+    assert seen == len(got)
