@@ -1374,3 +1374,86 @@ def scalar_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     )
     return e.unionByName(d)
+
+
+# ---------------------------------------------------------------------------
+# Multiset (ALL) set operations — EXCEPT ALL / INTERSECT ALL
+# ---------------------------------------------------------------------------
+
+SET_ALL_ORACLE = """
+WITH p95 AS (
+    SELECT l.l_partkey AS k FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+),
+p96 AS (
+    SELECT l.l_partkey AS k FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+)
+SELECT 'except_all_95_96' AS tag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM (SELECT k FROM p95 EXCEPT ALL SELECT k FROM p96)
+UNION ALL
+SELECT 'intersect_all_95_96',
+       CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT),
+       CAST(sum(k) AS BIGINT)
+FROM (SELECT k FROM p95 INTERSECT ALL SELECT k FROM p96)
+"""
+
+
+@query("set_ops_all", oracle=SET_ALL_ORACLE)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations over part-demand streams: EXCEPT ALL keeps
+    the multiplicity DIFFERENCE (a part bought 5× in '95 and 2× in '96
+    survives 3×), INTERSECT ALL the multiplicity MINIMUM — the semantics
+    ``set_ops``' DISTINCT variants erase, and what inventory/quota
+    reconciliation actually needs.
+
+    Spark plans both as count-aggregate + replicate-rows generators (no
+    sort-based de-dup): each side collapses to (key, count) grain in ONE
+    partial aggregate, then rows re-expand by the count arithmetic —
+    so the shuffle carries key-grain rows even when multiplicities are
+    huge, the right plan at 100 TB. The audit folds results to
+    (rows, keys, key-sum) so the output hashes regardless of expansion
+    order. exceptAll/intersectAll are the DataFrame API calls.
+    """
+    li, o = (
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+    def demand(y: int) -> DataFrame:
+        return (
+            li.join(
+                o.filter(
+                    (
+                        F.col("o_orderdate")
+                        >= F.lit(f"{y}-01-01").cast("timestamp")
+                    )
+                    & (
+                        F.col("o_orderdate")
+                        < F.lit(f"{y + 1}-01-01").cast("timestamp")
+                    )
+                ).select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+            )
+            .select(F.col("l_partkey").alias("k"))
+        )
+
+    p95, p96 = demand(1995), demand(1996)
+
+    def fold(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("k").alias("n_keys"),
+            F.sum("k").cast("long").alias("key_sum"),
+        ).select(F.lit(tag).alias("tag"), "n_rows", "n_keys", "key_sum")
+
+    return fold(p95.exceptAll(p96), "except_all_95_96").unionByName(
+        fold(p95.intersectAll(p96), "intersect_all_95_96")
+    )

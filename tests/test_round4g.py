@@ -323,3 +323,24 @@ def test_resize_pooling_matches_numpy(spark):
         assert row["checksum"] == pooled.sum()
         seen += 1
     assert seen == len(got)
+
+
+def test_set_ops_all_multiset_semantics(spark):
+    got = QUERIES["set_ops_all"](spark, SF_DIR).toPandas().set_index("tag")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    m = li.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey",
+                 right_on="o_orderkey")
+    y = pd.to_datetime(m["o_orderdate"]).dt.year
+    c95 = m[y == 1995]["l_partkey"].value_counts()
+    c96 = m[y == 1996]["l_partkey"].value_counts()
+    diff = (c95.subtract(c96, fill_value=0)).clip(lower=0).astype(int)
+    inter = pd.concat([c95, c96], axis=1).fillna(0).min(axis=1).astype(int)
+    ex = got.loc["except_all_95_96"]
+    assert ex["n_rows"] == diff.sum()
+    assert ex["n_keys"] == (diff > 0).sum()
+    assert ex["key_sum"] == (diff.index * diff).sum()
+    it = got.loc["intersect_all_95_96"]
+    assert it["n_rows"] == inter.sum()
+    assert it["n_keys"] == (inter > 0).sum()
+    assert it["key_sum"] == (inter.index * inter).sum()
