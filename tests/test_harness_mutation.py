@@ -1,0 +1,52 @@
+"""Mutation tests of the verification harness itself: assert_parity (and
+therefore the driver sim built on the same comparison) must DETECT each
+divergence class we rely on it to catch — planted value drift, an
+int-vs-float dtype split (the r03 cdc_apply_latest failure class), a
+missing/renamed column, and a row-count change. A harness that passes
+everything proves nothing; this file is the proof it can fail."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
+from tests.conftest import SF_DIR, assert_parity
+
+KEY = "wordcount"  # cheapest oracle-paired key
+
+
+def test_harness_detects_value_drift(spark, duck):
+    df = QUERIES[KEY](spark, SF_DIR)
+    # oracle with every count shifted by 1: identical shape, wrong values
+    mutated = f"SELECT word, cnt + 1 AS cnt FROM ({ORACLES[KEY]})"
+    with pytest.raises(AssertionError):
+        assert_parity(df, mutated, duck)
+
+
+def test_harness_detects_int_float_dtype_split(spark, duck):
+    df = QUERIES[KEY](spark, SF_DIR)
+    # numerically identical but float-typed — the HUGEINT→float64 class
+    # that slipped past the pre-r04 tolerance path and failed the real
+    # driver's hash compare (ADVICE r3 item 3)
+    mutated = f"SELECT word, CAST(cnt AS DOUBLE) AS cnt FROM ({ORACLES[KEY]})"
+    with pytest.raises(AssertionError, match="dtype mismatch"):
+        assert_parity(df, mutated, duck)
+
+
+def test_harness_detects_renamed_column(spark, duck):
+    df = QUERIES[KEY](spark, SF_DIR)
+    mutated = f"SELECT word, cnt AS n_occurrences FROM ({ORACLES[KEY]})"
+    with pytest.raises(AssertionError, match="column mismatch"):
+        assert_parity(df, mutated, duck)
+
+
+def test_harness_detects_dropped_rows(spark, duck):
+    df = QUERIES[KEY](spark, SF_DIR)
+    mutated = f"SELECT * FROM ({ORACLES[KEY]}) WHERE word != 'the'"
+    with pytest.raises(AssertionError, match="row count"):
+        assert_parity(df, mutated, duck)
+
+
+def test_harness_passes_the_unmutated_oracle(spark, duck):
+    # control: the same comparison with the real oracle is green
+    assert_parity(QUERIES[KEY](spark, SF_DIR), ORACLES[KEY], duck)
