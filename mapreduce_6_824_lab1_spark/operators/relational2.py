@@ -1457,3 +1457,101 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold(p95.exceptAll(p96), "except_all_95_96").unionByName(
         fold(p95.intersectAll(p96), "intersect_all_95_96")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source survivorship (MDM "golden record" merge)
+# ---------------------------------------------------------------------------
+
+SURVIVORSHIP_ORACLE = """
+WITH feeds AS (
+    SELECT o_custkey AS custkey,
+           CASE o_orderkey % 3 WHEN 0 THEN 'crm' WHEN 1 THEN 'erp'
+                ELSE 'web' END AS feed,
+           CAST(o_orderkey % 3 AS BIGINT) AS precedence,
+           o_orderdate, o_orderkey, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+latest_per_feed AS (
+    SELECT custkey, feed, precedence, o_orderstatus AS status, cents
+    FROM (SELECT *, row_number() OVER (PARTITION BY custkey, feed
+                                       ORDER BY o_orderdate DESC,
+                                                o_orderkey DESC) AS rn
+          FROM feeds)
+    WHERE rn = 1
+)
+SELECT custkey,
+       min(feed) FILTER (WHERE precedence = best) AS chosen_source,
+       min(status) FILTER (WHERE precedence = best) AS status,
+       CAST(min(cents) FILTER (WHERE precedence = best) AS BIGINT)
+           AS cents,
+       CAST(count(*) AS BIGINT) AS n_feeds_present
+FROM (SELECT *, min(precedence) OVER (PARTITION BY custkey) AS best
+      FROM latest_per_feed)
+GROUP BY custkey
+"""
+
+
+@query("mdm_survivorship", oracle=SURVIVORSHIP_ORACLE)
+def mdm_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data survivorship: three derived source feeds (crm/erp/web,
+    trust order = precedence) each contribute their FRESHEST record per
+    customer; the golden record is the highest-precedence feed's view,
+    with a feed-coverage count for stewardship.
+
+    Both levels are algebraic struct folds, NOT windows: latest-per-feed
+    is max(struct(date, key, status, cents)) per (customer, feed), and
+    the survivor is min(struct(precedence, record)) per customer — two
+    partial-agg shuffles on the same key prefix (Catalyst reuses the
+    partitioning for the second, narrower aggregate), with map-side
+    combine at both. The oracle spells the same cascade as the textbook
+    double row_number/window form. This is the bronze→silver merge rule
+    every multi-system ingest needs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    feeds = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.element_at(
+            F.array(F.lit("crm"), F.lit("erp"), F.lit("web")),
+            (F.pmod("o_orderkey", F.lit(3)) + 1).cast("int"),
+        ).alias("feed"),
+        F.pmod("o_orderkey", F.lit(3)).cast("long").alias("precedence"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    latest = (
+        feeds.groupBy("custkey", "feed", "precedence")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_orderstatus", "cents")
+            ).alias("r")
+        )
+        .select(
+            "custkey",
+            "feed",
+            "precedence",
+            F.col("r.o_orderstatus").alias("status"),
+            F.col("r.cents").alias("cents"),
+        )
+    )
+    return (
+        latest.groupBy("custkey")
+        .agg(
+            F.min(
+                F.struct("precedence", "feed", "status", "cents")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_feeds_present"),
+        )
+        .select(
+            "custkey",
+            F.col("s.feed").alias("chosen_source"),
+            F.col("s.status").alias("status"),
+            F.col("s.cents").alias("cents"),
+            "n_feeds_present",
+        )
+    )

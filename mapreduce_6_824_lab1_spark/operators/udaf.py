@@ -15,6 +15,7 @@ import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark.catalog import load_table
 from mapreduce_6_824_lab1_spark.functions.numeric import sql_hround
@@ -267,4 +268,80 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM mr_per_user_stats("
         "TABLE(mr_udtf_events) PARTITION BY user_id)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance — the inherently-sequential recurrence class
+# ---------------------------------------------------------------------------
+
+BALANCE_CAP = 500
+
+BALANCE_SCHEMA = (
+    "partkey long, n_moves long, final_balance long, "
+    "n_clamped_low long, n_clamped_high long"
+)
+
+
+def _fold_balance(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-part sequential fold: b ← clamp(b + delta, 0, CAP)."""
+    pdf = pdf.sort_values(
+        ["l_shipdate", "l_orderkey", "l_linenumber"], ignore_index=True
+    )
+    b = 0
+    lo = hi = 0
+    for d in pdf["delta"]:
+        b += int(d)
+        if b < 0:
+            b = 0
+            lo += 1
+        elif b > BALANCE_CAP:
+            b = BALANCE_CAP
+            hi += 1
+    return pd.DataFrame(
+        {
+            "partkey": [int(pdf["l_partkey"].iloc[0])],
+            "n_moves": [len(pdf)],
+            "final_balance": [b],
+            "n_clamped_low": [lo],
+            "n_clamped_high": [hi],
+        }
+    )
+
+
+@query("running_balance_clamped")  # rows-only: clamped prefix recurrences
+def running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory balance per part under a clamp: receipts (+qty when
+    linestatus='O') and issues (−qty otherwise) fold in shipdate order
+    through b ← clamp(b + Δ, 0, 500), reporting the final level and how
+    often each bound bit.
+
+    This key exists to place the SEQUENTIAL-RECURRENCE class honestly:
+    clamp(prefix-sum) is NOT expressible in window algebra (the clamp
+    couples every step to the last, unlike EWMA's linear recurrence that
+    timeseries_ewma unrolls), so the right Spark tool is a grouped
+    Arrow-batched ``applyInPandas`` — ONE shuffle on the entity key, the
+    per-key fold runs where the rows already are, constant memory per
+    key. No SQL oracle CAN express it (a DuckDB recursive CTE would
+    iterate per key); correctness is pinned by an independent Python
+    recompute in tests/test_round4g.py, the same treatment as the other
+    rows-only keys. Scale: state is one integer per key; the sort is
+    within each key's partition-local group, never global.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    moves = li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_linestatus") == "O",
+            F.floor(F.col("l_quantity") + F.lit(0.5)),
+        )
+        .otherwise(-F.floor(F.col("l_quantity") + F.lit(0.5)))
+        .cast("long")
+        .alias("delta"),
+    )
+    return moves.groupBy("l_partkey").applyInPandas(
+        _fold_balance, schema=BALANCE_SCHEMA
     )

@@ -32,6 +32,7 @@ def test_all_queries_registered():
         "agg_hll_merge",
         "agg_approx_topk",
         "embedding_pca_power",  # eigenvector: numpy-pinned, not SQL
+        "running_balance_clamped",  # clamped recurrence: python-pinned
     }, f"unexpected rows-only queries: {rows_only}"
 
 

@@ -344,3 +344,56 @@ def test_set_ops_all_multiset_semantics(spark):
     assert it["n_rows"] == inter.sum()
     assert it["n_keys"] == (inter > 0).sum()
     assert it["key_sum"] == (inter.index * inter).sum()
+
+
+def test_mdm_survivorship_matches_pandas(spark):
+    got = (
+        QUERIES["mdm_survivorship"](spark, SF_DIR)
+        .toPandas()
+        .set_index("custkey")
+        .sort_index()
+    )
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o = o.assign(
+        precedence=o["o_orderkey"] % 3,
+        feed=(o["o_orderkey"] % 3).map({0: "crm", 1: "erp", 2: "web"}),
+        cents=np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+            "int64"
+        ),
+    )
+    latest = (
+        o.sort_values(["o_orderdate", "o_orderkey"])
+        .groupby(["o_custkey", "feed"], as_index=False)
+        .last()
+    )
+    for ck, g in latest.groupby("o_custkey"):
+        best = g.loc[g["precedence"].idxmin()]
+        assert got.loc[ck, "chosen_source"] == best["feed"]
+        assert got.loc[ck, "status"] == best["o_orderstatus"]
+        assert got.loc[ck, "cents"] == best["cents"]
+        assert got.loc[ck, "n_feeds_present"] == len(g)
+
+
+def test_running_balance_matches_python_fold(spark):
+    got = (
+        QUERIES["running_balance_clamped"](spark, SF_DIR)
+        .toPandas()
+        .set_index("partkey")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    q = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    li = li.assign(delta=np.where(li["l_linestatus"] == "O", q, -q))
+    for pk, g in li.groupby("l_partkey"):
+        g = g.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])
+        b = lo = hi = 0
+        for d in g["delta"]:
+            b += int(d)
+            if b < 0:
+                b, lo = 0, lo + 1
+            elif b > 500:
+                b, hi = 500, hi + 1
+        assert got.loc[pk, "n_moves"] == len(g)
+        assert got.loc[pk, "final_balance"] == b
+        assert got.loc[pk, "n_clamped_low"] == lo
+        assert got.loc[pk, "n_clamped_high"] == hi
+    assert got["final_balance"].between(0, 500).all()
