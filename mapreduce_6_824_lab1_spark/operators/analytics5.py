@@ -892,3 +892,94 @@ def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("mx") - F.col("mn")).cast("long").alias("covered_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Max concurrency — distributed sweep-line over session intervals
+# ---------------------------------------------------------------------------
+
+MAX_CONCURRENCY_ORACLE = f"""
+WITH pts AS (
+    SELECT CAST(epoch_us(ts) AS BIGINT) AS t, CAST(1 AS BIGINT) AS d,
+           event_id
+    FROM events
+    UNION ALL
+    SELECT CAST(epoch_us(ts) + {_IVL_SPAN_US} AS BIGINT), CAST(-1 AS BIGINT),
+           event_id
+    FROM events
+),
+sweep AS (
+    SELECT t, d,
+           CAST(sum(d) OVER (ORDER BY t, d, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS conc
+    FROM pts
+)
+SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+       CAST(max(conc) AS BIGINT) AS max_concurrent,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM sweep
+GROUP BY 1
+"""
+
+
+@query("events_max_concurrency", oracle=MAX_CONCURRENCY_ORACLE)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day when every event opens a
+    30-minute window — the capacity-planning number (how many sessions
+    were alive at once), via the classic sweep line: +1/−1 boundary
+    points, globally ordered running sum, per-day max. Ends sort before
+    coincident starts (d = −1 first), matching half-open [s, e)
+    intervals.
+
+    The global ordered prefix sum is the scale problem — a naive
+    ``sum() OVER (ORDER BY t)`` is a single-partition window over 2N
+    fact rows. This plan reuses distributed_sort's bucket+offset trick
+    at the SWEEP grain: points bucket by hour, the running sum is
+    windowed WITHIN each hour bucket, and each bucket's starting
+    concurrency is the broadcast cumulative sum of whole-bucket deltas
+    (hour-grain, dimension-sized). The oracle spells the single-window
+    form DuckDB can afford single-node; results are identical because
+    prefix sums compose associatively across the bucket cut.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).cast("long").alias("d"),
+        "event_id",
+    )
+    ends = ev.select(
+        (F.unix_micros("ts") + F.lit(_IVL_SPAN_US)).alias("t"),
+        F.lit(-1).cast("long").alias("d"),
+        "event_id",
+    )
+    pts = starts.unionByName(ends).withColumn(
+        "bkt", F.expr("t div 3600000000")
+    )
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.withColumn("local_sum", F.sum("d").over(wloc))
+    btot = pts.groupBy("bkt").agg(F.sum("d").alias("bd"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "bkt", F.coalesce(F.sum("bd").over(woff), F.lit(0)).alias("off")
+    )  # hour-grain: dimension-sized single-partition window
+    sweep = local.join(broadcast(offsets), "bkt").select(
+        "t", (F.col("local_sum") + F.col("off")).cast("long").alias("conc")
+    )
+    return (
+        sweep.select(
+            F.date_format(F.timestamp_micros("t"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "conc",
+        )
+        .groupBy("day")
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

@@ -673,3 +673,113 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PMI_TOP_K)
         .select("bigram", "cnt", "pmi_micro", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 query ranking — the IR scorer TF-IDF feeds
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+BM25_QUERY = ("column", "window", "customer")
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in BM25_QUERY)
+
+BM25_ORACLE = f"""
+WITH q(term) AS (VALUES {_BM25_TERMS_SQL}),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM w JOIN q ON w.word = q.term GROUP BY 1, 2),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS total_len
+          FROM documents),
+dlen AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                    AS dl
+         FROM documents),
+scored AS (
+    SELECT tf.doc_id,
+           sum(
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * dlen.dl
+                  / (CAST(stats.total_len AS DOUBLE) / stats.n)))
+           ) AS s
+    FROM tf JOIN df USING (word)
+         JOIN dlen USING (doc_id)
+         CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       floor(s * 1000000 + 0.5) / 1000000 AS score,
+       CAST(row_number() OVER (ORDER BY floor(s * 1000000 + 0.5) DESC,
+                               doc_id) AS BIGINT) AS rnk
+FROM scored
+ORDER BY rnk LIMIT {BM25_TOP}
+"""
+
+
+@query("text_bm25_ranking", oracle=BM25_ORACLE)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed 3-term query — the IR
+    scorer built on the same tf/df/length statistics as text_tfidf, with
+    Robertson idf and tf saturation (k1=1.2, b=0.75).
+
+    Scale shape: the posting scan filters to QUERY terms before any
+    aggregation (a 3-term IN pushed into the explode), so tf is
+    |query|·|matching docs| rows, never the full posting table; df and
+    the corpus stats are broadcast 1-row/3-row aggregates, and the head
+    is a TakeOrdered cut. Scores follow the text_tfidf float discipline:
+    one pinned-shape IEEE expression per term (ln agrees across engines
+    at these arguments), micro-quantized before ranking so ties and
+    hashes are exact; per-doc term order cannot matter because the
+    term-sum runs over ≤3 values whose quantized total is pinned by the
+    6-decimal floor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_of(docs, "doc_id").filter(F.col("word").isin(list(BM25_QUERY)))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_len"),
+    )
+    dlen = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0
+        - BM25_B
+        + BM25_B
+        * F.col("dl")
+        / (F.col("total_len").cast("double") / F.col("n"))
+    )
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(broadcast(df), "word")
+        .join(dlen, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+    )
+    ranked = scored.select(
+        "doc_id",
+        (F.floor(F.col("s") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "score"
+        ),
+        F.floor(F.col("s") * 1000000 + F.lit(0.5)).alias("smicro"),
+    )
+    win = Window.orderBy(F.desc("smicro"), "doc_id")
+    return (
+        ranked.orderBy(F.desc("smicro"), "doc_id")
+        .limit(BM25_TOP)
+        .withColumn("rnk", F.row_number().over(win).cast("long"))
+        .select("doc_id", "score", "rnk")
+    )

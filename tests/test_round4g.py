@@ -397,3 +397,70 @@ def test_running_balance_matches_python_fold(spark):
         assert got.loc[pk, "n_clamped_low"] == lo
         assert got.loc[pk, "n_clamped_high"] == hi
     assert got["final_balance"].between(0, 500).all()
+
+
+def test_bm25_matches_python_scoring(spark):
+    import math
+
+    got = (
+        QUERIES["text_bm25_ranking"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("rnk", ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    N = len(docs)
+    avg = toks.str.len().sum() / N
+    query = ("column", "window", "customer")
+    dfreq = {
+        t: int(toks.map(lambda ws, t=t: t in ws).sum()) for t in query
+    }
+    scores = {}
+    for did, ws in zip(docs["doc_id"], toks):
+        s = 0.0
+        for t in query:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((N - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ws) / avg))
+        if s > 0:
+            scores[did] = math.floor(s * 1e6 + 0.5)
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(got["doc_id"]) == [d for d, _ in ref]
+    for (d, smicro), (_, row) in zip(ref, got.iterrows()):
+        assert abs(row["score"] * 1e6 - smicro) <= 1.0
+
+
+def test_max_concurrency_matches_sweep(spark):
+    got = (
+        QUERIES["events_max_concurrency"](spark, SF_DIR)
+        .toPandas()
+        .set_index("day")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    span = 30 * 60 * 1_000_000
+    us = (
+        pd.to_datetime(ev["ts"]).values.astype("datetime64[us]").astype(
+            "int64"
+        )
+    )
+    pts = sorted(
+        [(t, 1, e) for t, e in zip(us, ev["event_id"])]
+        + [(t + span, -1, e) for t, e in zip(us, ev["event_id"])],
+        key=lambda p: (p[0], p[1], p[2]),
+    )
+    conc = 0
+    best: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for t, d, _ in pts:
+        conc += d
+        day = str(np.array(int(t), dtype="datetime64[us]").astype("datetime64[D]"))
+        best[day] = max(best.get(day, -10**9), conc)
+        counts[day] = counts.get(day, 0) + 1
+    assert set(got.index) == set(best)
+    for day in best:
+        assert got.loc[day, "max_concurrent"] == best[day], day
+        assert got.loc[day, "n_points"] == counts[day]
+    # sanity: concurrency returns to zero after the final point
+    assert conc == 0
