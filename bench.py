@@ -68,6 +68,12 @@ EXTENDED = [
     "timeseries_ohlc",
     "table_expectations",
     "events_chi_square",
+    "pipeline_pretraining_corpus",
+    "embedding_gram_matrix",
+    "text_bm25_ranking",
+    "events_max_concurrency",
+    "interval_union_length",
+    "agg_weighted_percentile",
 ]
 
 

@@ -983,3 +983,158 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average price — duration-weighted means per (type, day)
+# ---------------------------------------------------------------------------
+
+TWAP_ORACLE = """
+WITH e AS (
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(epoch_us(date_trunc('day', ts)) + 86400000000 AS BIGINT)
+               AS day_end_us,
+           CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+d AS (
+    SELECT event_type, day, cents,
+           (coalesce(lead(us) OVER (PARTITION BY event_type, day
+                                    ORDER BY us, event_id),
+                     day_end_us) - us) // 1000000 AS dur_s
+    FROM e
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(dur_s) AS BIGINT) AS held_s,
+       CAST(sum(cents * dur_s) AS BIGINT) AS weighted_cents_s,
+       CAST(sum(cents * dur_s) // greatest(sum(dur_s), 1) AS BIGINT)
+           AS twap_cents
+FROM d GROUP BY event_type, day
+"""
+
+
+@query("timeseries_twap", oracle=TWAP_ORACLE)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (event type, day): each
+    observation holds until the next one (or the day boundary), and the
+    mean weights by integer holding seconds — the TWAP every execution/
+    billing system computes, where the row-weighted mean is simply
+    wrong for irregular arrivals.
+
+    Overflow-proof BY CONSTRUCTION, not by fixture luck: per (type, day)
+    the holding durations sum to ≤ 86 400 s whatever the event count, so
+    Σ cents·dur_s ≤ max_cents·86 400 ≈ 9·10¹¹ — bounded at ANY corpus
+    scale, which is why the weights are day-clipped seconds and not µs.
+    One window pass per (type, day) partition (lead + day-end coalesce),
+    one aggregate; the division is integer floor-division at the very
+    end, so the whole result is exact BIGINT arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_start = F.date_trunc("day", "ts")
+    e = ev.select(
+        "event_type",
+        F.date_format(day_start, "yyyy-MM-dd").alias("day"),
+        (F.unix_micros(day_start) + F.lit(86_400_000_000)).alias(
+            "day_end_us"
+        ),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    d = e.select(
+        "event_type",
+        "day",
+        "cents",
+        F.expr(
+            "(coalesce(lead(us) over (partition by event_type, day "
+            "order by us, event_id), day_end_us) - us) div 1000000"
+        ).alias("dur_s"),
+    )
+    return d.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("dur_s").cast("long").alias("held_s"),
+        F.sum(F.col("cents") * F.col("dur_s"))
+        .cast("long")
+        .alias("weighted_cents_s"),
+        F.expr(
+            "CAST(sum(cents * dur_s) div greatest(sum(dur_s), 1) AS BIGINT)"
+        ).alias("twap_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-step Markov transitions — matrix multiply as a relational join
+# ---------------------------------------------------------------------------
+
+MARKOV2_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS b
+    FROM events
+),
+t AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS c
+    FROM seq WHERE b IS NOT NULL GROUP BY a, b
+),
+r AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM t GROUP BY a)
+SELECT t1.a AS src, t2.b AS dst,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(sum((t1.c * t2.c * 1000000) // (r1.ra * r2.ra)) AS BIGINT)
+           AS p2_micro
+FROM t t1
+JOIN t t2 ON t1.b = t2.a
+JOIN r r1 ON r1.a = t1.a
+JOIN r r2 ON r2.a = t2.a
+GROUP BY t1.a, t2.b
+"""
+
+
+@query("events_markov_2step", oracle=MARKOV2_ORACLE)
+def events_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step transition matrix P² of the per-user event chain —
+    matrix multiplication expressed as the relational join it is:
+    P²[a,c] = Σ_b P[a,b]·P[b,c] becomes transitions ⋈ transitions on the
+    middle state, grouped by the endpoints (the companion of
+    embedding_gram_matrix's X^T X: same pattern, sparse form).
+
+    Floats are eliminated, not tolerated: each path term quantizes as
+    (c_ab·c_bc·10⁶) div (r_a·r_b) — exact BIGINT per term (products
+    ≤ ~10¹⁵ at fixture scales; at larger scales pre-divide the larger
+    count), summed exactly, so the result is order-insensitive where a
+    sum of IEEE ratio products would hash-differ per engine. One
+    user-keyed window builds the chain, everything after is
+    state-grain (|types|² rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    t = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    r = t.groupBy("a").agg(F.sum("c").cast("long").alias("ra"))
+    t1 = t.alias("t1")
+    t2 = t.alias("t2")
+    joined = (
+        t1.join(t2, F.col("t1.b") == F.col("t2.a"))
+        .join(broadcast(r.alias("r1")), F.col("r1.a") == F.col("t1.a"))
+        .join(broadcast(r.alias("r2")), F.col("r2.a") == F.col("t2.a"))
+        .select(
+            F.col("t1.a").alias("src"),
+            F.col("t2.b").alias("dst"),
+            F.expr(
+                "(t1.c * t2.c * 1000000) div (r1.ra * r2.ra)"
+            ).alias("term"),
+        )
+    )
+    return joined.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.sum("term").cast("long").alias("p2_micro"),
+    )

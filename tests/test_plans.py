@@ -85,6 +85,20 @@ def test_no_python_udf_in_relational_paths(spark):
         "events_chi_square",
         "stats_benford_digits",
         "sample_reservoir",
+        "pipeline_pretraining_corpus",
+        "embedding_gram_matrix",
+        "text_bm25_ranking",
+        "events_max_concurrency",
+        "interval_union_length",
+        "agg_weighted_percentile",
+        "timeseries_twap",
+        "events_markov_2step",
+        "mdm_survivorship",
+        "set_ops_all",
+        "score_tree_ensemble",
+        "sample_contrastive_negatives",
+        "diagnose_partition_skew",
+        "estimate_join_cardinality",
     ):
         plan = formatted_plan(QUERIES[key](spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key

@@ -464,3 +464,77 @@ def test_max_concurrency_matches_sweep(spark):
         assert got.loc[day, "n_points"] == counts[day]
     # sanity: concurrency returns to zero after the final point
     assert conc == 0
+
+
+def test_twap_matches_python_hold_weights(spark):
+    got = (
+        QUERIES["timeseries_twap"](spark, SF_DIR)
+        .toPandas()
+        .set_index(["event_type", "day"])
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    us = (
+        pd.to_datetime(ev["ts"]).values.astype("datetime64[us]").astype(
+            "int64"
+        )
+    )
+    df = pd.DataFrame(
+        {
+            "t": ev["event_type"],
+            "us": us,
+            "eid": ev["event_id"],
+            "cents": np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(
+                "int64"
+            ),
+        }
+    )
+    df["day"] = (
+        (df["us"] // 86_400_000_000) * 86_400_000_000
+    )
+    for (t, day_us), g in df.groupby(["t", "day"]):
+        g = g.sort_values(["us", "eid"], ignore_index=True)
+        end = day_us + 86_400_000_000
+        nxt = list(g["us"][1:]) + [end]
+        dur = [(n - u) // 1_000_000 for u, n in zip(g["us"], nxt)]
+        day = str(np.array(int(day_us), dtype="datetime64[us]").astype(
+            "datetime64[D]"
+        ))
+        row = got.loc[(t, day)]
+        assert row["n_events"] == len(g)
+        assert row["held_s"] == sum(dur)
+        wsum = sum(c * d for c, d in zip(g["cents"], dur))
+        assert row["weighted_cents_s"] == wsum
+        assert row["twap_cents"] == wsum // max(sum(dur), 1)
+        # holdings never exceed the day — the overflow-proofness argument
+        assert sum(dur) <= 86_400
+
+
+def test_markov_2step_is_matrix_square(spark):
+    got = (
+        QUERIES["events_markov_2step"](spark, SF_DIR)
+        .toPandas()
+        .set_index(["src", "dst"])
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    from collections import defaultdict
+
+    c = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        types = list(g["event_type"])
+        for x, y in zip(types, types[1:]):
+            c[(x, y)] += 1
+    r = defaultdict(int)
+    for (a, _), v in c.items():
+        r[a] += v
+    ref = defaultdict(lambda: [0, 0])
+    for (a, b), cab in c.items():
+        for (b2, d), cbd in c.items():
+            if b2 == b:
+                ref[(a, d)][0] += 1
+                ref[(a, d)][1] += cab * cbd * 1_000_000 // (r[a] * r[b])
+    assert set(got.index) == set(ref)
+    for k, (n, p) in ref.items():
+        assert got.loc[k, "n_paths"] == n
+        assert got.loc[k, "p2_micro"] == p
