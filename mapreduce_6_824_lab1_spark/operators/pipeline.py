@@ -233,3 +233,84 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("long").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination attribution — the audit trail behind the drop decision
+# ---------------------------------------------------------------------------
+
+# Wider eval slice than the pipeline's %97: the audit must EXERCISE the
+# match path at every fixture SF (the %97 slice shares zero 8-grams at
+# sf0.01 — a 0-row audit verifies nothing), and a steward reviewing drops
+# wants the report dense enough to see the leakage-vs-boilerplate split.
+_ATTR_EVAL_MOD = 11
+
+DECON_ATTR_ORACLE = f"""
+WITH evalg AS (
+    SELECT doc_id AS eval_doc, array_to_string(t[i:i+{_PP_GRAM - 1}], ' ')
+               AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(generate_series(1,
+                        len(string_split(text, ' ')) - {_PP_GRAM - 1})) AS i
+          FROM documents
+          WHERE doc_id % {_ATTR_EVAL_MOD} = 0
+            AND len(string_split(text, ' ')) >= {_PP_GRAM})
+),
+traing AS (
+    SELECT doc_id AS train_doc, array_to_string(t[i:i+{_PP_GRAM - 1}], ' ')
+               AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(generate_series(1,
+                        len(string_split(text, ' ')) - {_PP_GRAM - 1})) AS i
+          FROM documents
+          WHERE doc_id % {_ATTR_EVAL_MOD} != 0
+            AND len(string_split(text, ' ')) >= {_PP_GRAM})
+)
+SELECT t.train_doc, e.eval_doc,
+       CAST(count(DISTINCT t.gram) AS BIGINT) AS shared_grams
+FROM traing t JOIN evalg e ON t.gram = e.gram
+GROUP BY t.train_doc, e.eval_doc
+"""
+
+
+@query("decontaminate_attribution", oracle=DECON_ATTR_ORACLE)
+def decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit trail behind every decontamination drop: for each
+    (train doc, eval doc) pair sharing at least one 8-gram, how many
+    DISTINCT grams they share — the evidence a data steward reviews
+    before accepting that `pipeline_pretraining_corpus` (and
+    `decontaminate`) removed the right documents, and the number that
+    separates true leakage (many shared grams) from a single boilerplate
+    collision.
+
+    Scale shape: the eval side is tiny by construction (held-out
+    benchmarks), so its gram table BROADCASTS with eval_doc attribution
+    riding along; the train side streams through a broadcast hash join —
+    no shuffle of train grams at all — and the only aggregate is at
+    (train, eval)-pair grain, bounded by matches, not corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _PP_GRAM
+    )
+    evalg = (
+        toks.filter(F.pmod("doc_id", F.lit(_ATTR_EVAL_MOD)) == 0)
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            _token_grams("t", _PP_GRAM).alias("gram"),
+        )
+        .distinct()
+    )
+    traing = (
+        toks.filter(F.pmod("doc_id", F.lit(_ATTR_EVAL_MOD)) != 0)
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            _token_grams("t", _PP_GRAM).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        traing.join(broadcast(evalg), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count_distinct("gram").alias("shared_grams"))
+    )

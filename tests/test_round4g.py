@@ -538,3 +538,27 @@ def test_markov_2step_is_matrix_square(spark):
     for k, (n, p) in ref.items():
         assert got.loc[k, "n_paths"] == n
         assert got.loc[k, "p2_micro"] == p
+
+
+def test_decontamination_attribution_matches_python(spark):
+    got = QUERIES["decontaminate_attribution"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 8]) for i in range(len(t) - 7)}
+    ev = {
+        r["doc_id"]: grams(r["text"])
+        for _, r in docs[docs["doc_id"] % 11 == 0].iterrows()
+        if len(r["text"].split(" ")) >= 8
+    }
+    ref = {}
+    for _, r in docs[docs["doc_id"] % 11 != 0].iterrows():
+        g = grams(r["text"])
+        for ed, eg in ev.items():
+            shared = len(g & eg)
+            if shared:
+                ref[(r["doc_id"], ed)] = shared
+    assert ref, "fixture must exercise the match path"
+    assert len(got) == len(ref)
+    for _, r in got.iterrows():
+        assert ref[(r["train_doc"], r["eval_doc"])] == r["shared_grams"]
