@@ -208,3 +208,77 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(_RESERVOIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style merge training — count pairs globally, merge, repeat
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4
+BPE_JOIN = "·"  # merged-token separator; never appears in fixture words
+
+
+@query("tokenizer_bpe_train")  # rows-only: iterative (K data-dependent passes)
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train K=4 BPE-style merges over the corpus with words as the base
+    alphabet: each round counts all adjacent pairs, adopts the most
+    frequent (ties broken lexicographically), rewrites every document
+    with the merged symbol, and repeats — exactly the
+    count→argmax→substitute loop a distributed BPE/wordpiece trainer
+    runs, producing the learned merge table.
+
+    Scale shape per round: pair counting is one explode + hash aggregate
+    with map-side combine (pair-grain shuffle); the argmax is a 1-row
+    TakeOrdered collect (dimension-sized driver state, the kmeans-
+    centroid rule); substitution is a map-only ``aggregate`` fold per
+    document implementing greedy left-to-right non-overlapping merges.
+    K rounds = K corpus passes — which is why production trainers run
+    this on a sample, documented here rather than hidden. Rows-only
+    (the loop is data-dependent); the identical greedy algorithm in pure
+    Python pins every merge and count in tests/test_round4h.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("toks")).persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, BPE_MERGES + 1):
+            pairs = toks.select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),"
+                        " slice(toks, 2, greatest(size(toks)-1, 0)),"
+                        " (x, y) -> struct(x AS x, y AS y))"
+                    )
+                ).alias("p")
+            )
+            top = (
+                pairs.groupBy("p.x", "p.y")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), "x", "y")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] < 2:
+                break
+            x, y, c = top[0]["x"], top[0]["y"], int(top[0]["c"])
+            merged = f"{x}{BPE_JOIN}{y}"
+            merges.append((step, x, y, merged, c))
+            nxt = toks.select(
+                F.expr(
+                    "aggregate(toks, CAST(array() AS array<string>), "
+                    "(acc, t) -> IF(size(acc) > 0 "
+                    f"AND element_at(acc, -1) = '{x}' AND t = '{y}', "
+                    f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+                    "concat(acc, array(t))))"
+                ).alias("toks")
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            toks.unpersist()
+            toks = nxt
+    finally:
+        toks.unpersist()
+    return spark.createDataFrame(
+        merges or [(0, "", "", "", 0)],
+        "step BIGINT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT",
+    )

@@ -33,6 +33,7 @@ def test_all_queries_registered():
         "agg_approx_topk",
         "embedding_pca_power",  # eigenvector: numpy-pinned, not SQL
         "running_balance_clamped",  # clamped recurrence: python-pinned
+        "tokenizer_bpe_train",  # iterative merge loop: python-pinned
     }, f"unexpected rows-only queries: {rows_only}"
 
 
