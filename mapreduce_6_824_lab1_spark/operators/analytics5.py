@@ -1138,3 +1138,65 @@ def events_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_paths"),
         F.sum("term").cast("long").alias("p2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed revenue — exact power-of-two decay, no libm
+# ---------------------------------------------------------------------------
+
+DECAY_HORIZON_D = 20  # weight 2^-age for age ≤ horizon, else 0
+
+DECAY_ORACLE = f"""
+WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+d AS (
+    SELECT o_orderstatus AS status,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(date_diff('day', o_orderdate, mx.m) AS BIGINT) AS age
+    FROM orders, mx
+)
+SELECT status,
+       CAST(count(*) FILTER (WHERE age <= {DECAY_HORIZON_D}) AS BIGINT)
+           AS n_recent,
+       CAST(sum(CASE WHEN age <= {DECAY_HORIZON_D}
+                     THEN cents // (CAST(1 AS BIGINT) << age)
+                     ELSE 0 END) AS BIGINT) AS decayed_cents
+FROM d GROUP BY status
+"""
+
+
+@query("timeseries_decay_sum", oracle=DECAY_ORACLE)
+def timeseries_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed revenue per status: each order contributes
+    cents·2^(−age_days), ages beyond 20 days contribute nothing — the
+    exponentially-decayed score behind trending/recency rankings, with
+    the decay base pinned to 2 so every term is an integer SHIFT
+    (floor(cents >> age)), never a libm pow.
+
+    Exactness and overflow safety are structural: each term is ≤ its own
+    cents (so the sum is bounded by plain revenue at any scale), both
+    engines compute identical floor-shifts, and the whole operator is
+    one scan + one partial aggregate against a broadcast max-date. The
+    half-life generalizes by rescaling age (e.g. age_days·2 for a
+    half-day half-life) — still integer.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("m"))
+    d = orders.crossJoin(broadcast(mx)).select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.datediff("m", "o_orderdate").cast("long").alias("age"),
+    )
+    recent = F.col("age") <= DECAY_HORIZON_D
+    return d.groupBy("status").agg(
+        F.count_if(recent).alias("n_recent"),
+        F.sum(
+            F.when(
+                recent,
+                F.expr("shiftright(cents, cast(age AS int))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("decayed_cents"),
+    )

@@ -910,3 +910,83 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(back.collect(), back.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Update output mode — emit only CHANGED groups per micro-batch
+# ---------------------------------------------------------------------------
+
+UPDATE_MODE_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_update_mode", oracle=UPDATE_MODE_ORACLE)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third output semantics next to the
+    complete (stream_tumbling) and append+watermark
+    (stream_tumbling_watermark) keys already covered: each micro-batch
+    emits ONLY the groups that changed, the sink's job is to upsert.
+
+    Fixture recipe: the events table is re-written as 4 hash-split files
+    and streamed with ``maxFilesPerTrigger=1``, so the hourly aggregate
+    genuinely updates across 4 micro-batches (the memory sink then holds
+    one row PER GROUP PER TOUCHING BATCH — more rows than groups, which
+    tests/test_round4h.py pins as proof the incremental path ran).
+    Counts and integer-cent sums only grow, so the final state is the
+    per-group MAX over emissions, audited against the plain batch
+    aggregate. At scale update mode is the changelog-to-KV-store
+    pattern: sink write volume tracks CHANGED groups per trigger, not
+    state size — the reason dashboards upsert instead of replaying
+    complete mode's full state."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from mapreduce_6_824_lab1_spark.catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    path = _tempfile.mkdtemp(prefix="mr_stream_update_")
+    try:
+        ev.repartition(4, "event_id").write.mode("overwrite").parquet(path)
+        schema = spark.read.parquet(path).schema
+        src = normalize_events(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        counts = src.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("total_cents"),
+        )
+        emissions = _run_to_memory(
+            counts.select(
+                F.date_format("w.start", TS_FMT_SPARK).alias(
+                    "window_start"
+                ),
+                "event_type",
+                "cnt",
+                "total_cents",
+            ),
+            spark,
+            mode="update",
+        )
+        out = emissions.groupBy("window_start", "event_type").agg(
+            F.max("cnt").cast("long").alias("cnt"),
+            F.max("total_cents").cast("long").alias("total_cents"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
