@@ -1555,3 +1555,164 @@ def mdm_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_feeds_present",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fallback-key enrichment — primary match, then regional default
+# ---------------------------------------------------------------------------
+
+FALLBACK_ORACLE = """
+WITH dim AS (SELECT * FROM customer WHERE c_custkey % 10 != 0),
+defaults AS (
+    SELECT c_nationkey, min(c_custkey) AS default_custkey
+    FROM customer GROUP BY c_nationkey
+),
+staged AS (
+    SELECT o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN d.c_custkey IS NOT NULL THEN 'primary'
+                WHEN f.default_custkey IS NOT NULL THEN 'fallback'
+                ELSE 'unmatched' END AS match_stage
+    FROM orders o
+    LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+    LEFT JOIN defaults f ON f.c_nationkey = o.o_custkey % 25
+)
+SELECT match_stage,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM staged GROUP BY match_stage
+"""
+
+
+@query("join_fallback_keys", oracle=FALLBACK_ORACLE)
+def join_fallback_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with a key cascade: enrich orders against an
+    (artificially incomplete — every 10th customer dropped) dimension by
+    the primary key, and route the misses through a FALLBACK join to a
+    per-nation default record — the match-priority pattern every
+    dirty-key enrichment needs, audited as per-stage order/revenue
+    totals.
+
+    Scale shape: the primary path is the ordinary hash equi-join; only
+    the ANTI-join residue (the 10%) re-joins, and the fallback side is
+    nation-grain, so it BROADCASTS — the cascade costs one extra
+    broadcast probe over the misses, not a second fact shuffle. The
+    oracle spells the equivalent double LEFT JOIN + CASE; the staged
+    union and the CASE agree because a primary match excludes the row
+    from the fallback probe by construction.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.pmod("c_custkey", F.lit(10)) != 0).select(
+        "c_custkey"
+    )
+    defaults = cust.groupBy("c_nationkey").agg(
+        F.min("c_custkey").alias("default_custkey")
+    )
+    primary = o.join(dim, o.o_custkey == dim.c_custkey, "left_semi").select(
+        F.lit("primary").alias("match_stage"), "cents"
+    )
+    misses = o.join(dim, o.o_custkey == dim.c_custkey, "left_anti")
+    fallback_hit = misses.join(
+        broadcast(defaults),
+        F.pmod(misses.o_custkey, F.lit(25)) == defaults.c_nationkey,
+        "left",
+    ).select(
+        F.when(F.col("default_custkey").isNotNull(), "fallback")
+        .otherwise("unmatched")
+        .alias("match_stage"),
+        "cents",
+    )
+    return (
+        primary.unionByName(fallback_hit)
+        .groupBy("match_stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical share rollup — percent-of-parent at two levels
+# ---------------------------------------------------------------------------
+
+HIERARCHY_SHARE_ORACLE = """
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation, cents,
+       (cents * 1000000)
+           // CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT)
+           AS share_of_region_ppm,
+       (cents * 1000000) // CAST(sum(cents) OVER () AS BIGINT)
+           AS share_of_total_ppm
+FROM rev
+"""
+
+
+@query("hierarchy_share_rollup", oracle=HIERARCHY_SHARE_ORACLE)
+def hierarchy_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent reporting down a region → nation hierarchy:
+    nation revenue with its integer-ppm share of the region and of the
+    total — the drill-down table every hierarchy dashboard renders.
+
+    Scale shape: ONE fact aggregate (orders joined to broadcast
+    customer→nation→region dims) collapses to nation grain (25 rows);
+    both parent totals are windows over that dimension-grain table, so
+    the shares are free. Shares are BIGINT floor-division ppm — exact,
+    and each level's shares sum to ≤ 1e6 with the deficit bounded by
+    row count (floor loss), pinned in tests/test_round4h.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr(
+            "(cents * 1000000)"
+        ).alias("_num"),
+        F.sum("cents").over(wr).cast("long").alias("_r"),
+        F.sum("cents").over(wt).cast("long").alias("_t"),
+    ).select(
+        "region",
+        "nation",
+        "cents",
+        F.expr("_num div _r").alias("share_of_region_ppm"),
+        F.expr("_num div _t").alias("share_of_total_ppm"),
+    )
