@@ -677,3 +677,60 @@ def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_commitdate in the fixture); the CTE computes it once for all three
     correlated references."""
     return _run_sql(spark, sf_dir, Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL — named parameters instead of string interpolation
+# ---------------------------------------------------------------------------
+
+_PARAM_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+WHERE o_orderdate >= :start_ts
+  AND o_orderdate <  :end_ts
+  AND o_totalprice > :min_price
+GROUP BY o_orderpriority
+"""
+
+_PARAMS = {
+    "start_ts": "1995-01-01 00:00:00",
+    "end_ts": "1996-07-01 00:00:00",
+    "min_price": 1000.0,
+}
+
+SQL_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND o_totalprice > 1000.0
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_parameterized", oracle=SQL_PARAM_ORACLE)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(query, args=...)``, Spark 3.4+/4):
+    the injection-safe form of templated queries — parameters bind as
+    typed literals in the PLAN, so Catalyst still constant-folds and
+    pushes the date/price predicates into the parquet scan exactly as if
+    they were inline literals (same PushedFilters), while the query text
+    stays constant across invocations (plan-cache friendly, and no
+    string-escaping bugs). The oracle is the literal-inlined equivalent;
+    timestamp params bind via an explicit cast so the comparison is
+    timestamp-typed on both engines.
+    """
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _PARAM_SQL.replace(":start_ts", "CAST(:start_ts AS TIMESTAMP)")
+        .replace(":end_ts", "CAST(:end_ts AS TIMESTAMP)"),
+        args=_PARAMS,
+    )
