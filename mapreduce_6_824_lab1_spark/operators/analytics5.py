@@ -313,11 +313,14 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Open and close are min/max over a (ts, event_id, cents) STRUCT —
     lexicographic struct comparison makes first/last-by-time an ALGEBRAIC
     aggregate (partial-merge exact, deterministic because event_id is
-    unique), so the whole candle build is one partial-agg shuffle with
-    map-side combine. The textbook formulation (row_number per key, keep
-    rn=1 — what the oracle does) needs a full per-key sort first; at
-    100 TB that is a second shuffle plus a sort the struct fold never
-    pays. sum() stays on pre-quantized BIGINT cents (house vector rule).
+    unique). Struct min/max can't live in a hash-agg buffer, so Spark
+    plans a SortAggregate — still ONE exchange carrying six partials per
+    group (map-side combine), where the textbook row_number formulation
+    (what the oracle spells) shuffles EVERY raw row to its window
+    partition before any reduction: at 100 TB the struct fold's shuffle
+    is group-grain, the window's is fact-grain. sum() stays on
+    pre-quantized BIGINT cents (house vector rule); the one-exchange /
+    no-Window shape is pinned in test_plans.
     """
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(

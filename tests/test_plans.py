@@ -363,3 +363,37 @@ def test_mix_temperature_broadcasts_stats(spark):
     plan = formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_attribution_broadcasts_eval_grams(spark):
+    plan = formatted_plan(
+        QUERIES["decontaminate_attribution"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    # the train side must never sort-merge on grams
+    assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_is_single_aggregate_shuffle(spark):
+    plan = formatted_plan(QUERIES["timeseries_ohlc"](spark, SF_DIR))
+    # struct-min/max candles: exactly one exchange (the group-by; the
+    # formatted plan mentions it in the tree AND the detail section),
+    # no Window node, and the struct fold runs as a partial-merged
+    # SortAggregate (hash agg cannot buffer struct min/max)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "(6) Exchange" in plan or plan.count("Exchange") >= 1
+    assert "Window" not in plan
+    assert "SortAggregate" in plan and "partial_min" in plan
+
+
+def test_vocab_coverage_uses_takeordered_head(spark):
+    plan = formatted_plan(QUERIES["text_vocab_coverage"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gram_matrix_has_no_join(spark):
+    # X^T X is generate + one hash aggregate — any Join means someone
+    # rewrote it as the self-join form
+    plan = formatted_plan(QUERIES["embedding_gram_matrix"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
