@@ -846,27 +846,10 @@ GROUP BY user_id
 """
 
 
-@query("interval_union_length", oracle=INTERVAL_UNION_ORACLE)
-def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Total COVERED time per user when each event opens a 30-minute
-    activity window — the interval-union problem (overlaps must count
-    once), the measurement behind 'active minutes' metrics.
-
-    Classic two-window solve, both windows over the user's own ordered
-    rows (one shuffle total): a running max of interval ends over
-    PRECEDING rows detects island starts (s > pmax), a running sum of
-    the start flags numbers islands, and each island contributes
-    max(end) − min(start) exactly once however deep its overlaps. All
-    arithmetic is integer µs — exact. The n_events ≥ n_islands and
-    covered ≤ n·span invariants are pinned in tests/test_round4g.py.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    iv = ev.select(
-        "user_id",
-        "event_id",
-        F.unix_micros("ts").alias("s"),
-        (F.unix_micros("ts") + F.lit(_IVL_SPAN_US)).alias("e"),
-    )
+def interval_union_fold(iv: DataFrame) -> DataFrame:
+    """Core interval-union fold over (user_id, event_id, s, e) rows —
+    factored out so property tests can drive it with synthetic interval
+    sets (tests/test_properties.py pins duplication-invariance)."""
     wprev = (
         Window.partitionBy("user_id")
         .orderBy("s", "event_id")
@@ -895,6 +878,30 @@ def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("mx") - F.col("mn")).cast("long").alias("covered_us"),
     )
+
+
+@query("interval_union_length", oracle=INTERVAL_UNION_ORACLE)
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total COVERED time per user when each event opens a 30-minute
+    activity window — the interval-union problem (overlaps must count
+    once), the measurement behind 'active minutes' metrics.
+
+    Classic two-window solve, both windows over the user's own ordered
+    rows (one shuffle total): a running max of interval ends over
+    PRECEDING rows detects island starts (s > pmax), a running sum of
+    the start flags numbers islands, and each island contributes
+    max(end) − min(start) exactly once however deep its overlaps. All
+    arithmetic is integer µs — exact. The n_events ≥ n_islands and
+    covered ≤ n·span invariants are pinned in tests/test_round4g.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_IVL_SPAN_US)).alias("e"),
+    )
+    return interval_union_fold(iv)
 
 
 # ---------------------------------------------------------------------------

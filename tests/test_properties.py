@@ -251,3 +251,62 @@ def test_knuth_hash_identical_across_spark_duckdb_python(spark, duck):
     ]
     assert got_spark == py
     assert got_duck == py
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # start
+        st.integers(min_value=1, max_value=50),  # length
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ivs=INTERVALS)
+def test_interval_union_duplication_invariant(spark, ivs):
+    """Union length equals the python sweep AND is invariant under
+    duplicating every interval — overlaps must count once, which is the
+    whole point of the operator."""
+    from mapreduce_6_824_lab1_spark.operators.analytics5 import (
+        interval_union_fold,
+    )
+
+    rows = [
+        (1, i, s, s + ln) for i, (s, ln) in enumerate(ivs)
+    ]
+    doubled = rows + [
+        (1, len(rows) + i, s, e) for i, (_, _, s, e) in enumerate(rows)
+    ]
+
+    def run(rws):
+        df = spark.createDataFrame(
+            rws, "user_id long, event_id long, s long, e long"
+        )
+        out = interval_union_fold(df).collect()
+        assert len(out) == 1
+        return out[0]
+
+    got = run(rows)
+    # python sweep reference
+    covered, islands = 0, 0
+    cur_s = cur_e = None
+    for s, e in sorted((s, e) for _, _, s, e in rows):
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            cur_s, cur_e, islands = s, e, islands + 1
+        else:
+            cur_e = max(cur_e, e)
+    covered += cur_e - cur_s
+    assert got["covered_us"] == covered
+    assert got["n_islands"] == islands
+    got2 = run(doubled)
+    assert got2["covered_us"] == covered  # duplication changes nothing
+    assert got2["n_islands"] == islands
+    assert got2["n_events"] == 2 * got["n_events"]
