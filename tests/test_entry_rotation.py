@@ -96,11 +96,12 @@ def test_fresh_keys_spread_proportionally_by_family():
         assert idx == sorted(idx), f"family {fam} reordered"
         share = sum(1 for k in window_fresh if k in set(ks))
         entitlement = DRIVER_WINDOW * len(ks) / len(fresh)
-        # absolute ±2 for small families, 35% relative for large ones —
-        # the invariant is no-starvation/no-hogging, not exact quotas
-        # (frac ties break by registry order, so big early-registered
-        # families can overshoot by a couple of slots)
-        tol = max(2.0, 0.35 * entitlement)
-        assert abs(share - entitlement) <= tol, (
-            fam, share, entitlement, len(ks)
-        )
+        # integer-granularity band around the proportional quota — the
+        # invariant is no-starvation/no-hogging, not exact shares (frac
+        # ties break by registry order, so big early-registered families
+        # land a couple of extra slots as the registry grows)
+        import math
+
+        assert math.floor(entitlement) - 2 <= share <= math.ceil(
+            entitlement
+        ) + 2, (fam, share, entitlement, len(ks))
