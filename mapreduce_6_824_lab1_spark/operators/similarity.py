@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from mapreduce_6_824_lab1_spark.catalog import load_table
 from mapreduce_6_824_lab1_spark.functions.numeric import hround
@@ -363,4 +364,69 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= RANGE_THRESHOLD)
         .select("vec_id", "label", hround("cosine_raw", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph materialization — the index-construction pass
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 3
+
+KNN_GRAPH_ORACLE = f"""
+WITH sims AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id, a.label,
+           {_sql_dot("a.embedding", "b.embedding")}
+               / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")})
+               AS raw
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, label,
+       floor(raw * 1000000 + 0.5) / 1000000 AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY raw DESC, neighbor_id) AS rnk
+      FROM sims)
+WHERE rnk <= {KNN_GRAPH_K}
+"""
+
+
+@query("similarity_knn_graph", oracle=KNN_GRAPH_ORACLE)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the directed k-NN graph (k=3) of the embedding corpus
+    — EVERY vector gets its top neighbors, the construction pass behind
+    graph-ANN indexes (HNSW/NN-descent) and graph-based dedup/cluster
+    steps, versus similarity_topk's single probe.
+
+    Scale shape: candidate generation is LABEL-blocked (the
+    similarity_join rule — equi-join on the block key, never corpus²;
+    production swaps the label for an IVF cell or LSH bucket, similarity.
+    py:147, with NN-descent refinement once blocks exceed memory), then
+    one window per anchor ranks candidates and keeps k. Cosines are the
+    house pinned-fold doubles, so rank order and the 6-decimal outputs
+    are cross-engine exact; ties break by neighbor id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    sims = (
+        a.join(b, (a.label == b.lb) & (a.vec_id != b.neighbor_id))
+        .withColumn(
+            "raw", _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("raw"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select(
+            "vec_id", "rank", "neighbor_id", "label",
+            hround("raw", 6).alias("cosine"),
+        )
     )

@@ -170,3 +170,28 @@ def test_hierarchy_shares_sum_within_floor_loss(spark):
     tot = got["cents"].sum()
     for _, r in got.iterrows():
         assert r["share_of_total_ppm"] == r["cents"] * 1_000_000 // tot
+
+
+def test_knn_graph_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    got = QUERIES["similarity_knn_graph"](spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    norms = np.sqrt((X * X).sum(axis=1))
+    for vid in ids:
+        i = int(np.where(ids == vid)[0][0])
+        mask = (labels == labels[i]) & (ids != vid)
+        cand = np.where(mask)[0]
+        cos = (X[cand] @ X[i]) / (norms[cand] * norms[i])
+        order = sorted(
+            zip(cos, ids[cand]), key=lambda t: (-t[0], t[1])
+        )[:3]
+        rows = got[got["vec_id"] == vid].sort_values("rank")
+        assert list(rows["neighbor_id"]) == [int(n) for _, n in order]
+        for (c, _), (_, r) in zip(order, rows.iterrows()):
+            assert abs(r["cosine"] - c) < 2e-6
+    # every vector has exactly k out-edges (labels are large blocks)
+    assert (got.groupby("vec_id").size() == 3).all()
