@@ -436,7 +436,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 50, checkpoint_every: int = 3
+    pairs: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_every: int = 3,
+    loop_partitions: int = 16,
 ) -> DataFrame:
     """Min-label propagation CC over an undirected pair list (doc_a, doc_b).
 
@@ -454,8 +457,27 @@ def connected_components(
     ``labels`` is localCheckpoint()ed every ``checkpoint_every`` rounds so
     join-on-join lineage cannot blow up plan compilation across rounds.
 
+    ``loop_partitions`` sizes the per-round shuffles: iteration state is
+    NODE-grain (tiny next to the corpus), and an untuned 200-partition
+    default turns every round into hundreds of near-empty tasks — the
+    same deliberate-sizing rule as the streaming STATE_PARTITIONS
+    (streaming/jobs.py). At production scale size it to the node count,
+    not the default.
+
     Returns (doc_id, cluster_rep).
     """
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
+
+    spark = pairs.sparkSession
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(loop_partitions)}
+    ):
+        return _cc_loop(pairs, max_rounds, checkpoint_every)
+
+
+def _cc_loop(
+    pairs: DataFrame, max_rounds: int, checkpoint_every: int
+) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

@@ -430,3 +430,53 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround("raw", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic clusters — connected components over the k-NN graph
+# ---------------------------------------------------------------------------
+
+KNN_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE base AS ({KNN_GRAPH_ORACLE}),
+edges AS (
+    SELECT vec_id AS a, neighbor_id AS b FROM base
+    UNION ALL
+    SELECT neighbor_id, vec_id FROM base
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach AS (
+    SELECT doc_id, doc_id AS r FROM nodes
+    UNION
+    SELECT reach.doc_id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT doc_id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY doc_id
+"""
+
+
+@query("similarity_knn_clusters", oracle=KNN_CLUSTERS_ORACLE)
+def similarity_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic clustering: connected components over the
+    (undirected) k-NN graph, labeling every vector with its component's
+    minimum id — the embedding-space analogue of ``dedup_clusters``
+    (which clusters the exact-Jaccard pair graph), and the grouping step
+    semantic dedup/diversity sampling runs before choosing survivors.
+
+    Reuses the shared ``connected_components`` min-label-propagation loop
+    (dedup.py:438 — per round one edge join + one aggregate, labels
+    localCheckpoint'd, RAISES if the round cap is hit) over the
+    ``similarity_knn_graph`` edges; the oracle replays the same reach
+    with a recursive CTE over the identical edge SQL. At 100 TB the knn
+    edge list is k·N rows — CC cost scales with edges, never with pairs.
+    """
+    from mapreduce_6_824_lab1_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = similarity_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+    )
