@@ -50,3 +50,35 @@ def test_harness_detects_dropped_rows(spark, duck):
 def test_harness_passes_the_unmutated_oracle(spark, duck):
     # control: the same comparison with the real oracle is green
     assert_parity(QUERIES[KEY](spark, SF_DIR), ORACLES[KEY], duck)
+
+
+def _sim_compare():
+    import importlib.util
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "tools" / "driver_sim.py"
+    spec = importlib.util.spec_from_file_location("driver_sim", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.compare_frames
+
+
+def test_driver_sim_compare_detects_each_divergence_class():
+    import pandas as pd
+
+    compare = _sim_compare()
+    base = pd.DataFrame({"k": ["a", "b"], "v": pd.array([1, 2], "int64")})
+    assert compare(base, base.copy()) is None
+    # reordered rows still pass (order-insensitive)
+    assert compare(base, base.iloc[::-1].reset_index(drop=True)) is None
+    # value drift
+    drift = base.assign(v=pd.array([1, 3], "int64"))
+    assert "values differ" in compare(base, drift)
+    # int-vs-float dtype split on numerically equal values
+    split = base.assign(v=base["v"].astype("float64"))
+    assert "dtype split" in compare(base, split)
+    # renamed column
+    renamed = base.rename(columns={"v": "val"})
+    assert "columns" in compare(base, renamed)
+    # dropped row
+    assert "rowcount" in compare(base, base.iloc[:1])

@@ -38,6 +38,36 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
+    """Driver-style compare of a Spark result vs an oracle result after
+    ``norm`` — returns a failure message or None. Factored out of main()
+    so tests/test_harness_mutation.py can prove each divergence class is
+    DETECTED by this script too, not only by conftest.assert_parity."""
+    a, b = norm(sdf), norm(odf)
+    if list(a.columns) != list(b.columns):
+        return f"columns {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return f"rowcount {len(a)} vs {len(b)}"
+    for c in a.columns:
+        ai, bi = np.issubdtype(a[c].dtype, np.integer), np.issubdtype(
+            b[c].dtype, np.integer
+        )
+        af, bf = np.issubdtype(a[c].dtype, np.floating), np.issubdtype(
+            b[c].dtype, np.floating
+        )
+        if (ai and bf) or (af and bi):
+            return f"dtype split on {c}: {a[c].dtype} vs {b[c].dtype}"
+    if not a.equals(b):
+        for c in a.columns:
+            if not a[c].equals(b[c]):
+                if np.issubdtype(a[c].dtype, np.floating):
+                    if np.allclose(a[c], b[c], atol=1e-6, equal_nan=True):
+                        continue
+                return f"values differ in {c}"
+        return "frames differ (ordering?)"
+    return None
+
+
 def main() -> None:
     only = set(sys.argv[1:])
     spark = (
@@ -79,41 +109,13 @@ def main() -> None:
                 fails.append((k, "rows-only returned 0 rows"))
             continue
         odf = duck.execute(os_[k]).fetchdf()
-        a, b = norm(sdf), norm(odf)
-        msg = None
-        if list(a.columns) != list(b.columns):
-            msg = f"columns {list(a.columns)} vs {list(b.columns)}"
-        elif len(a) != len(b):
-            msg = f"rowcount {len(a)} vs {len(b)}"
-        else:
-            for c in a.columns:
-                ai, bi = np.issubdtype(a[c].dtype, np.integer), np.issubdtype(
-                    b[c].dtype, np.integer
-                )
-                af, bf = np.issubdtype(a[c].dtype, np.floating), np.issubdtype(
-                    b[c].dtype, np.floating
-                )
-                if (ai and bf) or (af and bi):
-                    msg = f"dtype split on {c}: {a[c].dtype} vs {b[c].dtype}"
-                    break
-            if msg is None and not a.equals(b):
-                for c in a.columns:
-                    if not a[c].equals(b[c]):
-                        if np.issubdtype(a[c].dtype, np.floating):
-                            if np.allclose(
-                                a[c], b[c], atol=1e-6, equal_nan=True
-                            ):
-                                continue
-                        msg = f"values differ in {c}"
-                        break
-                else:
-                    msg = "frames differ (ordering?)"
+        msg = compare_frames(sdf, odf)
         if msg:
             fails.append((k, msg))
             print(f"[{i+1}/{len(keys)}] {k}: FAIL {msg}", flush=True)
         else:
             print(
-                f"[{i+1}/{len(keys)}] {k}: ok {len(a)} rows "
+                f"[{i+1}/{len(keys)}] {k}: ok {len(sdf)} rows "
                 f"({time.time()-t0:.1f}s)",
                 flush=True,
             )
