@@ -89,6 +89,16 @@ def recompute(assigned: DataFrame) -> DataFrame:
 @query("kmeans_embeddings")  # rows-only: float accumulation order is
 # engine-specific; verified against a numpy reference in tests instead
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iteration shuffles are centroid/assignment-grain: scope them to a
+    # small partition count (the connected_components sizing rule) so a
+    # vanilla 200-partition session doesn't run near-empty tasks per round
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "16"}):
+        return _kmeans_impl(spark, sf_dir)
+
+
+def _kmeans_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     vectors = e.select("vec_id", "embedding")
     centroids = (
