@@ -1210,3 +1210,105 @@ def timeseries_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decayed_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast + backtest — the baseline every model must beat
+# ---------------------------------------------------------------------------
+
+FORECAST_ORACLE = """
+WITH mx AS (SELECT date_trunc('day', max(ts)) AS last_day FROM events),
+hist AS (
+    SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+           date_trunc('day', ts) AS d
+    FROM events, mx WHERE date_trunc('day', ts) < mx.last_day
+),
+rates AS (
+    SELECT dow, hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_days
+    FROM hist GROUP BY dow, hour
+),
+spine AS (SELECT unnest(generate_series(0, 23)) AS hour),
+actual AS (
+    SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS actual
+    FROM events, mx WHERE date_trunc('day', ts) = mx.last_day
+    GROUP BY 1
+)
+SELECT CAST(s.hour AS BIGINT) AS hour,
+       CAST(coalesce(r.n_events // r.n_days, 0) AS BIGINT) AS predicted,
+       CAST(coalesce(a.actual, 0) AS BIGINT) AS actual,
+       CAST(abs(coalesce(r.n_events // r.n_days, 0)
+                - coalesce(a.actual, 0)) AS BIGINT) AS abs_err
+FROM spine s
+LEFT JOIN (SELECT r.*
+           FROM rates r, mx
+           WHERE r.dow = isodow(mx.last_day) - 1) r ON r.hour = s.hour
+LEFT JOIN actual a ON a.hour = s.hour
+"""
+
+
+@query("events_forecast_baseline", oracle=FORECAST_ORACLE)
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive hourly forecast with an in-query backtest: predict
+    the final day's hourly event counts as the historical mean for that
+    (weekday, hour) cell, and score |predicted − actual| per hour — the
+    baseline every fancier forecaster must beat, and the shape of every
+    backtest job (train window strictly BEFORE the scored day).
+
+    Exact integers end to end: the mean is BIGINT floor-division of two
+    counts, the 24-row hour spine comes from a generated sequence (the
+    date_spine_gaps recipe — no collect), and the held-out day is
+    excluded from training by a broadcast max-date join, so there is no
+    leakage by construction. One fact aggregate for the rates, one for
+    the actuals; everything else is dimension-grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("last_day"))
+    with_day = ev.crossJoin(broadcast(mx)).select(
+        F.weekday("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.date_trunc("day", "ts").alias("d"),
+        "last_day",
+    )
+    rates = (
+        with_day.filter(F.col("d") < F.col("last_day"))
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("d").alias("n_days"),
+        )
+    )
+    target_dow = mx.select(
+        F.weekday("last_day").cast("long").alias("tdow")
+    )
+    pred = (
+        rates.crossJoin(broadcast(target_dow))
+        .filter(F.col("dow") == F.col("tdow"))
+        .select("hour", F.expr("n_events div n_days").alias("predicted"))
+    )
+    actual = (
+        with_day.filter(F.col("d") == F.col("last_day"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    spine = spark.range(0, 24).select(F.col("id").alias("hour"))
+    return (
+        spine.join(broadcast(pred), "hour", "left")
+        .join(broadcast(actual), "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("predicted", F.lit(0)).cast("long").alias(
+                "predicted"
+            ),
+            F.coalesce("actual", F.lit(0)).cast("long").alias("actual"),
+            F.abs(
+                F.coalesce("predicted", F.lit(0))
+                - F.coalesce("actual", F.lit(0))
+            )
+            .cast("long")
+            .alias("abs_err"),
+        )
+    )

@@ -195,3 +195,44 @@ def test_knn_graph_matches_numpy_brute_force(spark):
             assert abs(r["cosine"] - c) < 2e-6
     # every vector has exactly k out-edges (labels are large blocks)
     assert (got.groupby("vec_id").size() == 3).all()
+
+
+def test_forecast_baseline_no_leakage_and_exact_math(spark):
+    got = (
+        QUERIES["events_forecast_baseline"](spark, SF_DIR)
+        .toPandas()
+        .set_index("hour")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ts = pd.to_datetime(ev["ts"])
+    day = ts.dt.normalize()
+    last = day.max()
+    hist = ev[day < last]
+    hts = pd.to_datetime(hist["ts"])
+    tdow = last.weekday()
+    cell = hist[(hts.dt.weekday == tdow)]
+    cts = pd.to_datetime(cell["ts"])
+    assert list(got.index) == list(range(24))
+    for h in range(24):
+        sub = cell[cts.dt.hour == h]
+        sdays = pd.to_datetime(sub["ts"]).dt.normalize().nunique()
+        pred = (len(sub) // sdays) if sdays else 0
+        act = int(((day == last) & (ts.dt.hour == h)).sum())
+        assert got.loc[h, "predicted"] == pred, h
+        assert got.loc[h, "actual"] == act, h
+        assert got.loc[h, "abs_err"] == abs(pred - act), h
+    # training strictly precedes the scored day: recompute with the last
+    # day INCLUDED and require at least one cell to differ (leakage would
+    # silently change predictions)
+    leaky = ev
+    lts = pd.to_datetime(leaky["ts"])
+    lcell = leaky[lts.dt.weekday == tdow]
+    lcts = pd.to_datetime(lcell["ts"])
+    diffs = 0
+    for h in range(24):
+        sub = lcell[lcts.dt.hour == h]
+        sdays = pd.to_datetime(sub["ts"]).dt.normalize().nunique()
+        lp = (len(sub) // sdays) if sdays else 0
+        diffs += lp != got.loc[h, "predicted"]
+    assert diffs > 0
