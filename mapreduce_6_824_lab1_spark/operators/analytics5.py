@@ -1312,3 +1312,151 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve — cumulative revenue by cohort age
+# ---------------------------------------------------------------------------
+
+LTV_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey,
+           min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+               AS cohort_m
+    FROM orders GROUP BY o_custkey
+),
+rev AS (
+    SELECT f.cohort_m,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+               - f.cohort_m AS age,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+)
+SELECT printf('%04d-%02d', (cohort_m - 1) // 12, ((cohort_m - 1) % 12) + 1)
+           AS cohort,
+       age, n_orders, cents,
+       CAST(sum(cents) OVER (PARTITION BY cohort_m ORDER BY age)
+            AS BIGINT) AS cum_cents
+FROM rev
+"""
+
+
+@query("cohort_revenue_ltv", oracle=LTV_ORACLE)
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves: revenue per (acquisition-month
+    cohort, months-since-acquisition age) with the running cumulative —
+    the LTV table behind payback-period decisions, the revenue sibling of
+    ``cohort_retention``'s count triangle.
+
+    Scale shape: first-order months are one customer-grain aggregate
+    joined back co-partitioned on the customer key (both sides hash the
+    same key — one shuffle each, no re-shuffle for the join); months are
+    INTEGER year·12+month so age needs no date arithmetic at fact grain;
+    the cumulative runs over the (cohort × age) table, months², which is
+    dimension-sized forever. Money is exact integer cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    with_m = o.select(
+        "o_custkey",
+        m.alias("om"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    firsts = with_m.groupBy("o_custkey").agg(F.min("om").alias("cohort_m"))
+    rev = (
+        with_m.join(firsts, "o_custkey")
+        .groupBy("cohort_m", (F.col("om") - F.col("cohort_m")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        F.format_string(
+            "%04d-%02d",
+            F.expr("(cohort_m - 1) div 12").cast("int"),
+            (F.pmod(F.col("cohort_m") - 1, F.lit(12)) + 1).cast("int"),
+        ).alias("cohort"),
+        "age",
+        "n_orders",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier scorecard — the vendor-KPI composite
+# ---------------------------------------------------------------------------
+
+SCORECARD_ORACLE = """
+SELECT s.s_name AS supplier,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       (CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+            * 1000000) // CAST(count(*) AS BIGINT) AS return_ppm,
+       CAST(sum(CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                     AS BIGINT)) AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS avg_ship_lag_days
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+"""
+
+
+@query("supplier_scorecard", oracle=SCORECARD_ORACLE)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendor KPI scorecard: volume, breadth (distinct parts), exact
+    integer revenue, return rate (ppm), and mean order→ship lag (integer
+    floor days) per supplier — the multi-metric composite procurement
+    reviews run, all five KPIs folded into ONE aggregate.
+
+    Scale shape: lineitem⋈orders is the co-partitioned fact join (both
+    keyed by order), the supplier dim BROADCASTS for the name, and every
+    metric is a conditional/aggregated expression in the same pass — the
+    table_expectations fusion rule applied to reporting: adding a KPI
+    adds a column, not a job. Lag can be negative in this fixture
+    (ship_before_order is a known audited violation) and floor-division
+    semantics match `div` on both engines for the aggregate because the
+    SUM is divided, not per-row values.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        broadcast(s), li.l_suppkey == s.s_suppkey
+    )
+    return j.groupBy(F.col("s_name").alias("supplier")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        F.expr(
+            "(count_if(l_returnflag = 'R') * 1000000) div count(*)"
+        ).alias("return_ppm"),
+        F.expr(
+            "CAST(sum(CAST(datediff(l_shipdate, o_orderdate) AS BIGINT))"
+            " div count(*) AS BIGINT)"
+        ).alias("avg_ship_lag_days"),
+    )

@@ -236,3 +236,57 @@ def test_forecast_baseline_no_leakage_and_exact_math(spark):
         lp = (len(sub) // sdays) if sdays else 0
         diffs += lp != got.loc[h, "predicted"]
     assert diffs > 0
+
+
+def test_ltv_cumulative_is_monotone_and_conserves_revenue(spark):
+    import numpy as np
+
+    got = QUERIES["cohort_revenue_ltv"](spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    assert got["cents"].sum() == cents.sum()  # revenue conservation
+    assert got["n_orders"].sum() == len(orders)
+    for _, g in got.groupby("cohort"):
+        g = g.sort_values("age")
+        assert g["cum_cents"].is_monotonic_increasing
+        assert g["cum_cents"].iloc[-1] == g["cents"].sum()
+        assert (g["age"] >= 0).all()
+        assert g["age"].iloc[0] == 0  # acquisition month is always present
+
+
+def test_scorecard_matches_pandas_and_negative_lag_semantics(spark):
+    import numpy as np
+
+    got = (
+        QUERIES["supplier_scorecard"](spark, SF_DIR)
+        .toPandas()
+        .set_index("supplier")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    s = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    m = li.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey",
+                 right_on="o_orderkey").merge(
+        s[["s_suppkey", "s_name"]], left_on="l_suppkey", right_on="s_suppkey"
+    )
+    m["cents"] = np.floor(m["l_extendedprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    m["lag"] = (
+        pd.to_datetime(m["l_shipdate"]).dt.normalize()
+        - pd.to_datetime(m["o_orderdate"]).dt.normalize()
+    ).dt.days
+    for name, g in m.groupby("s_name"):
+        row = got.loc[name]
+        assert row["n_lineitems"] == len(g)
+        assert row["n_parts"] == g["l_partkey"].nunique()
+        assert row["revenue_cents"] == g["cents"].sum()
+        assert row["return_ppm"] == (
+            (g["l_returnflag"] == "R").sum() * 1_000_000 // len(g)
+        )
+        # both engines truncate integer division toward zero — mirror that
+        tot = int(g["lag"].sum())
+        q = int(np.trunc(tot / len(g)))
+        assert row["avg_ship_lag_days"] == q, (name, tot, len(g))
