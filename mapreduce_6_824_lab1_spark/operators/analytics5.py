@@ -1460,3 +1460,74 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("avg_ship_lag_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-classifier evaluation — confusion matrix + P/R/F1 in exact ppm
+# ---------------------------------------------------------------------------
+
+from mapreduce_6_824_lab1_spark.operators.analytics5 import (  # noqa: E402
+    _T1_VAL as _EV_T1,
+    _T2_VAL as _EV_T2,
+)
+
+_EVAL_THRESHOLD = 900_000  # ensemble micro-score cut for "urgent" call
+
+EVAL_ORACLE = f"""
+WITH f AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+               AS urgent,
+           o_orderstatus AS status
+    FROM orders
+),
+scored AS (
+    SELECT urgent AS actual,
+           ({_EV_T1} + {_EV_T2}) >= {_EVAL_THRESHOLD} AS pred
+    FROM f
+),
+cm AS (
+    SELECT CAST(count(*) FILTER (WHERE pred AND actual) AS BIGINT) AS tp,
+           CAST(count(*) FILTER (WHERE pred AND NOT actual) AS BIGINT)
+               AS fp,
+           CAST(count(*) FILTER (WHERE NOT pred AND actual) AS BIGINT)
+               AS fn,
+           CAST(count(*) FILTER (WHERE NOT pred AND NOT actual) AS BIGINT)
+               AS tn
+    FROM scored
+)
+SELECT tp, fp, fn, tn,
+       CAST(floor(tp * 1000000.0 / (tp + fp)) AS BIGINT) AS precision_ppm,
+       CAST(floor(tp * 1000000.0 / (tp + fn)) AS BIGINT) AS recall_ppm,
+       CAST(floor(2 * tp * 1000000.0 / (2 * tp + fp + fn)) AS BIGINT)
+           AS f1_ppm
+FROM cm
+"""
+
+
+@query("eval_binary_classifier", oracle=EVAL_ORACLE)
+def eval_binary_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation at scale: score every order with the
+    ``score_tree_ensemble`` trees, call 'urgent' when the ensemble
+    micro-score clears a threshold, and fold the confusion matrix plus
+    precision/recall/F1 against the actual priority flag — ONE scan, ONE
+    aggregate, metrics as floor-divided integer ppm (F1 via its 2·tp/(2·tp+fp+fn)
+    identity — one division per metric from integer counts, never a
+    ratio of ratios; counts stay < 2^53 so the shared floor(x/y) form
+    is exact on both engines, and `//` vs `div` dialect drift is
+    avoided by not using either).
+
+    This is the eval harness a batch-inference pipeline bolts onto its
+    scoring pass: the conditional counts ride the same aggregate that
+    would write predictions, so evaluation is free at 100 TB. The same
+    CASE-expression score fragments are shared verbatim with the scoring
+    key and the oracle (the sql_tpch shared-string rule), making the
+    predictor under test identical by construction. Prediction is
+    deliberately imperfect (price+status can't fully determine priority)
+    so every confusion cell is exercised — pinned in test_round4h.
+    """
+    from mapreduce_6_824_lab1_spark.catalog import configure
+
+    configure(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(EVAL_ORACLE)

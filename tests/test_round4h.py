@@ -290,3 +290,51 @@ def test_scorecard_matches_pandas_and_negative_lag_semantics(spark):
         tot = int(g["lag"].sum())
         q = int(np.trunc(tot / len(g)))
         assert row["avg_ship_lag_days"] == q, (name, tot, len(g))
+
+
+def test_classifier_eval_all_cells_exercised_and_exact(spark):
+    import math
+
+    import numpy as np
+
+    got = QUERIES["eval_binary_classifier"](spark, SF_DIR).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    urgent = orders["o_orderpriority"].str.match(r"[12]").to_numpy()
+    status = orders["o_orderstatus"].to_numpy()
+
+    def score(c, u, s):
+        t1 = (
+            (820000 if u else 350000)
+            if c < 5_000_000
+            else (
+                (150000 if c < 15_000_000 else 90000)
+                if s == "F"
+                else 600000
+            )
+        )
+        t2 = (
+            (900000 if c < 2_000_000 else 500000)
+            if u
+            else (300000 if s == "O" else 120000)
+        )
+        return t1 + t2
+
+    pred = np.array(
+        [score(c, u, s) >= 900_000 for c, u, s in zip(cents, urgent, status)]
+    )
+    tp = int((pred & urgent).sum())
+    fp = int((pred & ~urgent).sum())
+    fn = int((~pred & urgent).sum())
+    tn = int((~pred & ~urgent).sum())
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+    # every confusion cell genuinely occupied — the predictor must be
+    # imperfect or the eval machinery is untested
+    assert min(tp, fp, fn, tn) > 0
+    assert r["precision_ppm"] == math.floor(tp * 1e6 / (tp + fp))
+    assert r["recall_ppm"] == math.floor(tp * 1e6 / (tp + fn))
+    assert r["f1_ppm"] == math.floor(2 * tp * 1e6 / (2 * tp + fp + fn))
