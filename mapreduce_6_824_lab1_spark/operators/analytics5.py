@@ -1466,11 +1466,6 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Binary-classifier evaluation — confusion matrix + P/R/F1 in exact ppm
 # ---------------------------------------------------------------------------
 
-from mapreduce_6_824_lab1_spark.operators.analytics5 import (  # noqa: E402
-    _T1_VAL as _EV_T1,
-    _T2_VAL as _EV_T2,
-)
-
 _EVAL_THRESHOLD = 900_000  # ensemble micro-score cut for "urgent" call
 
 EVAL_ORACLE = f"""
@@ -1483,7 +1478,7 @@ WITH f AS (
 ),
 scored AS (
     SELECT urgent AS actual,
-           ({_EV_T1} + {_EV_T2}) >= {_EVAL_THRESHOLD} AS pred
+           ({_T1_VAL} + {_T2_VAL}) >= {_EVAL_THRESHOLD} AS pred
     FROM f
 ),
 cm AS (
