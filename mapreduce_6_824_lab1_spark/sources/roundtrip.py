@@ -457,3 +457,67 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query("source_corrupt_json", oracle=CORRUPT_ORACLE)
+def source_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON-lines sibling of ``source_corrupt_records``: PERMISSIVE
+    parsing of a JSONL landing zone with three deterministic poison lines
+    (truncated object, type-poisoned numeric, bare garbage), quarantined
+    via ``columnNameOfCorruptRecord`` and audited with the SAME
+    full-column aggregate and oracle as the CSV key.
+
+    Worth its own key because the failure surface differs from CSV:
+    JSON rows fail on malformed STRUCTURE (unbalanced braces) or on a
+    per-FIELD type mismatch while the rest of the object parses —
+    PERMISSIVE nulls the bad field and keeps the row unless the whole
+    line is unparseable, so the poison set covers both classes (the
+    type-poisoned line must land in quarantine, not pass with a nulled
+    field — pinned by the shared audit, which would see a good-row count
+    of 1 too many). Same scale story: map-side parse, quarantine rides
+    the audit's partial-agg shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch()
+    try:
+        docs.write.mode("overwrite").json(path)
+        poison = "\n".join(
+            [
+                '{"doc_id": 1, "text": "truncated object", "lang": "en"',
+                '{"doc_id": "notanumber", "text": "bad id", "lang": "de",'
+                ' "source": "web", "n_chars": 5}',
+                "this is not json at all",
+            ]
+        )
+        with open(f"{path}/part-poison.json", "w", encoding="utf-8") as fh:
+            fh.write(poison + "\n")
+        back = (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .schema(
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long, _bad string"
+            )
+            .json(path)
+        )
+        good = F.col("_bad").isNull()
+
+        def _gsum(col):
+            return F.coalesce(F.sum(F.when(good, col)), F.lit(0)).cast(
+                "long"
+            )
+
+        out = back.groupBy(
+            F.when(~good, "_corrupt").otherwise(F.col("lang")).alias(
+                "category"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _gsum(F.col("n_chars")).alias("total_chars"),
+            _gsum(F.col("doc_id")).alias("sum_doc_id"),
+            _gsum(F.length("text")).alias("total_text_len"),
+            _gsum(F.length("source")).alias("total_src_len"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
