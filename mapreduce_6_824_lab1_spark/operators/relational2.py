@@ -1716,3 +1716,107 @@ def hierarchy_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_num div _r").alias("share_of_region_ppm"),
         F.expr("_num div _t").alias("share_of_total_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone-aware business-hours analytics — convert_timezone coverage
+# ---------------------------------------------------------------------------
+
+_MARKETS = ("America/New_York", "Europe/London", "Asia/Tokyo")
+
+TZ_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{m}' AS market, event_type,
+       CAST(count(*) FILTER (WHERE
+            extract(hour FROM (ts AT TIME ZONE 'UTC' AT TIME ZONE '{m}'))
+            BETWEEN 9 AND 16) AS BIGINT) AS n_business,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY event_type
+"""
+    for m in _MARKETS
+)
+
+
+@query("scalar_timezone_business_hours", oracle=TZ_ORACLE)
+def scalar_timezone_business_hours(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Business-hours (09:00–16:59 local) event share per market —
+    ``convert_timezone`` over three IANA zones, the correctness trap
+    every global pipeline hits: the same UTC instant is inside business
+    hours in one market and not another, and DST means the offset is a
+    function of the DATE, not a constant (which is why this is a zone
+    CONVERSION, never an offset addition).
+
+    The session stays pinned to UTC (oracle-parity rule,
+    session.RUNTIME_CONFS) and conversion happens per-expression, so
+    timestamps keep one canonical storage form with presentation-zone
+    math at the edge — the only layout that survives multi-region data
+    at 100 TB. Map-side expression + one partial-agg shuffle per market,
+    unioned; the DuckDB oracle spells the same conversion as AT TIME
+    ZONE chains through the same IANA database.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for m in _MARKETS:
+        local_hour = F.hour(F.convert_timezone(F.lit("UTC"), F.lit(m), "ts"))
+        a = ev.groupBy("event_type").agg(
+            F.count_if(local_hour.between(9, 16)).alias("n_business"),
+            F.count(F.lit(1)).alias("n_total"),
+        ).select(
+            F.lit(m).alias("market"), "event_type", "n_business", "n_total"
+        )
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware matching — Spark 4 COLLATE coverage
+# ---------------------------------------------------------------------------
+
+_COLLATE_TERMS = ("SPARK", "Merge", "TABLE", "window")
+
+_COLLATE_VALUES = ", ".join(f"('{t}')" for t in _COLLATE_TERMS)
+
+COLLATION_ORACLE = f"""
+WITH terms(term) AS (VALUES {_COLLATE_VALUES}),
+w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT t.term,
+       CAST(count(*) AS BIGINT) AS n_ci_matches,
+       CAST(count(*) FILTER (WHERE w.word = t.term) AS BIGINT)
+           AS n_binary_matches
+FROM w JOIN terms t ON w.word = t.term COLLATE NOCASE
+GROUP BY t.term
+"""
+
+
+@query("scalar_collation_match", oracle=COLLATION_ORACLE)
+def scalar_collation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive matching via COLLATION (Spark 4 ``COLLATE
+    UTF8_LCASE`` vs DuckDB ``COLLATE NOCASE``) — a mixed-case term list
+    joined against the all-lowercase corpus: the collated join finds
+    every occurrence while the binary comparison inside the same result
+    counts 0 for the uppercase terms (pinned in test_round4h), proving
+    the collation — not data luck — does the folding.
+
+    Collation beats lower()-wrapping at scale because the comparison
+    stays SARGable and a collated column's stats/partitioning remain
+    usable — wrapping both sides in lower() re-derives strings per row
+    and blinds pruning. One broadcast of the 4-term list; the corpus
+    side streams map-only into the join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    terms = spark.createDataFrame(
+        [(t,) for t in _COLLATE_TERMS], "term string"
+    )
+    joined = w.join(
+        broadcast(terms),
+        F.expr("word COLLATE UTF8_LCASE = term COLLATE UTF8_LCASE"),
+    )
+    return joined.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_ci_matches"),
+        F.count_if(F.col("word") == F.col("term")).alias(
+            "n_binary_matches"
+        ),
+    )

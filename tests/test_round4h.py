@@ -338,3 +338,49 @@ def test_classifier_eval_all_cells_exercised_and_exact(spark):
     assert r["precision_ppm"] == math.floor(tp * 1e6 / (tp + fp))
     assert r["recall_ppm"] == math.floor(tp * 1e6 / (tp + fn))
     assert r["f1_ppm"] == math.floor(2 * tp * 1e6 / (2 * tp + fp + fn))
+
+
+def test_collation_does_the_folding_not_data_luck(spark):
+    got = (
+        QUERIES["scalar_collation_match"](spark, SF_DIR)
+        .toPandas()
+        .set_index("term")
+    )
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    cnt = Counter(w for t in docs["text"] for w in t.split(" "))
+    for term in ("SPARK", "Merge", "TABLE", "window"):
+        ci = cnt.get(term.lower(), 0)
+        if ci == 0:
+            assert term not in got.index
+            continue
+        assert got.loc[term, "n_ci_matches"] == ci
+        # corpus is all-lowercase: binary equality finds the mixed-case
+        # terms ONLY if the term is already lowercase
+        expected_binary = ci if term == term.lower() else 0
+        assert got.loc[term, "n_binary_matches"] == expected_binary
+    assert got.loc["SPARK", "n_ci_matches"] > 0
+    assert got.loc["SPARK", "n_binary_matches"] == 0
+
+
+def test_business_hours_differ_across_markets(spark):
+    got = QUERIES["scalar_timezone_business_hours"](spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ts = pd.to_datetime(ev["ts"]).dt.tz_localize("UTC")
+    for market in ("America/New_York", "Europe/London", "Asia/Tokyo"):
+        local = ts.dt.tz_convert(market)
+        biz = local.dt.hour.between(9, 16)
+        ref = (
+            pd.DataFrame({"t": ev["event_type"], "b": biz})
+            .groupby("t")["b"]
+            .agg(["sum", "size"])
+        )
+        sub = got[got["market"] == market].set_index("event_type")
+        for t, row in ref.iterrows():
+            assert sub.loc[t, "n_business"] == row["sum"], (market, t)
+            assert sub.loc[t, "n_total"] == row["size"]
+    # the same events produce different business-hour counts per market —
+    # if these were equal the conversion would be a no-op
+    shares = got.groupby("market")["n_business"].sum()
+    assert shares.nunique() > 1
