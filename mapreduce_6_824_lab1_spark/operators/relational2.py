@@ -1820,3 +1820,138 @@ def scalar_collation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_binary_matches"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# try_* parsing quarantine — the string-ingest sibling of scalar_try_arith
+# ---------------------------------------------------------------------------
+
+TRY_PARSE_ORACLE = """
+WITH messy AS (
+    SELECT o_orderstatus AS status,
+           CASE o_orderkey % 5
+             WHEN 0 THEN 'not a date'
+             WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+             ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS ts_str,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN 'x' || CAST(o_totalprice AS VARCHAR)
+                ELSE printf('%.2f', o_totalprice) END AS num_str,
+           o_orderdate, o_totalprice
+    FROM orders
+),
+parsed AS (
+    SELECT status,
+           coalesce(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
+                    try_strptime(ts_str, '%d/%m/%Y')) AS ts,
+           try_cast(num_str AS DOUBLE) AS num
+    FROM messy
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(ts) AS BIGINT) AS n_ts_parsed,
+       CAST(count(num) AS BIGINT) AS n_num_parsed,
+       CAST(sum(CAST(epoch_us(ts) AS BIGINT) // 86400000000) AS BIGINT)
+           AS sum_epoch_days,
+       CAST(sum(CAST(floor(num * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM parsed GROUP BY status
+"""
+
+
+@query("scalar_try_parse", oracle=TRY_PARSE_ORACLE)
+def scalar_try_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-failure string parsing (``try_to_timestamp`` across two
+    date formats, ``try_to_number``) over a deterministically messy
+    landing column — the string-ingest sibling of scalar_try_arith and
+    the expression-level form of the corrupt-records quarantine: bad
+    values become NULLs that the audit counts, never exceptions that
+    kill the job and never silent coercions.
+
+    Parsed values are AUDITED, not just counted: epoch-day and
+    integer-cent sums over the successes must match the oracle exactly,
+    so a format that 'parses' to the wrong instant (dd/MM vs MM/dd is
+    THE classic) fails the hash rather than slipping through. Map-only
+    expressions + one aggregate; every parse failure is a NULL in a
+    column, so the quarantine costs nothing at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    messy = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.pmod("o_orderkey", F.lit(5)) == 0, F.lit("not a date"))
+        .when(
+            F.pmod("o_orderkey", F.lit(5)) == 1,
+            F.date_format("o_orderdate", "dd/MM/yyyy"),
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ts_str"),
+        F.when(
+            F.pmod("o_orderkey", F.lit(7)) == 0,
+            F.concat(F.lit("x"), F.col("o_totalprice").cast("string")),
+        )
+        .otherwise(F.format_string("%.2f", "o_totalprice"))
+        .alias("num_str"),
+    )
+    parsed = messy.select(
+        "status",
+        F.coalesce(
+            F.try_to_timestamp("ts_str", F.lit("yyyy-MM-dd HH:mm:ss")),
+            F.try_to_timestamp("ts_str", F.lit("dd/MM/yyyy")),
+        ).alias("ts"),
+        F.expr("try_cast(num_str AS DOUBLE)").alias("num"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("ts").alias("n_ts_parsed"),
+        F.count("num").alias("n_num_parsed"),
+        F.sum(F.expr("unix_micros(ts) div 86400000000"))
+        .cast("long")
+        .alias("sum_epoch_days"),
+        F.sum(F.floor(F.col("num") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct — EXACT distinct counting with mergeable bounded state
+# ---------------------------------------------------------------------------
+
+BITMAP_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_bitmap_distinct", oracle=BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct supplier counts per return flag via bitmap
+    aggregation (``bitmap_bit_position`` → ``bitmap_construct_agg`` per
+    32k-key bucket → sum of ``bitmap_count``s) — the middle ground the
+    sketch family lacks: count_distinct's exactness with HLL's mergeable
+    fixed-size state (4 KB per bucket, OR-merge partials), the right
+    tool for bounded integer key domains at 100 TB where a shuffle-dedup
+    count_distinct repartitions the fact and HLL gives up exactness.
+
+    The mechanism is exotic but the RESULT is plain relational, so the
+    oracle is simply COUNT(DISTINCT) — the strongest check an alternate
+    physical strategy can get. Two cheap aggregates: (flag, bucket)
+    bitmaps first (map-side OR-combine), then a per-flag sum of bucket
+    counts; n_rows rides the first pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("bitmap_bucket_number(l_suppkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(l_suppkey)))"
+        ).alias("cnt"),
+        F.count(F.lit(1)).alias("rows_in_bucket"),
+    )
+    return buckets.groupBy("flag").agg(
+        F.sum("rows_in_bucket").cast("long").alias("n_rows"),
+        F.sum("cnt").cast("long").alias("n_suppliers"),
+    )

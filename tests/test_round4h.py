@@ -384,3 +384,47 @@ def test_business_hours_differ_across_markets(spark):
     # if these were equal the conversion would be a no-op
     shares = got.groupby("market")["n_business"].sum()
     assert shares.nunique() > 1
+
+
+def test_try_parse_counts_and_format_correctness(spark):
+    import numpy as np
+
+    got = (
+        QUERIES["scalar_try_parse"](spark, SF_DIR)
+        .toPandas()
+        .set_index("status")
+    )
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    k = orders["o_orderkey"]
+    # ts parses unless k%5==0 (garbage); num parses unless k%7==0 (poison)
+    for s, g in orders.groupby("o_orderstatus"):
+        gk = g["o_orderkey"]
+        assert got.loc[s, "n_rows"] == len(g)
+        assert got.loc[s, "n_ts_parsed"] == (gk % 5 != 0).sum()
+        assert got.loc[s, "n_num_parsed"] == (gk % 7 != 0).sum()
+        # dd/MM round-trip correctness: the parsed instants must be the
+        # ORIGINAL dates (a MM/dd misparse would survive counting but
+        # shift the epoch-day sum)
+        dt = pd.to_datetime(g[gk % 5 != 0]["o_orderdate"])
+        days = (
+            dt.values.astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        assert got.loc[s, "sum_epoch_days"] == days.sum()
+        cents = np.floor(
+            np.round(g[gk % 7 != 0]["o_totalprice"].to_numpy(), 2) * 100
+            + 0.5
+        ).astype("int64")
+        assert got.loc[s, "sum_cents"] == cents.sum()
+
+
+def test_bitmap_distinct_equals_nunique(spark):
+    got = (
+        QUERIES["agg_bitmap_distinct"](spark, SF_DIR)
+        .toPandas()
+        .set_index("flag")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, g in li.groupby("l_returnflag"):
+        assert got.loc[flag, "n_rows"] == len(g)
+        assert got.loc[flag, "n_suppliers"] == g["l_suppkey"].nunique()
