@@ -374,3 +374,116 @@ def running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber"
     )
     return part.mapInPandas(_fold_balance_partition, schema=BALANCE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches — the mergeable-quantiles member of the sketch family
+# ---------------------------------------------------------------------------
+
+
+@query("agg_kll_quantiles")  # rows-only: KLL is a randomized sketch
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation with DataSketches KLL (Spark 4 built-ins):
+    per-return-flag sketches over price cents, plus an ALL row built by
+    MERGING the per-flag sketches — mergeability is the whole point
+    (partial sketches combine associatively, so quantiles of a 100 TB
+    table cost one partial-agg shuffle of ~KB-sized states, where exact
+    percentiles need a sort or value-grain compaction like
+    agg_weighted_percentile).
+
+    Completes the sketch family: HLL (distinct), approx top-k (heavy
+    hitters), and now KLL (quantiles). Rows-only like the other
+    randomized sketches — the normalized-rank error bound (±~2% rank at
+    the default k) is pinned against exact order statistics in
+    tests/test_round4h.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_flag = cents.groupBy("flag").agg(
+        F.expr("kll_sketch_agg_bigint(cents)").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flags = per_flag.select(
+        "flag",
+        "n",
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)").alias(
+            "p50_cents"
+        ),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)").alias(
+            "p90_cents"
+        ),
+    )
+    merged = per_flag.agg(
+        F.expr("kll_merge_agg_bigint(sk)").alias("sk"),
+        F.sum("n").cast("long").alias("n"),
+    ).select(
+        F.lit("ALL").alias("flag"),
+        "n",
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)").alias(
+            "p50_cents"
+        ),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)").alias(
+            "p90_cents"
+        ),
+    )
+    return flags.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic column encryption — equality-preserving PII protection
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0000111122223333"  # fixture key; production = KMS-managed
+
+ENCRYPT_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_plain,
+       CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_cipher,
+       CAST(count(*) AS BIGINT) AS n_roundtrip_ok
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@query("pii_encrypt_roundtrip", oracle=ENCRYPT_ORACLE)
+def pii_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption audit with ``aes_encrypt``/``aes_decrypt``
+    in deliberately DETERMINISTIC ECB mode: ciphertext cardinality must
+    equal plaintext cardinality (equality-preserving encryption — what
+    lets joins/dedup/groupBy run on protected columns without the key)
+    and every row must decrypt back byte-identical.
+
+    The trade is stated, not hidden: determinism IS ECB's leak
+    (identical plaintexts are visible as identical ciphertexts) — it is
+    chosen exactly when that equality is the feature; randomized GCM is
+    the default for pure at-rest protection. Only COUNTS leave this
+    operator, so the audit is fully oracle-checkable even though DuckDB
+    has no AES: distinct-cipher == distinct-plain and roundtrip-ok == n
+    are data-independent invariants the oracle states directly — a
+    mechanism-exotic/result-relational key like agg_bitmap_distinct.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    enc = c.select(
+        "c_mktsegment",
+        "c_name",
+        F.expr(f"aes_encrypt(c_name, '{_AES_KEY}', 'ECB')").alias("ct"),
+    )
+    audit = enc.select(
+        "c_mktsegment",
+        "c_name",
+        "ct",
+        F.expr(
+            f"CAST(aes_decrypt(ct, '{_AES_KEY}', 'ECB') AS STRING)"
+        ).alias("rt"),
+    )
+    return audit.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("c_name").alias("n_distinct_plain"),
+        F.count_distinct("ct").alias("n_distinct_cipher"),
+        F.count_if(F.col("rt") == F.col("c_name")).alias("n_roundtrip_ok"),
+    )

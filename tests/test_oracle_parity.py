@@ -34,6 +34,7 @@ def test_all_queries_registered():
         "embedding_pca_power",  # eigenvector: numpy-pinned, not SQL
         "running_balance_clamped",  # clamped recurrence: python-pinned
         "tokenizer_bpe_train",  # iterative merge loop: python-pinned
+        "agg_kll_quantiles",  # randomized sketch: rank-error-bound-pinned
     }, f"unexpected rows-only queries: {rows_only}"
 
 

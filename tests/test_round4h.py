@@ -428,3 +428,39 @@ def test_bitmap_distinct_equals_nunique(spark):
     for flag, g in li.groupby("l_returnflag"):
         assert got.loc[flag, "n_rows"] == len(g)
         assert got.loc[flag, "n_suppliers"] == g["l_suppkey"].nunique()
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    import numpy as np
+
+    got = (
+        QUERIES["agg_kll_quantiles"](spark, SF_DIR)
+        .toPandas()
+        .set_index("flag")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    cents = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    groups = {f: np.sort(c["c"].to_numpy()) for f, c in
+              pd.DataFrame({"f": li["l_returnflag"], "c": cents}).groupby("f")}
+    groups["ALL"] = np.sort(cents)
+    for flag, arr in groups.items():
+        row = got.loc[flag]
+        assert row["n"] == len(arr)
+        for p, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
+            est = row[col]
+            # estimate's empirical rank must be within 3% of the target
+            rank = np.searchsorted(arr, est, side="right") / len(arr)
+            assert abs(rank - p) <= 0.03, (flag, col, rank)
+
+
+def test_encrypt_roundtrip_invariants(spark):
+    got = QUERIES["pii_encrypt_roundtrip"](spark, SF_DIR).toPandas()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    assert got["n"].sum() == len(cust)
+    # decrypt(encrypt(x)) == x for every row, and determinism preserves
+    # exactly the plaintext cardinality — no more (mode is deterministic)
+    # and no fewer (AES is injective under one key)
+    assert (got["n_roundtrip_ok"] == got["n"]).all()
+    assert (got["n_distinct_cipher"] == got["n_distinct_plain"]).all()
