@@ -1955,3 +1955,56 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rows_in_bucket").cast("long").alias("n_rows"),
         F.sum("cnt").cast("long").alias("n_suppliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array quantifiers — exists / forall / arrays_zip
+# ---------------------------------------------------------------------------
+
+QUANTIFIER_ORACLE = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) FILTER (WHERE list_aggregate(
+                list_transform(embedding, x -> x < 0), 'bool_or'))
+            AS BIGINT) AS n_has_negative,
+       CAST(count(*) FILTER (WHERE list_aggregate(
+                list_transform(embedding, x -> abs(x) < 1.0), 'bool_and'))
+            AS BIGINT) AS n_all_unit,
+       CAST(sum(len(list_filter(list_zip(embedding, list_reverse(embedding)),
+                p -> (p[1] >= 0) = (p[2] >= 0)))) AS BIGINT)
+           AS n_sign_symmetric_positions
+FROM embeddings GROUP BY label
+"""
+
+
+@query("scalar_array_quantifiers", oracle=QUANTIFIER_ORACLE)
+def scalar_array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean-quantifier higher-order functions: ``exists`` (∃
+    component < 0), ``forall`` (∀ |component| < 1), and ``arrays_zip`` +
+    ``filter`` (per-vector count of positions whose sign matches the
+    mirrored position) over the embedding corpus — the predicates data
+    validation writes against array columns without ever exploding them.
+
+    All three evaluate inside the row (map-only, zero shuffle before the
+    label aggregate) and short-circuit where the semantics allow —
+    versus the explode-then-aggregate form, which multiplies the row
+    count by the array length just to fold it back. DuckDB mirrors with
+    list_aggregate bool_or/bool_and and list_zip/list_filter; float
+    comparisons are sign/threshold tests, so no rounding is involved
+    anywhere.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    zipped = F.expr(
+        "size(filter(arrays_zip(embedding, reverse(embedding)),"
+        " p -> (p.embedding >= 0) = (p.`1` >= 0)))"
+    )
+    return e.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_if(F.exists("embedding", lambda x: x < 0)).alias(
+            "n_has_negative"
+        ),
+        F.count_if(
+            F.forall("embedding", lambda x: F.abs(x) < 1.0)
+        ).alias("n_all_unit"),
+        F.sum(zipped).cast("long").alias("n_sign_symmetric_positions"),
+    )

@@ -487,3 +487,59 @@ def pii_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("ct").alias("n_distinct_cipher"),
         F.count_if(F.col("rt") == F.col("c_name")).alias("n_roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native scalar UDF — Spark 4.1's @arrow_udf (no pandas boxing)
+# ---------------------------------------------------------------------------
+
+ARROW_UDF_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events GROUP BY event_type
+"""
+
+
+@query("arrow_scalar_udf", oracle=ARROW_UDF_ORACLE)
+def arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's ``@arrow_udf`` — the Arrow-NATIVE scalar UDF: batches
+    arrive as ``pyarrow.Array`` and compute happens in Arrow compute
+    kernels, skipping the pandas Series boxing a ``@pandas_udf`` pays on
+    both edges (the scalar-function sibling of ``mapInArrow``,
+    arrow_embedding_norm).
+
+    The kernel quantizes values to integer cents with the SAME IEEE
+    multiply/add/floor sequence as the house rule, so the Python path is
+    value-exact against the relational oracle — the point being that
+    'UDF' and 'hash-exact' are compatible when the arithmetic shape is
+    pinned. Still the slow path versus built-ins; registered as API
+    coverage with the aggregate (JVM-side) doing the heavy lifting.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    # this module runs under `from __future__ import annotations`, which
+    # stringifies type hints — but arrow_udf infers its eval type from
+    # REAL pa.Array annotations. exec() the kernel in its own namespace
+    # so the hints stay live objects.
+    ns = {"pa": pa, "pc": pc}
+    exec(
+        "def _kernel(v: pa.Array) -> pa.Array:\n"
+        "    return pc.cast("
+        "pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)), pa.int64())",
+        ns,
+    )
+    to_cents = arrow_udf(ns["_kernel"], "long")
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", to_cents("value").alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
