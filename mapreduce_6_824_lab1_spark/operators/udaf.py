@@ -543,3 +543,67 @@ def arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native UDTF — table-in/table-out through pyarrow batches
+# ---------------------------------------------------------------------------
+
+ARROW_UDTF_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM events GROUP BY event_type
+"""
+
+
+@query("udtf_arrow_batch", oracle=ARROW_UDTF_ORACLE)
+def udtf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's ``@arrow_udtf`` with a TABLE argument: whole Arrow
+    batches in, Arrow tables out — the table-function completion of the
+    Arrow-native Python surface (scalar: arrow_scalar_udf; map:
+    arrow_embedding_norm; here N-columns-in/M-columns-out). Unlike
+    ``udtf_tokenize``'s row-at-a-time ``eval``, every batch is one
+    Python call over columnar buffers, so a vectorizable table transform
+    pays per-batch, not per-row, overhead.
+
+    The kernel quantizes to integer cents with the pinned IEEE shape
+    (hash-exact vs the relational oracle) and passes event_type through
+    untouched; the audit aggregate stays JVM-side after the UDTF.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="event_type string, cents bigint")
+    class Quantize:
+        def eval(self, batch):
+            tbl = (
+                batch
+                if isinstance(batch, pa.Table)
+                else pa.Table.from_batches([batch])
+            )
+            cents = pc.cast(
+                pc.floor(
+                    pc.add(pc.multiply(tbl.column("value"), 100.0), 0.5)
+                ),
+                pa.int64(),
+            )
+            yield pa.Table.from_arrays(
+                [tbl.column("event_type"), cents], ["event_type", "cents"]
+            )
+
+    spark.udtf.register("mr_arrow_quantize", Quantize)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "mr_audtf_events"
+    )
+    return spark.sql(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS total_cents, "
+        "CAST(max(cents) AS BIGINT) AS max_cents "
+        "FROM mr_arrow_quantize(TABLE(SELECT event_type, value "
+        "FROM mr_audtf_events)) GROUP BY event_type"
+    )
