@@ -74,6 +74,9 @@ EXTENDED = [
     "events_max_concurrency",
     "interval_union_length",
     "agg_weighted_percentile",
+    "similarity_knn_graph",
+    "cohort_revenue_ltv",
+    "supplier_scorecard",
 ]
 
 

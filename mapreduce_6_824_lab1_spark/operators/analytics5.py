@@ -1526,3 +1526,49 @@ def eval_binary_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(EVAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Hard data gate — assert_true kills the job instead of reporting
+# ---------------------------------------------------------------------------
+
+ASSERT_GATE_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS min_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("quality_assert_gate", oracle=ASSERT_GATE_ORACLE)
+def quality_assert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD data gate: ``assert_true`` inline in the pipeline kills the
+    job on the first violating row (here: non-positive order totals,
+    which the fixture never has) — the fail-stop complement to
+    ``table_expectations``' report-and-continue audit. Use the audit for
+    stewardship dashboards; use the gate where downstream writes must
+    never see a violating row (an invalid row costs a failed job, a
+    leaked row costs a poisoned table).
+
+    The assertion is a map-side expression fused into the scan — zero
+    cost on the happy path at any scale, no extra pass. The gate's
+    teeth are pinned in tests/test_round4h.py: the same plan over a
+    frame containing one violating row must RAISE, not filter. The
+    passing pipeline's aggregate is ordinary and oracle-checked.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    gated = o.select(
+        "o_orderstatus",
+        F.when(
+            F.assert_true(
+                cents > 0, F.lit("order with non-positive total")
+            ).isNull(),
+            cents,
+        ).alias("cents"),
+    )
+    return gated.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").cast("long").alias("min_cents"),
+    )

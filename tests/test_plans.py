@@ -99,6 +99,20 @@ def test_no_python_udf_in_relational_paths(spark):
         "sample_contrastive_negatives",
         "diagnose_partition_skew",
         "estimate_join_cardinality",
+        "events_forecast_baseline",
+        "cohort_revenue_ltv",
+        "supplier_scorecard",
+        "eval_binary_classifier",
+        "scalar_timezone_business_hours",
+        "scalar_collation_match",
+        "scalar_try_parse",
+        "agg_bitmap_distinct",
+        "scalar_array_quantifiers",
+        "similarity_knn_graph",
+        "quality_assert_gate",
+        "timeseries_decay_sum",
+        "join_fallback_keys",
+        "hierarchy_share_rollup",
     ):
         plan = formatted_plan(QUERIES[key](spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key

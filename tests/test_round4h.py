@@ -464,3 +464,22 @@ def test_encrypt_roundtrip_invariants(spark):
     # and no fewer (AES is injective under one key)
     assert (got["n_roundtrip_ok"] == got["n"]).all()
     assert (got["n_distinct_cipher"] == got["n_distinct_plain"]).all()
+
+
+def test_assert_gate_raises_on_violation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    # happy path: the registered key runs and audits (covered by parity);
+    # the TEETH: one violating row must kill the job, not pass through
+    bad = spark.createDataFrame(
+        [("O", 100.0), ("F", -1.0)], "o_orderstatus string, o_totalprice double"
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    gated = bad.select(
+        F.when(
+            F.assert_true(cents > 0, F.lit("non-positive")).isNull(), cents
+        ).alias("cents")
+    )
+    with pytest.raises(Exception, match="non-positive"):
+        gated.agg(F.sum("cents")).collect()
