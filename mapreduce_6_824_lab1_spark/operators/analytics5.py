@@ -821,8 +821,8 @@ WITH iv AS (
     FROM events
 ),
 m AS (
-    SELECT user_id, s, e,
-           CAST(max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+    SELECT user_id, s, e, event_id,
+           CAST(max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND 1 PRECEDING) AS BIGINT) AS pmax
     FROM iv
@@ -830,7 +830,7 @@ m AS (
 isl AS (
     SELECT user_id, s, e,
            CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-                OVER (PARTITION BY user_id ORDER BY s, e
+                OVER (PARTITION BY user_id ORDER BY s, e, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS island
     FROM m
@@ -850,20 +850,26 @@ def interval_union_fold(iv: DataFrame) -> DataFrame:
     """Core interval-union fold over (user_id, event_id, s, e) rows —
     factored out so property tests can drive it with synthetic interval
     sets (tests/test_properties.py pins duplication-invariance)."""
+    # ONE ordering for BOTH windows — (s, e, event_id). With inconsistent
+    # tie orders (s,event_id vs s,e) two same-start intervals could land
+    # island flags in a different sequence than their pmax values assumed,
+    # splitting one island into two (hypothesis found the 2-interval
+    # counterexample; pinned in test_properties).
     wprev = (
         Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     m = iv.select(
-        "user_id", "s", "e", F.max("e").over(wprev).alias("pmax")
+        "user_id", "s", "e", "event_id",
+        F.max("e").over(wprev).alias("pmax"),
     )
     flag = F.when(
         F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
     ).otherwise(0)
     wisl = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     isl = m.select(
