@@ -939,6 +939,31 @@ GROUP BY 1
 """
 
 
+def concurrency_sweep(pts: DataFrame) -> DataFrame:
+    """Distributed sweep-line over (t, d, event_id) boundary points:
+    hour-bucketed local running sums + broadcast bucket offsets. Factored
+    so property tests can drive it with synthetic/adversarial tie sets
+    (tests/test_properties.py). The bucket is a monotone function of t,
+    so the global (t, d, event_id) order restricted to a bucket equals
+    the bucket-local order — prefix sums compose exactly across the cut.
+    Returns one row per point: (t, conc)."""
+    pts = pts.withColumn("bkt", F.expr("t div 3600000000"))
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.withColumn("local_sum", F.sum("d").over(wloc))
+    btot = pts.groupBy("bkt").agg(F.sum("d").alias("bd"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "bkt", F.coalesce(F.sum("bd").over(woff), F.lit(0)).alias("off")
+    )  # hour-grain: dimension-sized single-partition window
+    return local.join(broadcast(offsets), "bkt").select(
+        "t", (F.col("local_sum") + F.col("off")).cast("long").alias("conc")
+    )
+
+
 @query("events_max_concurrency", oracle=MAX_CONCURRENCY_ORACLE)
 def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent activity per day when every event opens a
@@ -969,23 +994,7 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("d"),
         "event_id",
     )
-    pts = starts.unionByName(ends).withColumn(
-        "bkt", F.expr("t div 3600000000")
-    )
-    wloc = (
-        Window.partitionBy("bkt")
-        .orderBy("t", "d", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = pts.withColumn("local_sum", F.sum("d").over(wloc))
-    btot = pts.groupBy("bkt").agg(F.sum("d").alias("bd"))
-    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = btot.select(
-        "bkt", F.coalesce(F.sum("bd").over(woff), F.lit(0)).alias("off")
-    )  # hour-grain: dimension-sized single-partition window
-    sweep = local.join(broadcast(offsets), "bkt").select(
-        "t", (F.col("local_sum") + F.col("off")).cast("long").alias("conc")
-    )
+    sweep = concurrency_sweep(starts.unionByName(ends))
     return (
         sweep.select(
             F.date_format(F.timestamp_micros("t"), "yyyy-MM-dd").alias(

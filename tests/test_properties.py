@@ -310,3 +310,50 @@ def test_interval_union_duplication_invariant(spark, ivs):
     assert got2["covered_us"] == covered  # duplication changes nothing
     assert got2["n_islands"] == islands
     assert got2["n_events"] == 2 * got["n_events"]
+
+
+# adversarial point sets: many coincident times, bucket-boundary values
+SWEEP_POINTS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            # exact hour boundaries, near-boundaries, and dense ties (µs)
+            [0, 1, 3_599_999_999, 3_600_000_000, 3_600_000_001,
+             7_200_000_000, 5_000_000, 5_000_000, 10_800_000_000]
+        ),
+        st.sampled_from([1, -1]),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=SWEEP_POINTS)
+def test_concurrency_sweep_matches_serial_prefix_sum(spark, points):
+    """The bucket-decomposed distributed prefix sum must equal the plain
+    serial sweep for ANY point multiset — including ties at bucket
+    boundaries, the class where an ordering mismatch between the local
+    window and the offset table would show up (the interval_union
+    tie-order bug's sibling hazard)."""
+    from mapreduce_6_824_lab1_spark.operators.analytics5 import (
+        concurrency_sweep,
+    )
+
+    rows = [(t, d, i) for i, (t, d) in enumerate(points)]
+    df = spark.createDataFrame(rows, "t long, d long, event_id long")
+    got = sorted(
+        ((r["t"], r["conc"]) for r in concurrency_sweep(df).collect())
+    )
+    ref = []
+    run = 0
+    for t, d, _ in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        run += d
+        ref.append((t, run))
+    # compare as multisets of (t, conc): within equal (t,d) ties the row
+    # identity is interchangeable, and the running values still must
+    # match position-for-position in the global order
+    assert sorted(ref) == got
