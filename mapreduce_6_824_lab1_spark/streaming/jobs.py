@@ -990,3 +990,102 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         _shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER join — null emission on BOTH sides
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_stream_full_outer",
+    oracle=f"""
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+mx AS (SELECT least((SELECT max(ts) FROM e), (SELECT max(ts) FROM p)) AS m),
+matched AS (
+    SELECT e.event_id AS err_id, p.event_id AS pur_id, e.user_id
+    FROM e JOIN p ON e.user_id = p.user_id
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+),
+unmatched_left AS (
+    SELECT e.event_id AS err_id, CAST(-1 AS BIGINT) AS pur_id, e.user_id
+    FROM e, mx
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = e.user_id AND p.ts > e.ts
+          AND p.ts <= e.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+    )
+    AND e.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+        < mx.m - INTERVAL 1 HOUR
+),
+unmatched_right AS (
+    SELECT CAST(-1 AS BIGINT) AS err_id, p.event_id AS pur_id, p.user_id
+    FROM p, mx
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e
+        WHERE e.user_id = p.user_id AND p.ts > e.ts
+          AND p.ts <= e.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+    )
+    AND p.ts < mx.m - INTERVAL 1 HOUR
+)
+SELECT err_id, pur_id, user_id
+FROM (SELECT * FROM matched
+      UNION ALL SELECT * FROM unmatched_left
+      UNION ALL SELECT * FROM unmatched_right)
+""",
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER time-range join — null emission on BOTH
+    sides, completing the inner (stream_stream_join) / left-outer
+    (stream_stream_left_outer) matrix: unmatched errors flush once the
+    right watermark closes their forward window, and unmatched PURCHASES
+    flush once the left watermark passes their ts (an error matching a
+    purchase must PRECEDE it, so a purchase's entire candidate range is
+    in its past — its null row is provable as soon as the watermark
+    reaches its own event time, 30 minutes earlier than the symmetric
+    left case).
+
+    The oracle takes matched pairs plus each side's unmatched rows whose
+    state provably closed before the final min-of-sides watermark;
+    boundary-equality unreachability follows the left-outer key's
+    µs-precision argument (test_stream_boundary). Null ids fill with −1
+    for stable integer dtypes; ts strings are omitted so both null sides
+    share one schema.
+    """
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pur_id"),
+            F.col("user_id").alias("pur_user"),
+            F.col("ts").alias("pur_ts"),
+        )
+        .withWatermark("pur_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("err_user") == F.col("pur_user"))
+        & (F.col("pur_ts") > F.col("err_ts"))
+        & (
+            F.col("pur_ts")
+            <= F.col("err_ts")
+            + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("err_id", F.lit(-1)).alias("err_id"),
+        F.coalesce("pur_id", F.lit(-1)).alias("pur_id"),
+        F.coalesce("err_user", "pur_user").alias("user_id"),
+    )
+    return _run_to_memory(joined, spark, mode="append")

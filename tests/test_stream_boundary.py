@@ -115,6 +115,30 @@ def test_no_error_window_close_on_join_watermark(sf):
     assert hits == 0
 
 
+def test_no_purchase_state_close_on_join_watermark(sf):
+    """stream_stream_full_outer pin: no purchase's state provably closes
+    exactly on the join's final watermark — the right-side sibling of the
+    error-window pin above (a purchase's candidate range ends at its own
+    ts, so the boundary is ts == watermark itself)."""
+    hits = duckdb.sql(
+        f"""
+        WITH ev AS (
+            SELECT * FROM read_parquet('/root/testdata/sf{sf}/events.parquet')
+        ),
+        mx AS (
+            SELECT least(
+                (SELECT max(ts) FROM ev WHERE event_type = 'error'),
+                (SELECT max(ts) FROM ev WHERE event_type = 'purchase')
+            ) AS m
+        )
+        SELECT count(*) FROM ev, mx
+        WHERE event_type = 'purchase'
+          AND ts = mx.m - INTERVAL 1 HOUR
+        """
+    ).fetchone()[0]
+    assert hits == 0
+
+
 def test_stateful_ns_normalization_paths_identical(spark):
     """ADVICE r3 carry-over: the sessionizer's two Spark-version read paths
     (legacy long-ns vs native TIMESTAMP_NTZ µs) must classify gap
