@@ -115,6 +115,7 @@ def test_no_error_window_close_on_join_watermark(sf):
     assert hits == 0
 
 
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
 def test_no_purchase_state_close_on_join_watermark(sf):
     """stream_stream_full_outer pin: no purchase's state provably closes
     exactly on the join's final watermark — the right-side sibling of the
