@@ -1587,3 +1587,83 @@ def quality_assert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.min("cents").cast("long").alias("min_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users — exact WAU/DAU without a distinct-in-window
+# ---------------------------------------------------------------------------
+
+ROLLING_WAU_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+bounds AS (SELECT max(day) AS mx FROM ud),
+fan AS (
+    SELECT ud.day + to_days(CAST(i AS INT)) AS window_day,
+           ud.user_id, i
+    FROM ud, unnest(generate_series(0, 6)) AS gs(i), bounds
+    WHERE ud.day + to_days(CAST(i AS INT)) <= bounds.mx
+)
+SELECT strftime(window_day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS BIGINT)
+           AS dau,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+       (CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS BIGINT)
+           * 1000000) // CAST(count(DISTINCT user_id) AS BIGINT)
+           AS stickiness_ppm
+FROM fan GROUP BY window_day
+"""
+
+
+@query("events_rolling_wau", oracle=ROLLING_WAU_ORACLE)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users per day (WAU) next to same-day
+    actives (DAU) and the DAU/WAU stickiness ratio — the engagement
+    metric every product dashboard leads with, and a deliberately hard
+    operator: COUNT DISTINCT is not algebraic, so no window frame can
+    roll it.
+
+    The scale-correct form: dedup events to (day, user) grain FIRST (one
+    shuffle — the only fact-grain pass), then each user-day fans out to
+    the ≤7 window-days it supports via a sequence explode, turning the
+    rolling window into a plain equi-GROUP BY with a distinct aggregate.
+    The 7× fan-out happens at user-day grain (bounded by users×days),
+    never event grain — the difference between this and the naive
+    spine-range-join is what survives 100 TB. Days with no trailing
+    context still report correctly because membership, not history
+    length, defines the window; trailing days beyond max(day) are
+    clipped on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    mx = ud.agg(F.max("day").alias("mx"))
+    fan = (
+        ud.crossJoin(broadcast(mx))
+        .select(
+            "user_id",
+            "mx",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+        )
+        .select(
+            "user_id",
+            "i",
+            F.expr("day + make_interval(0, 0, 0, i)").alias("window_day"),
+            "mx",
+        )
+        .filter(F.col("window_day") <= F.col("mx"))
+    )
+    return fan.groupBy(
+        F.date_format("window_day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count_distinct(
+            F.when(F.col("i") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct("user_id").alias("wau"),
+        F.expr(
+            "(count(DISTINCT CASE WHEN i = 0 THEN user_id END) * 1000000)"
+            " div count(DISTINCT user_id)"
+        ).alias("stickiness_ppm"),
+    )

@@ -483,3 +483,30 @@ def test_assert_gate_raises_on_violation(spark):
     )
     with pytest.raises(Exception, match="non-positive"):
         gated.agg(F.sum("cents")).collect()
+
+
+def test_rolling_wau_matches_pandas_and_invariants(spark):
+    got = (
+        QUERIES["events_rolling_wau"](spark, SF_DIR)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    d = pd.to_datetime(ev["ts"]).dt.normalize()
+    ud = pd.DataFrame({"day": d, "u": ev["user_id"]}).drop_duplicates()
+    days = sorted(ud["day"].unique())
+    by_day = {day: set(g["u"]) for day, g in ud.groupby("day")}
+    for day in days:
+        key = str(pd.Timestamp(day).date())
+        dau = len(by_day.get(day, set()))
+        week = set()
+        for back in range(7):
+            week |= by_day.get(day - pd.Timedelta(days=back), set())
+        row = got.loc[key]
+        assert row["dau"] == dau, key
+        assert row["wau"] == len(week), key
+        assert row["stickiness_ppm"] == dau * 1_000_000 // len(week)
+        # invariants: dau <= wau <= sum of daus in window
+        assert row["dau"] <= row["wau"]
+    assert len(got) == len(days)
