@@ -50,6 +50,16 @@ def _driver_verified_rounds() -> dict[str, int]:
     registry — and any key that ever FAILED re-enters the window.
     """
     seen: dict[str, int] = {}
+    for rnd, data in _correctness_rounds():
+        for k, row in data.items():
+            if _row_passed(row):
+                seen[k] = max(rnd, seen.get(k, 0))
+    return seen
+
+
+def _correctness_rounds() -> list[tuple[int, dict]]:
+    """All readable CORRECTNESS_r*.json files as (round, rows) pairs."""
+    out: list[tuple[int, dict]] = []
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
         try:
             rnd = int(path.stem.split("_r")[-1])
@@ -60,15 +70,31 @@ def _driver_verified_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            for k, row in data.items():
-                if _row_passed(row):
-                    seen[k] = max(rnd, seen.get(k, 0))
-    return seen
+            out.append((rnd, data))
+    return out
+
+
+def _driver_failed_keys() -> list[str]:
+    """Keys whose LATEST driver row failed (err, or an explicit False on
+    rows/schema/hash).  These jump to the absolute head of the window:
+    a red row must be re-checked the very next round, not buried behind
+    family interleaving (``cdc_apply_latest`` sat unverified for a round
+    because its 1-key family landed at fraction 0.5 of a 150-key fresh
+    list — past slot 50)."""
+    latest: dict[str, tuple[int, bool]] = {}
+    for rnd, data in _correctness_rounds():
+        for k, row in data.items():
+            prev = latest.get(k)
+            if prev is None or rnd >= prev[0]:
+                latest[k] = (rnd, _row_passed(row))
+    return [k for k, (_, ok) in latest.items() if not ok]
 
 
 def _rotated_keys() -> list[str]:
-    """Registry keys, never-driver-verified first so the driver's [0:50]
-    window always checks fresh keys. WITHIN the fresh group, keys are
+    """Registry keys: latest-row-FAILED keys at the absolute head (a red
+    driver row is re-checked the very next round), then never-driver-verified
+    keys so the driver's [0:50] window always checks fresh keys, then
+    previously-verified keys stalest-first. WITHIN the fresh group, keys are
     round-robined across operator families (prefix before the first '_'):
     with more fresh keys than window slots, plain registry order would
     starve whole families registered late in the import order (the
@@ -80,7 +106,10 @@ def _rotated_keys() -> list[str]:
     seen = _driver_verified_rounds()
     keys = list(QUERIES)
     order = {k: i for i, k in enumerate(keys)}
-    fresh = [k for k in keys if k not in seen]
+    failed = [k for k in _driver_failed_keys() if k in order]
+    failed.sort(key=lambda k: order[k])
+    failed_set = set(failed)
+    fresh = [k for k in keys if k not in seen and k not in failed_set]
 
     families: dict[str, list[str]] = {}
     for k in fresh:  # registry order preserved within each family
@@ -96,8 +125,11 @@ def _rotated_keys() -> list[str]:
     }
     interleaved = sorted(fresh, key=lambda k: (frac[k], order[k]))
 
-    stale = sorted((k for k in keys if k in seen), key=lambda k: (seen[k], order[k]))
-    return interleaved + stale
+    stale = sorted(
+        (k for k in keys if k in seen and k not in failed_set),
+        key=lambda k: (seen[k], order[k]),
+    )
+    return failed + interleaved + stale
 
 
 def entry(spark: SparkSession) -> DataFrame:

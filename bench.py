@@ -77,6 +77,10 @@ EXTENDED = [
     "similarity_knn_graph",
     "cohort_revenue_ltv",
     "supplier_scorecard",
+    # round 5: the iterative heavies (loop-structured plans, the ones a
+    # regression in scoped shuffle confs or checkpointing shows up in first)
+    "similarity_knn_clusters",
+    "graph_bfs_frontier",
 ]
 
 

@@ -18,7 +18,7 @@ raw ingest and tokenizer/trainer handoff:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -263,13 +263,28 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             x, y, c = top[0]["x"], top[0]["y"], int(top[0]["c"])
             merged = f"{x}{BPE_JOIN}{y}"
             merges.append((step, x, y, merged, c))
+            # data-derived tokens enter the plan as bound literals
+            # (F.lit), never interpolated into SQL text — an apostrophe
+            # or backslash in a token must not break the expression
+            def _merge_step(acc: Column, t: Column) -> Column:
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(x))
+                    & (t == F.lit(y))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(t)))
+
             nxt = toks.select(
-                F.expr(
-                    "aggregate(toks, CAST(array() AS array<string>), "
-                    "(acc, t) -> IF(size(acc) > 0 "
-                    f"AND element_at(acc, -1) = '{x}' AND t = '{y}', "
-                    f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
-                    "concat(acc, array(t))))"
+                F.aggregate(
+                    "toks",
+                    F.array().cast("array<string>"),
+                    _merge_step,
                 ).alias("toks")
             ).persist()
             nxt.count()  # materialize before dropping the parent

@@ -372,58 +372,135 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KNN_GRAPH_K = 3
+KNN_TABLES = 4  # independent LSH tables (dim groups 0-7, 8-15, 16-23, 24-31)
+KNN_BITS = 8  # sign bits per table → 256 buckets/table at fixture scale
+KNN_BUCKET_CAP = 64  # hot-bucket drop: buckets larger than this generate no
+#                      pairs (skew guard, same role as dedup's DF cap; the
+#                      fixture's largest bucket is 16, so the cap is latent
+#                      here but load-bearing at scale)
+
+
+def _sign_cell_expr(start: int) -> Column:
+    """Bucket id for one LSH table: sign pattern of dims start+1..start+KNN_BITS."""
+    out = None
+    for i in range(KNN_BITS):
+        bit = (
+            F.element_at("embedding", start + i + 1) >= 0
+        ).cast("int") * (1 << i)
+        out = bit if out is None else out + bit
+    return out
+
+
+def _sql_sign_cell(start: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{start + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(KNN_BITS)
+    )
+
 
 KNN_GRAPH_ORACLE = f"""
-WITH sims AS (
-    SELECT a.vec_id, b.vec_id AS neighbor_id, a.label,
-           {_sql_dot("a.embedding", "b.embedding")}
-               / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")})
+WITH cells AS (
+    {" UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_sign_cell(t * KNN_BITS)} AS cell "
+        f"FROM embeddings"
+        for t in range(KNN_TABLES)
+    )}
+),
+kept AS (
+    SELECT vec_id, tbl, cell
+    FROM (SELECT *, count(*) OVER (PARTITION BY tbl, cell) AS bsz FROM cells)
+    WHERE bsz <= {KNN_BUCKET_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+    FROM kept a JOIN kept b ON a.tbl = b.tbl AND a.cell = b.cell
+                           AND a.vec_id != b.vec_id
+),
+scored AS (
+    SELECT cand.vec_id, cand.neighbor_id, ea.label,
+           {_sql_dot("ea.embedding", "eb.embedding")}
+               / ({_sql_norm("ea.embedding")} * {_sql_norm("eb.embedding")})
                AS raw
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+    FROM cand
+    JOIN embeddings ea ON cand.vec_id = ea.vec_id
+    JOIN embeddings eb ON cand.neighbor_id = eb.vec_id
 )
 SELECT vec_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, label,
        floor(raw * 1000000 + 0.5) / 1000000 AS cosine
 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY raw DESC, neighbor_id) AS rnk
-      FROM sims)
+      FROM scored)
 WHERE rnk <= {KNN_GRAPH_K}
 """
 
 
 @query("similarity_knn_graph", oracle=KNN_GRAPH_ORACLE)
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize the directed k-NN graph (k=3) of the embedding corpus
-    — EVERY vector gets its top neighbors, the construction pass behind
-    graph-ANN indexes (HNSW/NN-descent) and graph-based dedup/cluster
-    steps, versus similarity_topk's single probe.
+    """Materialize the approximate directed k-NN graph (k=3) of the
+    embedding corpus — EVERY vector gets its top bucket-mate neighbors,
+    the construction pass behind graph-ANN indexes (HNSW/NN-descent) and
+    graph-based dedup/cluster steps, versus similarity_topk's single probe.
 
-    Scale shape: candidate generation is LABEL-blocked (the
-    similarity_join rule — equi-join on the block key, never corpus²;
-    production swaps the label for an IVF cell or LSH bucket, similarity.
-    py:147, with NN-descent refinement once blocks exceed memory), then
-    one window per anchor ranks candidates and keeps k. Cosines are the
-    house pinned-fold doubles, so rank order and the 6-decimal outputs
-    are cross-engine exact; ties break by neighbor id.
+    Candidate generation is MULTI-TABLE SIGN-LSH, never all-pairs: 4
+    independent hash tables (sign pattern of dim groups 0-7/8-15/16-23/
+    24-31 — fixed axis-aligned hyperplanes, deterministic on both
+    engines), candidates = union of exact-bucket mates across tables,
+    deduped, then one window per anchor ranks by pinned-fold cosine and
+    keeps k. Buckets larger than KNN_BUCKET_CAP generate no pairs (hot-
+    bucket skew guard, the dedup-DF-cap idiom). Scale shape: work is
+    Σ_bucket |bucket|² with |bucket| ≤ cap — LINEAR in N, and the bit
+    width grows log N to hold bucket size constant (a label block, by
+    contrast, is N/10 → O(N²) pairs; that earlier formulation survives
+    only as the unit tests' cross-check). Recall vs the exact global
+    graph is pinned in tests/test_round4h.py: LOW on this fixture's
+    near-isotropic noise (top-1 cosine ≈ 0.4 — no subquadratic method
+    does better there; verified against LSH theory in the test), HIGH
+    (≥0.9) on planted near-duplicate structure, which is what ANN graphs
+    are built for. Ties break by neighbor id; anchors sharing no bucket
+    drop out (no padding rows).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id"), F.col("label"), F.col("embedding").alias("ea")
+    cell_cols = F.array(
+        *[_sign_cell_expr(t * KNN_BITS) for t in range(KNN_TABLES)]
     )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
+    cells = e.select(
+        "vec_id", F.posexplode(cell_cols).alias("tbl", "cell")
     )
-    sims = (
-        a.join(b, (a.label == b.lb) & (a.vec_id != b.neighbor_id))
+    wb = Window.partitionBy("tbl", "cell")
+    kept = (
+        cells.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bsz") <= KNN_BUCKET_CAP)
+        .drop("bsz")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    ea = e.select("vec_id", "label", F.col("embedding").alias("emb_a"))
+    eb = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")
+    )
+    scored = (
+        cand.join(ea, "vec_id")
+        .join(eb, "neighbor_id")
         .withColumn(
-            "raw", _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+            "raw", _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("raw"), "neighbor_id")
     return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_GRAPH_K)
         .select(
             "vec_id", "rank", "neighbor_id", "label",

@@ -303,8 +303,9 @@ def _fold_balance_partition(batches):
     the next batch. This is the secondary-sort amortization that makes
     per-entity sequential folds affordable: Arrow/pandas overhead scales
     with batches (~10k rows), while applyInPandas pays it per GROUP
-    (measured: applyInPandas form 6.9 s, this form 1.45 s warm at
-    sf0.01; same results, pinned by the same tests)."""
+    (re-measured round 5, warm noop-write on local[32]: applyInPandas
+    form 6.9 s at sf0.01; this form 0.73 s at sf0.01 / 1.06 s at sf0.1;
+    same results, pinned by the same tests)."""
     carry = None
 
     def fold_groups(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,115 @@
+"""The bench regression guard must actually FIRE — mutation-test its
+comparison logic (no Spark needed), and optionally run the full guarded
+bench when SPARK_GRAFT_BENCH_GUARD=1."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from tools.bench_guard import ABS_SLACK, FLOOR_PATH, RATIO, check, load_times
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _floor() -> dict[str, float]:
+    with open(FLOOR_PATH) as fh:
+        floors = json.load(fh)
+    merged = dict(floors["headline"])
+    merged.update(floors["extended"])
+    return merged
+
+
+def test_floor_file_covers_bench_lists():
+    import bench
+
+    floor = _floor()
+    assert set(bench.HEADLINE) <= set(floor), "headline query missing a floor"
+    assert set(bench.EXTENDED) <= set(floor), "extended query missing a floor"
+
+
+def test_guard_passes_on_floor_itself():
+    floor = _floor()
+    bad, _ = check(floor, dict(floor))
+    assert bad == []
+
+
+def test_guard_catches_regression():
+    floor = _floor()
+    times = dict(floor)
+    times["dedup_ngram_jaccard"] = floor["dedup_ngram_jaccard"] * 3  # >2x, >0.5s
+    bad, _ = check(floor, times)
+    assert len(bad) == 1 and "dedup_ngram_jaccard" in bad[0]
+
+
+def test_guard_catches_missing_query():
+    floor = _floor()
+    times = dict(floor)
+    del times["wordcount"]
+    bad, _ = check(floor, times)
+    assert any("wordcount" in b and "MISSING" in b for b in bad)
+
+
+def test_guard_tolerates_subsecond_noise():
+    """Doubling a 0.2s query is scheduler noise, not a regression."""
+    floor = _floor()
+    times = dict(floor)
+    times["topk"] = floor["topk"] * 2.2  # >2x but < ABS_SLACK over floor
+    assert times["topk"] - floor["topk"] < ABS_SLACK
+    bad, _ = check(floor, times)
+    assert bad == []
+
+
+def test_guard_suggests_ratchet_on_improvement():
+    floor = _floor()
+    times = dict(floor)
+    times["similarity_knn_graph"] = floor["similarity_knn_graph"] * 0.3
+    bad, better = check(floor, times)
+    assert bad == []
+    assert any("similarity_knn_graph" in b for b in better)
+
+
+def test_guard_ratio_is_the_contract_2x():
+    assert RATIO == 2.0
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_BENCH_GUARD") != "1",
+    reason="full bench run only when SPARK_GRAFT_BENCH_GUARD=1",
+)
+def test_full_bench_within_floor():
+    """Run bench.py at sf0.1 and require every query within 2x floor."""
+    floor = _floor()
+    times = load_times(None)
+    bad, _ = check(floor, times)
+    assert bad == [], "\n".join(bad)
+
+
+def test_guard_cli_reads_driver_bench_record(tmp_path):
+    """The CLI accepts the driver's BENCH_r{N}.json wrapper shape."""
+    floor = _floor()
+    rec = {
+        "n": 99,
+        "parsed": {
+            "queries": {k: v for k, v in floor.items()},
+            "extended": {},
+        },
+    }
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(rec))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_guard.py"), str(p)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "clean" in out.stdout

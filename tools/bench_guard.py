@@ -1,0 +1,109 @@
+"""Bench regression guard: fail when any benched query runs >2x its
+committed floor (BENCH_FLOOR.json, sf0.1 warm times).
+
+The 2x-of-committed rule was previously aspirational — bench.py measured
+but nothing FAILED on a regression. This script is the enforcement the
+round driver (or a human) can run:
+
+    python tools/bench_guard.py                  # run bench.py fresh, check
+    python tools/bench_guard.py BENCH_r05.json   # check an existing record
+    python tools/bench_guard.py bench_out.json   # raw bench.py stdout JSON
+
+Accepted input shapes: the driver's BENCH_r{N}.json (with a "parsed"
+object), or bench.py's own one-line JSON. Exit 0 = no regression; exit 1
+lists every offender. Materially-improved queries (< 0.8x floor) print a
+floor-ratchet suggestion but do not fail.
+
+Flag rule: time > 2 * floor AND time - floor > ABS_SLACK. The absolute
+slack keeps sub-second queries (where JVM/stage-scheduling noise is the
+same order as the work) from flapping; real regressions on small queries
+still trip it once they cost half a second of extra wall-clock.
+
+The comparison logic lives in :func:`check` so tests can prove the guard
+actually fires (tests/test_bench_guard.py fabricates a regression and
+asserts it is caught — the same mutation-testing discipline as
+driver_sim.compare_frames).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOOR_PATH = os.path.join(REPO, "BENCH_FLOOR.json")
+RATIO = 2.0
+ABS_SLACK = 0.5  # seconds over floor before the ratio rule can fire
+
+
+def check(
+    floor: dict[str, float], times: dict[str, float]
+) -> tuple[list[str], list[str]]:
+    """Compare measured ``times`` against ``floor``; return
+    (regressions, improvement-suggestions) as human-readable lines.
+    Queries missing from either side are reported as regressions — a
+    silently-dropped bench row must not pass the guard."""
+    bad: list[str] = []
+    better: list[str] = []
+    for key, ref in sorted(floor.items()):
+        got = times.get(key)
+        if got is None:
+            bad.append(f"{key}: MISSING from bench output (floor {ref}s)")
+            continue
+        if got > RATIO * ref and got - ref > ABS_SLACK:
+            bad.append(
+                f"{key}: {got:.3f}s > {RATIO:g}x floor {ref:.3f}s "
+                f"({got / ref:.1f}x)"
+            )
+        elif got < 0.8 * ref and ref - got > 0.2:
+            better.append(
+                f"{key}: {got:.3f}s vs floor {ref:.3f}s — consider "
+                f"ratcheting BENCH_FLOOR.json down"
+            )
+    return bad, better
+
+
+def load_times(path: str | None) -> dict[str, float]:
+    """Per-query times from a bench record, merging headline + extended."""
+    if path is None:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            check=True,
+        ).stdout
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        parsed = json.loads(line)
+    else:
+        with open(path) as fh:
+            parsed = json.load(fh)
+        if "parsed" in parsed:  # driver BENCH_r{N}.json wrapper
+            parsed = parsed["parsed"]
+    times = dict(parsed.get("queries", {}))
+    times.update(parsed.get("extended", {}))
+    return times
+
+
+def main(argv: list[str]) -> int:
+    with open(FLOOR_PATH) as fh:
+        floors = json.load(fh)
+    floor = dict(floors["headline"])
+    floor.update(floors["extended"])
+    times = load_times(argv[1] if len(argv) > 1 else None)
+    bad, better = check(floor, times)
+    for line in better:
+        print(f"note: {line}")
+    if bad:
+        print(f"BENCH GUARD FAILED — {len(bad)} regression(s) vs floor:")
+        for line in bad:
+            print(f"  {line}")
+        return 1
+    print(f"bench guard clean: {len(floor)} queries within {RATIO:g}x floor")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
