@@ -9,12 +9,17 @@ honest here); the unit test instead checks assignments and centroids against
 an independent numpy implementation of the same algorithm to 1e-6.
 
 Scale shape per iteration (the whole point):
-- centroids (k×64 doubles) broadcast to every task;
+- centroids (k×64 doubles) are driver-held between iterations (collected
+  once per iteration — iteration-control-grade data, not a data-scale
+  collect; the collect boundary truncates lineage), then re-broadcast as
+  ONE packed array<struct(cid, centroid)> row;
 - assignment is a map-only pass (no shuffle): argmin over k distances
-  computed with codegen'd higher-order array functions;
+  computed with codegen'd higher-order array functions — a least() fold
+  over (dist, cid) structs, one row in → one row out;
 - new centroids via ONE partial-aggregated shuffle of (cid, dim) sums —
   the paper's combiner pattern; traffic is O(partitions · k · dim), never
-  O(rows). Driver holds only k centroids between iterations.
+  O(rows). Per-iteration lineage is truncated at the collect boundary, so
+  iteration N never re-executes iterations 1..N-1.
 """
 
 from __future__ import annotations
@@ -41,19 +46,48 @@ def _sq_dist(a, b) -> F.Column:
 
 
 def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Map phase: nearest centroid per vector (broadcast k centroids,
-    argmin via min(struct(dist, cid)) — no shuffle of the corpus)."""
-    joined = vectors.crossJoin(broadcast(centroids))
-    d = _sq_dist("embedding", "centroid")
+    """Map phase: nearest centroid per vector — GENUINELY map-only.
+
+    The k centroids are packed into ONE array<struct(cid, centroid)> row
+    (``collect_list`` aggregate) and attached to every vector via
+    ``crossJoin(broadcast(...))`` — the engine's 1-row-aggregate idiom;
+    the argmin is a ``least()``-over-(dist, cid)-structs fold across that
+    array, evaluated row-local: one row in → one row out, ZERO shuffle of
+    the corpus. (The earlier crossJoin(broadcast)+groupBy(vec_id,
+    embedding) form shuffled the whole corpus — embeddings included —
+    once per iteration to dedupe the k-expanded rows; at 100 TB that is
+    4 corpus shuffles Lloyd's doesn't need.) The fold is min over structs
+    compared lexicographically (d, cid) — order-independent, so the
+    nondeterministic collect_list order doesn't matter and distance ties
+    still break toward the lower centroid id. Keeping the centroid
+    VALUES in the broadcast row (not inlined as literals) means one
+    compiled codegen template serves every iteration.
+    """
+    packed = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cid").cast("int").alias("cid"),
+                F.col("centroid").alias("centroid"),
+            )
+        ).alias("cents")
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        init,
+        lambda acc, c: F.least(
+            acc,
+            F.struct(
+                _sq_dist("embedding", c.getField("centroid")).alias("d"),
+                c.getField("cid").alias("cid"),
+            ),
+        ),
+    )
     return (
-        joined.select(
-            "vec_id",
-            "embedding",
-            F.struct(d.alias("d"), F.col("cid").alias("cid")).alias("dc"),
-        )
-        .groupBy("vec_id", "embedding")
-        .agg(F.min("dc").alias("best"))
-        .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
+        vectors.crossJoin(broadcast(packed))
+        .select("vec_id", "embedding", best.getField("cid").alias("cid"))
     )
 
 
@@ -110,9 +144,18 @@ def _kmeans_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Materialize the k new centroids at each iteration boundary (one
+    # collect of k×DIM doubles — the driver-held state the module
+    # docstring promises). Rebuilding the frame from rows truncates the
+    # lineage, so iteration N never re-executes iterations 1..N-1 and the
+    # final plan's TWO uses of `centroids` (assign + the norm join) read
+    # a literal, not a nested iterative plan.
     for _ in range(ITERATIONS):
         assigned = assign(vectors, centroids)
-        centroids = recompute(assigned)
+        centroids = spark.createDataFrame(
+            recompute(assigned).collect(),
+            "cid int, centroid array<double>",
+        )
     final = assign(vectors, centroids)
     norm = F.sqrt(
         F.aggregate(

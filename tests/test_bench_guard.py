@@ -58,6 +58,19 @@ def test_guard_catches_missing_query():
     assert any("wordcount" in b and "MISSING" in b for b in bad)
 
 
+def test_guard_catches_unfloored_query():
+    """A benched query with no committed floor is unguarded — the exact
+    round-5 gap (55.8s similarity_knn_clusters sat in EXTENDED with no
+    floor and check() silently skipped it)."""
+    floor = _floor()
+    times = dict(floor)
+    times["brand_new_heavy_query"] = 55.8
+    bad, _ = check(floor, times)
+    assert any(
+        "brand_new_heavy_query" in b and "NO FLOOR" in b for b in bad
+    )
+
+
 def test_guard_tolerates_subsecond_noise():
     """Doubling a 0.2s query is scheduler noise, not a regression."""
     floor = _floor()

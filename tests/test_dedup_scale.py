@@ -50,8 +50,8 @@ def test_hot_shingle_cap_keeps_true_pairs(planted_sets):
 
 
 def test_connected_components_long_path(spark):
-    # path graph 0-1-2-...-11: diameter 11 — propagation needs ~11 rounds,
-    # which crosses several checkpoint boundaries (checkpoint_every=3)
+    # path graph 0-1-2-...-11: diameter 11 — pointer jumping converges in
+    # O(log diameter) rounds, each crossing a per-round checkpoint
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
     )

@@ -44,9 +44,17 @@ def check(
     """Compare measured ``times`` against ``floor``; return
     (regressions, improvement-suggestions) as human-readable lines.
     Queries missing from either side are reported as regressions — a
-    silently-dropped bench row must not pass the guard."""
+    silently-dropped bench row must not pass the guard, and a benched
+    query with NO committed floor is unguarded (the round-5 gap: a 55.8 s
+    query sat in EXTENDED with no floor and nothing fired)."""
     bad: list[str] = []
     better: list[str] = []
+    for key in sorted(times):
+        if key not in floor:
+            bad.append(
+                f"{key}: NO FLOOR in BENCH_FLOOR.json "
+                f"(measured {times[key]:.3f}s — unguarded)"
+            )
     for key, ref in sorted(floor.items()):
         got = times.get(key)
         if got is None:
