@@ -90,9 +90,34 @@ def _driver_failed_keys() -> list[str]:
     return [k for k, (_, ok) in latest.items() if not ok]
 
 
+_PRIORITY_KEYS = (
+    # Round-5 verdict asks, window-pinned so family interleaving can't
+    # push them past slot 50: similarity_knn_clusters is the one key that
+    # was both never-driver-verified AND perf-flagged (CC loop rebuilt
+    # round 6 — the driver row proves the fix is correct, not just fast);
+    # the remaining stream_*/source_* keys complete driver evidence for
+    # the ENTIRE streaming + source surface this round instead of leaving
+    # a tail. Complete families only (and the priority group re-sorts to
+    # registry order), preserving the within-family-order invariant the
+    # rotation test pins.
+    "similarity_knn_clusters",
+    "stream_asof_enrich",
+    "stream_update_mode",
+    "stream_stream_full_outer",
+    "stream_session_stateful",
+    "stream_dedup",
+    "stream_dedup_watermark",
+    "source_binaryfile",
+    "source_corrupt_json",
+    "source_python_datasource",
+    "source_python_stream",
+)
+
+
 def _rotated_keys() -> list[str]:
     """Registry keys: latest-row-FAILED keys at the absolute head (a red
-    driver row is re-checked the very next round), then never-driver-verified
+    driver row is re-checked the very next round), then still-unverified
+    _PRIORITY_KEYS (explicit verdict asks), then never-driver-verified
     keys so the driver's [0:50] window always checks fresh keys, then
     previously-verified keys stalest-first. WITHIN the fresh group, keys are
     round-robined across operator families (prefix before the first '_'):
@@ -109,6 +134,15 @@ def _rotated_keys() -> list[str]:
     failed = [k for k in _driver_failed_keys() if k in order]
     failed.sort(key=lambda k: order[k])
     failed_set = set(failed)
+    priority = sorted(
+        (
+            k
+            for k in _PRIORITY_KEYS
+            if k in order and k not in seen and k not in failed_set
+        ),
+        key=lambda k: order[k],
+    )
+    failed_set |= set(priority)  # exclude from the interleaved fresh group
     fresh = [k for k in keys if k not in seen and k not in failed_set]
 
     families: dict[str, list[str]] = {}
@@ -129,7 +163,7 @@ def _rotated_keys() -> list[str]:
         (k for k in keys if k in seen and k not in failed_set),
         key=lambda k: (seen[k], order[k]),
     )
-    return failed + interleaved + stale
+    return failed + priority + interleaved + stale
 
 
 def entry(spark: SparkSession) -> DataFrame:
