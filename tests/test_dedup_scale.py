@@ -6,6 +6,8 @@ partial labels."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark.operators.dedup import (
@@ -78,6 +80,59 @@ def test_connected_components_two_clusters(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def _union_find_min_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent pure-Python reference: classic union-find, then each
+    node labeled with the MINIMUM id of its component (the operator's
+    canonical-survivor contract)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for node in list(parent):
+        r = find(node)
+        comp_min[r] = min(comp_min.get(r, node), node)
+    return {node: comp_min[find(node)] for node in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label-propagation loop must agree with a
+    classic union-find on ARBITRARY small graphs — self-loops, parallel
+    edges, multiple components, cycles, stars, whatever hypothesis
+    plants. Pins the round-6 loop rewrite (per-round eager checkpoint)
+    beyond the handful of hand-built shapes above."""
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _union_find_min_labels(edges)
 
 
 def test_dedup_embedding_semantics(spark):
