@@ -116,6 +116,25 @@ def main() -> None:
     )
     materialize(warm)
 
+    # Warm the Arrow/Python lane the same way: the first pandas-batched
+    # operator in a session otherwise pays worker-pool spin-up + per-worker
+    # numpy/pandas import + Arrow serializer first-touch (~2.5 s measured,
+    # round 6) on top of its own work. One tiny mapInPandas over the
+    # 25-row nation table absorbs it — same rationale as the JVM warm-up
+    # above: per-query times should measure the plans, not cold machinery.
+    def _warm_pandas(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"n": [int(np.int64(len(pdf)))]}
+            )
+
+    materialize(
+        nation.select("n_nationkey").mapInPandas(_warm_pandas, "n long")
+    )
+
     times: dict[str, float] = {}
     for key in HEADLINE:
         t0 = time.perf_counter()

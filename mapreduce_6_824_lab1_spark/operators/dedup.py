@@ -438,7 +438,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(
     pairs: DataFrame,
     max_rounds: int = 50,
-    loop_partitions: int = 16,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Min-label propagation CC over an undirected pair list (doc_a, doc_b).
 
@@ -452,41 +452,69 @@ def connected_components(
 
     Loop discipline (the part that makes iteration cheap): each round's
     ``updated`` frame is materialized EXACTLY ONCE via an eager
-    ``localCheckpoint()`` — the convergence count and the next round's
-    joins both read the checkpointed blocks, and lineage is truncated
-    every round so round N's plan is always one join deep, never N joins
-    nested. ``hopped`` is persisted across its pointer-jump self-join
-    (computed once, read twice) and unpersisted as soon as the round's
-    checkpoint lands. Without this the loop recomputed up to 3 rounds of
-    nested 3-join lineage per convergence count: 55.8 s at sf0.1 for
-    similarity_knn_clusters, vs ~7 s (≈2 s kNN-graph build + ~5 s of
-    CC rounds) with the per-round materialization — measured warm,
-    local[32], round 6.
+    ``localCheckpoint()`` — the convergence fingerprint and the next
+    round's joins both read the checkpointed blocks, and lineage is
+    truncated every round so round N's plan is always one join deep,
+    never N joins nested. ``hopped`` is persisted across its pointer-jump
+    self-join (computed once, read twice) and unpersisted as soon as the
+    round's checkpoint lands. Without this the loop recomputed up to 3
+    rounds of nested 3-join lineage per convergence count: 55.8 s at
+    sf0.1 for similarity_knn_clusters (BENCH_r05), vs 6.6 s benched /
+    ~5.2 s warm (≈1.9 s kNN-graph build + ~3.3 s = 8 rounds of CC) after
+    the round-6 rework — per-round materialization, upstream-pairs
+    persist, adaptive partitions, and the fused round below.
 
-    The convergence check is a scalar count per round — the one legitimate
-    use of a driver-side action in this engine: iteration control, not
-    data. 100 TB: each round = one join + one aggregate on the edge
-    partitioning over node-grain state; localCheckpoint keeps state on
-    executors (no DFS round-trip) at the cost of recomputing-from-source
-    on executor loss, the right trade for a loop whose full restart is
-    itself cheap next to the corpus scan that produced the edges.
+    Each round is THREE shuffles, not four: neighbor messages (edge join)
+    union the node's own label row and fold through ONE min-aggregate —
+    there is no second join folding the old labels back in. Convergence
+    is a monotone fingerprint, not a changed-row count: labels only ever
+    decrease, so sum(label) is strictly decreasing until the fixed point
+    and two consecutive equal sums mean converged. The sum is taken in
+    decimal(38,0) — a BIGINT sum of 64-bit ids would overflow at real
+    node counts. One scalar action per round — the one legitimate use of
+    a driver-side action in this engine: iteration control, not data.
+    100 TB: each round = one edge join + one aggregate over node-grain
+    state; localCheckpoint keeps state on executors (no DFS round-trip)
+    at the cost of recomputing-from-source on executor loss, the right
+    trade for a loop whose full restart is itself cheap next to the
+    corpus scan that produced the edges.
 
     ``loop_partitions`` sizes the per-round shuffles: iteration state is
     NODE-grain (tiny next to the corpus), and an untuned 200-partition
     default turns every round into hundreds of near-empty tasks — the
     same deliberate-sizing rule as the streaming STATE_PARTITIONS
-    (streaming/jobs.py). At production scale size it to the node count,
-    not the default.
+    (streaming/jobs.py). The default (``None``) sizes adaptively from the
+    measured pair count (~50k pairs per partition, floor 4, cap 200) —
+    the count is free because ``pairs`` must be materialized anyway (see
+    below); pass an explicit value to pin it at production scale.
+
+    ``pairs`` is persisted and counted BEFORE the union-reverse builds the
+    edge list: the union's two branches otherwise each re-execute the
+    upstream DAG (a window/rank plan like the kNN graph is not
+    exchange-reusable above its last shuffle), doubling the most
+    expensive part of the whole job on first materialization.
 
     Returns (doc_id, cluster_rep).
     """
     from mapreduce_6_824_lab1_spark.session import scoped_conf
 
     spark = pairs.sparkSession
-    with scoped_conf(
-        spark, {"spark.sql.shuffle.partitions": str(loop_partitions)}
-    ):
-        return _cc_loop(pairs, max_rounds)
+    pairs = pairs.persist()
+    try:
+        # The materialization deliberately runs under the CALLER's conf:
+        # the upstream DAG (a corpus-scale scan at 100 TB) must not be
+        # throttled by this loop's node-grain partition sizing — AQE can
+        # coalesce an oversized shuffle down, but nothing can widen an
+        # undersized one.
+        n_pairs = pairs.count()  # one materialization of the DAG
+        if loop_partitions is None:
+            loop_partitions = max(4, min(200, (2 * n_pairs) // 50_000))
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": str(loop_partitions)}
+        ):
+            return _cc_loop(pairs, max_rounds)
+    finally:
+        pairs.unpersist()
 
 
 def _cc_loop(pairs: DataFrame, max_rounds: int) -> DataFrame:
@@ -499,51 +527,56 @@ def _cc_loop(pairs: DataFrame, max_rounds: int) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
     )
+    # Convergence fingerprint: labels only ever DECREASE (each round takes
+    # mins of mins), so sum(label) is strictly monotone until the fixed
+    # point — two consecutive equal sums ⇔ no label moved. Decimal(38,0)
+    # keeps the sum exact at any node count (a BIGINT sum of 64-bit ids
+    # overflows around 2^63/id — real at 100 TB corpus scale).
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     converged = False
     for round_no in range(1, max_rounds + 1):
-        neighbor_min = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy(edges["doc_a"].alias("nid"))
-            .agg(F.min("label").alias("nlabel"))
-        )
+        # min(own label, neighbor labels) in ONE aggregate: neighbor
+        # messages (edge join) unioned with the self message — no second
+        # join against `labels` to fold the node's own label back in
+        msgs = edges.join(
+            labels, edges["doc_b"] == labels["doc_id"]
+        ).select(edges["doc_a"].alias("doc_id"), "label")
         hopped = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["nid"])
-            .select(
-                "doc_id",
-                F.least("label", "nlabel").alias("hop_label"),
-                "label",
-            )
+            msgs.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("hop_label"))
             .persist()  # read twice below (self-join); compute once
         )
         # pointer jump: follow the (new) label one step — labels are node
-        # ids, so every label value has a labels row; chains halve per round
+        # ids, so every label value has a hopped row; chains halve per round
         reps = hopped.select(
             F.col("doc_id").alias("rep_id"),
             F.col("hop_label").alias("rep_label"),
         )
         # ONE materialization per round: eager localCheckpoint computes
         # `updated` exactly once and truncates lineage; the convergence
-        # count and next round's input both read the checkpointed blocks
+        # fingerprint and next round's input both read checkpointed blocks
         updated = (
             hopped.join(reps, hopped["hop_label"] == reps["rep_id"])
             .select(
                 "doc_id",
-                F.least("hop_label", "rep_label").alias("new_label"),
-                "label",
+                F.least("hop_label", "rep_label").alias("label"),
             )
             .localCheckpoint()
         )
         hopped.unpersist()
-        changed = updated.filter(
-            F.col("new_label") != F.col("label")
-        ).count()
-        labels = updated.select(
-            "doc_id", F.col("new_label").alias("label")
-        )
-        if changed == 0:
+        cur_sum = updated.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = updated
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(

@@ -31,6 +31,44 @@ def test_gram_matrix_matches_numpy(spark):
         assert G[row["i"] - 1, row["j"] - 1] == row["g_micro"]
 
 
+def test_partial_gram_chunking_and_empty_partitions(spark):
+    """The round-6 mapInPandas partial-Gram (``_partial_gram``) accumulates
+    in 2048-row chunks and must emit nothing for empty partitions. No
+    fixture crosses the chunk boundary (sf0.1 = 2000 rows), so pin it
+    directly: 3000 synthetic rows over 8 partitions — one of which is
+    forced empty — must equal the row-at-a-time numpy fold."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_6_824_lab1_spark.operators.embeddings import (
+        _partial_gram,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(3000, DIM)).astype(np.float32)
+    pdf = pd.DataFrame({"embedding": list(X)})
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    got = (
+        df.mapInPandas(_partial_gram, "i long, j long, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("g_micro"))
+        .toPandas()
+    )
+    ref = np.zeros((DIM, DIM), dtype=np.int64)
+    for r in X.astype(np.float64):
+        ref += np.floor(np.outer(r, r) * GRAM_QUANT + 0.5).astype(np.int64)
+    assert len(got) == DIM * (DIM + 1) // 2
+    for _, row in got.iterrows():
+        assert ref[row["i"] - 1, row["j"] - 1] == row["g_micro"]
+
+    # an empty input partition emits nothing (not a 2080-row zero matrix)
+    empty = (
+        spark.createDataFrame(pdf.head(1)).repartition(4)
+        .mapInPandas(_partial_gram, "i long, j long, p long")
+    )
+    assert empty.count() == DIM * (DIM + 1) // 2  # only 1 partition emits
+
+
 def test_pca_power_matches_eigh(spark):
     got = (
         QUERIES["embedding_pca_power"](spark, SF_DIR)
