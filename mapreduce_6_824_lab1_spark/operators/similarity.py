@@ -446,18 +446,24 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-31 — fixed axis-aligned hyperplanes, deterministic on both
     engines), candidates = union of exact-bucket mates across tables,
     deduped, then one window per anchor ranks by pinned-fold cosine and
-    keeps k. Buckets larger than KNN_BUCKET_CAP generate no pairs (hot-
-    bucket skew guard, the dedup-DF-cap idiom). Scale shape: work is
-    Σ_bucket |bucket|² with |bucket| ≤ cap — LINEAR in N, and the bit
-    width grows log N to hold bucket size constant (a label block, by
-    contrast, is N/10 → O(N²) pairs; that earlier formulation survives
-    only as the unit tests' cross-check). Recall vs the exact global
-    graph is pinned in tests/test_round4h.py: LOW on this fixture's
-    near-isotropic noise (top-1 cosine ≈ 0.4 — no subquadratic method
-    does better there; verified against LSH theory in the test), HIGH
-    (≥0.9) on planted near-duplicate structure, which is what ANN graphs
-    are built for. Ties break by neighbor id; anchors sharing no bucket
-    drop out (no padding rows).
+    keeps k. Bucket mates come from POSTING LISTS (the jaccard_pairs
+    idiom): one groupBy collects each (table, cell)'s member ids, the
+    size filter applies the KNN_BUCKET_CAP hot-bucket guard AND drops
+    singleton buckets before any pair exists, and ordered pairs are
+    generated JVM-side from the sorted id array. One shuffle computes
+    the cells exactly once — the earlier bucket-window + self-join form
+    planned the whole cell subplan TWICE (the join's build side is not
+    exchange-reusable) and at 100 TB would scan the corpus twice for it.
+    Scale shape: work is Σ_bucket |bucket|² with |bucket| ≤ cap — LINEAR
+    in N, and the bit width grows log N to hold bucket size constant (a
+    label block, by contrast, is N/10 → O(N²) pairs; that earlier
+    formulation survives only as the unit tests' cross-check). Recall vs
+    the exact global graph is pinned in tests/test_round4h.py: LOW on
+    this fixture's near-isotropic noise (top-1 cosine ≈ 0.4 — no
+    subquadratic method does better there; verified against LSH theory
+    in the test), HIGH (≥0.9) on planted near-duplicate structure, which
+    is what ANN graphs are built for. Ties break by neighbor id; anchors
+    sharing no bucket drop out (no padding rows).
     """
     e = load_table(spark, sf_dir, "embeddings")
     cell_cols = F.array(
@@ -466,25 +472,22 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select(
         "vec_id", F.posexplode(cell_cols).alias("tbl", "cell")
     )
-    wb = Window.partitionBy("tbl", "cell")
-    kept = (
-        cells.withColumn("bsz", F.count(F.lit(1)).over(wb))
-        .filter(F.col("bsz") <= KNN_BUCKET_CAP)
-        .drop("bsz")
+    buckets = (
+        cells.groupBy("tbl", "cell")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("vids"))
+        .filter((F.size("vids") > 1) & (F.size("vids") <= KNN_BUCKET_CAP))
     )
-    a = kept.alias("a")
-    b = kept.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(vids, x -> "
+                    "transform(filter(vids, y -> y != x), "
+                    "y -> struct(x AS vec_id, y AS neighbor_id))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
+        .select("p.vec_id", "p.neighbor_id")
         .distinct()
     )
     ea = e.select("vec_id", "label", F.col("embedding").alias("emb_a"))

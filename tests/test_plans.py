@@ -86,7 +86,6 @@ def test_no_python_udf_in_relational_paths(spark):
         "stats_benford_digits",
         "sample_reservoir",
         "pipeline_pretraining_corpus",
-        "embedding_gram_matrix",
         "text_bm25_ranking",
         "events_max_concurrency",
         "interval_union_length",
@@ -128,6 +127,14 @@ def test_multimodal_uses_arrow_python(spark):
     # never row-at-a-time BatchEvalPython
     plan = formatted_plan(QUERIES["multimodal_features"](spark, SF_DIR))
     assert "MapInPandas" in plan, plan
+
+
+def test_gram_matrix_uses_arrow_python(spark):
+    # round 6 moved the Gram fold to the sanctioned Arrow path on purpose
+    # (numpy partial-Gram per task); it must stay batched, never per-row
+    plan = formatted_plan(QUERIES["embedding_gram_matrix"](spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_bucketed_join_has_no_exchange(spark):
