@@ -88,12 +88,36 @@ STREAMING_CLUSTER_CONF: dict[str, str] = {
 }
 
 
+#: Arrow/Python-lane profile for the sanctioned pandas operators
+#: (embedding_gram_matrix's partial-Gram fold, the multimodal decode
+#: plumbing, udaf_mad_pandas/pandas_normalize). Rationale:
+#: - worker reuse (the default, pinned here as load-bearing): the first
+#:   pandas-batched operator in a session pays worker spin-up + numpy
+#:   import + Arrow serializer first-touch (~2.5 s measured at round 6,
+#:   bench.py warms it deliberately); long-lived executors amortize it to
+#:   zero only while reuse stays on.
+#: - maxRecordsPerBatch 10k (default, pinned): bounds the Arrow batch a
+#:   UDF sees. Operators here must NOT size their memory to it —
+#:   _partial_gram chunks its n×d×d tensor internally to ~64 MB
+#:   regardless of batch size; new pandas operators should follow that
+#:   pattern rather than trusting this knob.
+#: - executor.pyspark.memory: caps each Python worker so a pandas
+#:   operator that materializes a batch-sized intermediate cannot evict
+#:   the JVM's shuffle/storage memory on shared executors.
+PYTHON_CLUSTER_CONF: dict[str, str] = {
+    "spark.python.worker.reuse": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.executor.pyspark.memory": "4g",
+}
+
+
 def cluster_conf() -> dict[str, str]:
-    """The full 100 TB profile (static + runtime + streaming state)."""
+    """The full 100 TB profile (static + runtime + streaming + Python)."""
     return {
         **STATIC_CLUSTER_CONF,
         **RUNTIME_CLUSTER_CONF,
         **STREAMING_CLUSTER_CONF,
+        **PYTHON_CLUSTER_CONF,
     }
 
 
