@@ -70,6 +70,18 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(pairs, max_rounds=3)
 
 
+def test_connected_components_degenerate_inputs(spark):
+    # empty pair list: the sum-of-labels fingerprint is NULL on both
+    # sides of the round-1 compare (sum over an empty frame), which must
+    # read as converged — not loop to the round cap; self-loop converges
+    # with the node as its own rep
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).collect() == []
+    selfloop = spark.createDataFrame([(7, 7)], "doc_a long, doc_b long")
+    got = connected_components(selfloop).collect()
+    assert [(r.doc_id, r.cluster_rep) for r in got] == [(7, 7)]
+
+
 def test_connected_components_two_clusters(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
