@@ -538,46 +538,57 @@ def _cc_loop(pairs: DataFrame, max_rounds: int) -> DataFrame:
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     converged = False
-    for round_no in range(1, max_rounds + 1):
-        # min(own label, neighbor labels) in ONE aggregate: neighbor
-        # messages (edge join) unioned with the self message — no second
-        # join against `labels` to fold the node's own label back in
-        msgs = edges.join(
-            labels, edges["doc_b"] == labels["doc_id"]
-        ).select(edges["doc_a"].alias("doc_id"), "label")
-        hopped = (
-            msgs.unionByName(labels)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("hop_label"))
-            .persist()  # read twice below (self-join); compute once
-        )
-        # pointer jump: follow the (new) label one step — labels are node
-        # ids, so every label value has a hopped row; chains halve per round
-        reps = hopped.select(
-            F.col("doc_id").alias("rep_id"),
-            F.col("hop_label").alias("rep_label"),
-        )
-        # ONE materialization per round: eager localCheckpoint computes
-        # `updated` exactly once and truncates lineage; the convergence
-        # fingerprint and next round's input both read checkpointed blocks
-        updated = (
-            hopped.join(reps, hopped["hop_label"] == reps["rep_id"])
-            .select(
-                "doc_id",
-                F.least("hop_label", "rep_label").alias("label"),
+    hopped = None
+    try:
+        for round_no in range(1, max_rounds + 1):
+            # min(own label, neighbor labels) in ONE aggregate: neighbor
+            # messages (edge join) unioned with the self message — no
+            # second join against `labels` folding the node's own label in
+            msgs = edges.join(
+                labels, edges["doc_b"] == labels["doc_id"]
+            ).select(edges["doc_a"].alias("doc_id"), "label")
+            hopped = (
+                msgs.unionByName(labels)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("hop_label"))
+                .persist()  # read twice below (self-join); compute once
             )
-            .localCheckpoint()
-        )
-        hopped.unpersist()
-        cur_sum = updated.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = updated
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+            # pointer jump: follow the (new) label one step — labels are
+            # node ids, so every label value has a hopped row; chains
+            # halve per round
+            reps = hopped.select(
+                F.col("doc_id").alias("rep_id"),
+                F.col("hop_label").alias("rep_label"),
+            )
+            # ONE materialization per round: eager localCheckpoint
+            # computes `updated` exactly once and truncates lineage; the
+            # convergence fingerprint and next round's input both read
+            # checkpointed blocks
+            updated = (
+                hopped.join(reps, hopped["hop_label"] == reps["rep_id"])
+                .select(
+                    "doc_id",
+                    F.least("hop_label", "rep_label").alias("label"),
+                )
+                .localCheckpoint()
+            )
+            hopped.unpersist()
+            hopped = None
+            cur_sum = updated.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            labels = updated
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        # exception-safe cache lifecycle: a failed round action (OOM, lost
+        # executor) must not strand the persisted edge frame — or the
+        # round's hopped — in storage memory across a caller's retry
+        if hopped is not None:
+            hopped.unpersist()
+        edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds; "

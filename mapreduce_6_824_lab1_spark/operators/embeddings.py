@@ -176,14 +176,36 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _partial_gram(batches):
     """Per-partition Gram fold for ``embedding_gram_matrix``: accumulate
     quantized outer products into one d×d int64 matrix, emit the upper
-    triangle once per partition (nothing for empty partitions)."""
+    triangle once per partition (nothing for empty partitions).
+
+    Dirty rows degrade exactly like the JVM/SQL formulation this
+    replaced, where any NULL/out-of-range operand made the cell product
+    NULL and the SUM skipped it — skipping a term IS adding 0, and a
+    zeroed operand contributes floor(0·x·Q + 0.5) = 0, so: NULL rows
+    drop, short rows contribute only their in-range cells, NULL/NaN
+    elements contribute nothing. The uniform-corpus fast path is one
+    ``np.stack``; the per-row pad only runs for batches that actually
+    contain ragged/NULL rows (pinned against the original JVM expression
+    in tests/test_round4g.py)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     acc = np.zeros((DIM, DIM), dtype=np.int64)
     seen = False
     for pdf in batches:
-        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        arrs = pdf["embedding"].to_numpy()
+        try:
+            x = np.stack(arrs).astype(np.float64)
+            if x.ndim != 2 or x.shape[1] != DIM:
+                raise ValueError("ragged embedding batch")
+        except (ValueError, TypeError):
+            x = np.zeros((len(arrs), DIM), dtype=np.float64)
+            for r, a in enumerate(arrs):
+                if a is None:
+                    continue
+                v = np.asarray(a, dtype=np.float64)[:DIM]
+                x[r, : len(v)] = v
+        x[np.isnan(x)] = 0.0  # NULL/NaN elements: the SUM-skip semantics
         # chunk the n×d×d outer-product tensor so peak memory stays
         # ~64 MB regardless of the Arrow batch size conf
         for lo in range(0, len(x), 2048):

@@ -69,6 +69,61 @@ def test_partial_gram_chunking_and_empty_partitions(spark):
     assert empty.count() == DIM * (DIM + 1) // 2  # only 1 partition emits
 
 
+def test_partial_gram_dirty_rows_match_jvm_null_semantics(spark):
+    """NULL rows, short rows, and NULL elements must degrade like the
+    NULL-skip SUM semantics of the SQL formulation the numpy fold
+    replaced: any NULL operand makes the cell product NULL and SUM skips
+    it. Pinned by running the original nested-transform expression with
+    ``try_element_at`` over the same dirty frame (plain ``element_at``
+    — what the replaced code used — RAISES on short arrays in Spark 4,
+    so the numpy path is strictly MORE tolerant than its predecessor,
+    never less)."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_6_824_lab1_spark.operators.embeddings import (
+        _partial_gram,
+    )
+
+    rng = np.random.default_rng(11)
+    clean = [rng.normal(size=DIM).astype(np.float32).tolist() for _ in range(5)]
+    short = rng.normal(size=DIM // 2).astype(np.float32).tolist()
+    holey = rng.normal(size=DIM).astype(np.float32).tolist()
+    holey[3] = None
+    holey[40] = None
+    rows = [(e,) for e in [*clean, None, short, holey]]
+    df = spark.createDataFrame(rows, "embedding array<float>").repartition(3)
+
+    got = {
+        (r.i, r.j): r.g_micro
+        for r in df.mapInPandas(_partial_gram, "i long, j long, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("g_micro"))
+        .collect()
+    }
+    jvm = {
+        (r.i, r.j): r.g_micro
+        for r in df.select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, {DIM}), i ->
+                      transform(sequence(i, {DIM}), j -> struct(
+                        CAST(i AS BIGINT) AS i,
+                        CAST(j AS BIGINT) AS j,
+                        CAST(floor(CAST(try_element_at(embedding, i) AS DOUBLE)
+                                   * CAST(try_element_at(embedding, j) AS DOUBLE)
+                                   * {GRAM_QUANT} + 0.5) AS BIGINT) AS p))))"""
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("g_micro"))
+        .collect()
+    }
+    assert len(got) == DIM * (DIM + 1) // 2
+    assert got == jvm
+
+
 def test_pca_power_matches_eigh(spark):
     got = (
         QUERIES["embedding_pca_power"](spark, SF_DIR)
