@@ -297,7 +297,11 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _merge_step,
                 ).alias("toks")
             ).persist()
-            nxt.count()  # materialize before dropping the parent
+            try:
+                nxt.count()  # materialize before dropping the parent
+            except BaseException:
+                nxt.unpersist()  # failed mid-round: don't strand it
+                raise
             toks.unpersist()
             toks = nxt
     finally:

@@ -624,6 +624,10 @@ def cached_fanout_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-grain (3 orders of magnitude smaller than lineitem) with
     MEMORY_AND_DISK semantics, so the second branch costs its aggregate
     only. Cents quantize per-row before the sum (house money rule).
+    Cache lifecycle: the return is lazy, so the unpersist belongs to the
+    CALLER once its outputs are materialized — the cache entry is this
+    key's deliberate demonstration surface, not an oversight (evictable
+    MEMORY_AND_DISK, order-grain).
     """
     li = load_table(spark, sf_dir, "lineitem")
     base = (
