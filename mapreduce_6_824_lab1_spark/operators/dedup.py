@@ -517,6 +517,25 @@ def connected_components(
         pairs.unpersist()
 
 
+def _fingerprint(labels: DataFrame):
+    """Exact decimal sum of labels plus the guard that makes NULL honest:
+    sum() is NULL both for an empty frame (legitimately converged) and
+    for a decimal(38,0) overflow (would silently fake convergence via
+    NULL == NULL on two consecutive rounds) — the row count, taken in
+    the same single-action aggregate, tells them apart."""
+    row = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if row["s"] is None and row["n"] > 0:
+        raise RuntimeError(
+            "connected_components label-sum fingerprint overflowed "
+            "decimal(38,0) — node-id magnitudes exceed the convergence "
+            "check's range; rescale ids before clustering"
+        )
+    return row["s"]
+
+
 def _cc_loop(pairs: DataFrame, max_rounds: int) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(
@@ -532,11 +551,12 @@ def _cc_loop(pairs: DataFrame, max_rounds: int) -> DataFrame:
     # Convergence fingerprint: labels only ever DECREASE (each round takes
     # mins of mins), so sum(label) is strictly monotone until the fixed
     # point — two consecutive equal sums ⇔ no label moved. Decimal(38,0)
-    # keeps the sum exact at any node count (a BIGINT sum of 64-bit ids
-    # overflows around 2^63/id — real at 100 TB corpus scale).
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # keeps the sum exact far beyond BIGINT (which overflows around
+    # 2^63/id); should even decimal(38,0) ever overflow, Spark returns
+    # NULL — indistinguishable from the legitimate empty-input NULL — so
+    # _fingerprint disambiguates with the row count and RAISES rather
+    # than letting NULL == NULL masquerade as convergence.
+    prev_sum = _fingerprint(labels)
     converged = False
     hopped = None
     try:
@@ -574,9 +594,7 @@ def _cc_loop(pairs: DataFrame, max_rounds: int) -> DataFrame:
             )
             hopped.unpersist()
             hopped = None
-            cur_sum = updated.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
+            cur_sum = _fingerprint(updated)
             labels = updated
             if cur_sum == prev_sum:
                 converged = True

@@ -62,6 +62,15 @@ def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     still break toward the lower centroid id. Keeping the centroid
     VALUES in the broadcast row (not inlined as literals) means one
     compiled codegen template serves every iteration.
+
+    NaN guard: a NaN element anywhere in a vector makes every centroid
+    distance NaN, and Spark's struct ordering ranks NaN ABOVE Infinity —
+    an unguarded fold would keep the init sentinel and the row would
+    silently vanish in the cid join downstream. ``nanvl`` maps NaN
+    distances to Infinity so such a row ties every centroid at (inf,
+    cid) and lands on cid 0 — same outcome as the earlier
+    min-over-structs aggregate (NaN tied with NaN there, lowest cid
+    won), and the row stays counted.
     """
     packed = centroids.agg(
         F.collect_list(
@@ -72,7 +81,8 @@ def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         ).alias("cents")
     )
     init = F.struct(
-        F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
+        F.lit(float("inf")).alias("d"),
+        F.lit(2**31 - 1).cast("int").alias("cid"),  # loses every (inf, cid<k) tie
     )
     best = F.aggregate(
         F.col("cents"),
@@ -80,7 +90,10 @@ def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         lambda acc, c: F.least(
             acc,
             F.struct(
-                _sq_dist("embedding", c.getField("centroid")).alias("d"),
+                F.nanvl(
+                    _sq_dist("embedding", c.getField("centroid")),
+                    F.lit(float("inf")),
+                ).alias("d"),
                 c.getField("cid").alias("cid"),
             ),
         ),

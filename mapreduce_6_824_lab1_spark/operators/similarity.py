@@ -447,13 +447,18 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), candidates = union of exact-bucket mates across tables,
     deduped, then one window per anchor ranks by pinned-fold cosine and
     keeps k. Bucket mates come from POSTING LISTS (the jaccard_pairs
-    idiom): one groupBy collects each (table, cell)'s member ids, the
-    size filter applies the KNN_BUCKET_CAP hot-bucket guard AND drops
-    singleton buckets before any pair exists, and ordered pairs are
-    generated JVM-side from the sorted id array. One shuffle computes
-    the cells exactly once — the earlier bucket-window + self-join form
-    planned the whole cell subplan TWICE (the join's build side is not
-    exchange-reusable) and at 100 TB would scan the corpus twice for it.
+    idiom) with the cap enforced BEFORE any bucket array exists: a
+    window count over (table, cell) — WindowExec buffers rows in a
+    SPILLABLE array — drops hot and singleton buckets row-wise, and only
+    then does collect_list assemble the survivors, so no aggregation
+    buffer ever holds more than KNN_BUCKET_CAP ids (a collect-then-
+    filter order would build each hot bucket as one non-spillable
+    in-memory array exactly where skew makes it corpus-sized). The
+    window and the groupBy share the (table, cell) hash partitioning, so
+    this is still ONE exchange and the cell subplan is computed exactly
+    once — the earlier bucket-window + self-join form planned it TWICE
+    (the join's build side is not exchange-reusable) and at 100 TB would
+    scan the corpus twice for it.
     Scale shape: work is Σ_bucket |bucket|² with |bucket| ≤ cap — LINEAR
     in N, and the bit width grows log N to hold bucket size constant (a
     label block, by contrast, is N/10 → O(N²) pairs; that earlier
@@ -472,10 +477,14 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select(
         "vec_id", F.posexplode(cell_cols).alias("tbl", "cell")
     )
-    buckets = (
-        cells.groupBy("tbl", "cell")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("vids"))
-        .filter((F.size("vids") > 1) & (F.size("vids") <= KNN_BUCKET_CAP))
+    wb = Window.partitionBy("tbl", "cell")
+    kept = (
+        cells.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter((F.col("bsz") > 1) & (F.col("bsz") <= KNN_BUCKET_CAP))
+        .drop("bsz")
+    )
+    buckets = kept.groupBy("tbl", "cell").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("vids")
     )
     cand = (
         buckets.select(
