@@ -105,3 +105,33 @@ def test_fresh_keys_spread_proportionally_by_family():
         assert math.floor(entitlement) - 2 <= share <= math.ceil(
             entitlement
         ) + 2, (fam, share, entitlement, len(ks))
+
+
+def test_r07_transition_surfaces_final_unverified_remainder(monkeypatch):
+    """Simulate the round-6 window coming back green: the union of real
+    CORRECTNESS rows plus the current window's 50 keys must leave the
+    rotation with the never-verified remainder at its head — and, while
+    the repo still holds only the r01-r05 files, that remainder is the
+    exact 6 keys the round-6 handoff documents (264/264 closes at r07)."""
+    real = entry_mod._driver_verified_rounds()
+    window = entry_mod._rotated_keys()[:DRIVER_WINDOW]
+    simulated = dict(real, **{k: 6 for k in window})
+    monkeypatch.setattr(
+        entry_mod, "_driver_verified_rounds", lambda: simulated
+    )
+    monkeypatch.setattr(entry_mod, "_driver_failed_keys", lambda: [])
+    rotated = entry_mod._rotated_keys()
+    remainder = [k for k in rotated if k not in simulated]
+    assert rotated[: len(remainder)] == remainder, (
+        "unverified remainder must lead the r07 window"
+    )
+    rounds_on_disk = {r for r, _ in entry_mod._correctness_rounds()}
+    if rounds_on_disk == {1, 2, 3, 4, 5}:
+        assert sorted(remainder) == [
+            "dedup_substring_ngrams",
+            "events_forecast_baseline",
+            "events_rolling_wau",
+            "join_asof_tolerance",
+            "scalar_array_quantifiers",
+            "timeseries_decay_sum",
+        ]
