@@ -628,21 +628,37 @@ EMB_DEDUP_THRESHOLD = 0.4  # fixture cosines peak ~0.51; >=0.4 ⇒ 13/12/134
 # sides share it, so cosines are bit-identical doubles and >= is exact.
 
 
+EMB_DEDUP_MIN_BITS = 4  # = similarity.IVF_BITS at fixture scale (n <= 2048)
+EMB_DEDUP_MAX_BITS = 16
+EMB_DEDUP_TARGET_BUCKET = 128  # grow bits until expected bucket <= this
+
+
 def _emb_dedup_oracle() -> str:
     from mapreduce_6_824_lab1_spark.operators.similarity import (
-        _SQL_CELL,
         _sql_dot,
         _sql_norm,
+        sql_adaptive_bits,
     )
 
+    ladder = sql_adaptive_bits(
+        EMB_DEDUP_MIN_BITS, EMB_DEDUP_MAX_BITS, EMB_DEDUP_TARGET_BUCKET
+    )
+    # prefix-cell with runtime bit width: terms with i >= bits contribute 0
+    # (out-of-range list index -> NULL -> the AND is not true)
+    cell = " + ".join(
+        f"(CASE WHEN {i} < p.bits AND e.embedding[{i + 1}] >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(EMB_DEDUP_MAX_BITS)
+    )
     cos = (
         f"{_sql_dot('a.embedding', 'b.embedding')}"
         f" / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
     )
     return f"""
-WITH cells AS (
-    SELECT vec_id, embedding, {_SQL_CELL.format(t="embeddings")} AS cell
-    FROM embeddings
+WITH params AS (SELECT {ladder} AS bits FROM embeddings),
+cells AS (
+    SELECT e.vec_id, e.embedding, {cell} AS cell
+    FROM embeddings e, params p
 ),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
@@ -660,30 +676,41 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: mark vectors whose cosine to a lower-id
     vector in the same LSH bucket is ≥ 0.4; keep the minimum matching id.
 
-    The bucket key is ``similarity._cell`` — the sign pattern of the first
-    4 dimensions, a fixed random-hyperplane LSH — so candidate generation is
-    an equi-join on ``cell``: ONE shuffle of the corpus by bucket, pair work
-    O(n²/2^bits) per bucket instead of O(n²) overall, then a partial-
-    aggregated groupBy on the duplicate id. Pair-level semantics (cluster
-    closure is ``dedup_clusters``' job): a kept vec may itself be a dup of
-    an even-smaller id — the greedy chain a streaming dedup pass produces.
+    The bucket key is the sign pattern of the first ``adaptive_sign_bits``
+    dimensions — a fixed random-hyperplane LSH whose bit width GROWS with
+    log(n) so expected bucket size stays ~EMB_DEDUP_TARGET_BUCKET (4 bits
+    at every fixture/driver/bench scale, 8 at 20k vectors, 11 at 200k).
+    Candidate generation is an equi-join on ``cell``: ONE shuffle of the
+    corpus by bucket, pair work Σ|bucket|² with |bucket| held ~constant by
+    the adaptive width — a FIXED width would make per-bucket size n/2^bits
+    and pair work quadratic in n (the saturation the kNN-graph sweep
+    measured). Sizing costs one count(*) job; the oracle derives the same
+    width from the same integer ladder. Then a partial-aggregated groupBy
+    on the duplicate id. Pair-level semantics (cluster closure is
+    ``dedup_clusters``' job): a kept vec may itself be a dup of an
+    even-smaller id — the greedy chain a streaming dedup pass produces.
 
-    100 TB: raise the bit count so buckets stay executor-sized (bits are a
-    knob, the plan shape is unchanged) and OR multiple independent sign
-    bands for recall, exactly like ``dedup_minhash_lsh``'s band join. Cosine
+    100 TB: the adaptive width keeps buckets executor-sized by itself; OR
+    multiple independent sign bands for recall, exactly like
+    ``dedup_minhash_lsh``'s band join. Cosine
     math is the shared ``zip_with``+``aggregate`` double fold (JVM codegen,
     bit-identical to the oracle's list fold — FIXTURES.md), so even this
     approximate path is hash-checked, not rows-only.
     """
     from mapreduce_6_824_lab1_spark.operators.similarity import (
-        _cell,
         _dot,
         _norm,
+        _sign_cell_expr,
+        adaptive_sign_bits,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
+    bits = adaptive_sign_bits(
+        e.count(), EMB_DEDUP_MIN_BITS, EMB_DEDUP_MAX_BITS,
+        EMB_DEDUP_TARGET_BUCKET,
+    )
     cells = e.select(
-        "vec_id", "embedding", _cell("embedding").alias("cell")
+        "vec_id", "embedding", _sign_cell_expr(0, bits).alias("cell")
     )
     a = cells.alias("a")
     b = cells.alias("b")

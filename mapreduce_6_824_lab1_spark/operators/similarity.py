@@ -372,39 +372,83 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KNN_GRAPH_K = 3
-KNN_TABLES = 4  # independent LSH tables (dim groups 0-7, 8-15, 16-23, 24-31)
-KNN_BITS = 8  # sign bits per table → 256 buckets/table at fixture scale
+KNN_TABLES = 4  # independent LSH tables over DISJOINT dim groups
+KNN_MIN_BITS = 8  # 256 buckets/table at fixture scale (n <= 4096 vectors)
+KNN_MAX_BITS = 16  # 4 tables x 16 dims = all 64 dims at the widest setting
+KNN_TARGET_BUCKET = 16  # grow bits until expected bucket size <= this
 KNN_BUCKET_CAP = 64  # hot-bucket drop: buckets larger than this generate no
-#                      pairs (skew guard, same role as dedup's DF cap; the
-#                      fixture's largest bucket is 16, so the cap is latent
-#                      here but load-bearing at scale)
+#                      pairs (skew guard, same role as dedup's DF cap; with
+#                      adaptive bits the cap only fires on genuine sign-space
+#                      skew, never on uniform growth)
 
 
-def _sign_cell_expr(start: int) -> Column:
-    """Bucket id for one LSH table: sign pattern of dims start+1..start+KNN_BITS."""
+def adaptive_sign_bits(n: int, min_bits: int, max_bits: int, target: int) -> int:
+    """Sign-LSH bit width for an n-row corpus: smallest b in
+    [min_bits, max_bits] with ``2^b * target >= n``, so EXPECTED bucket
+    size stays ~target as the corpus grows. A FIXED width saturates —
+    every bucket crosses whatever per-bucket cap guards skew, and the
+    guard silently deletes the operator's output (or, uncapped, pair
+    work goes quadratic). Integer-only (no float log2) so the DuckDB
+    oracles' threshold ladders (:func:`sql_adaptive_bits`) are trivially
+    equivalent at every n.
+    """
+    b = min_bits
+    while b < max_bits and (1 << b) * target < n:
+        b += 1
+    return b
+
+
+def sql_adaptive_bits(min_bits: int, max_bits: int, target: int) -> str:
+    """DuckDB mirror of :func:`adaptive_sign_bits` over ``count(*)``."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN count(*) <= {(1 << b) * target} THEN {b}"
+            for b in range(min_bits, max_bits)
+        )
+        + f" ELSE {max_bits} END"
+    )
+
+
+def knn_bits(n: int) -> int:
+    """Sign bits per kNN-graph LSH table: n <= 4096 -> 8 (the fixture,
+    driver sf0.01 and bench sf0.1 scales are all unchanged); 200k -> 14;
+    caps at 16 (the 64-dim embedding supports 4 disjoint 16-dim tables
+    exactly)."""
+    return adaptive_sign_bits(n, KNN_MIN_BITS, KNN_MAX_BITS, KNN_TARGET_BUCKET)
+
+
+_KNN_BITS_SQL = sql_adaptive_bits(KNN_MIN_BITS, KNN_MAX_BITS, KNN_TARGET_BUCKET)
+
+
+def _sign_cell_expr(tbl: int, bits: int) -> Column:
+    """Bucket id for LSH table `tbl`: sign pattern of its `bits` dims
+    (1-indexed dims tbl*bits+1 .. tbl*bits+bits — tables are disjoint)."""
     out = None
-    for i in range(KNN_BITS):
+    for i in range(bits):
         bit = (
-            F.element_at("embedding", start + i + 1) >= 0
+            F.element_at("embedding", tbl * bits + i + 1) >= 0
         ).cast("int") * (1 << i)
         out = bit if out is None else out + bit
     return out
 
 
-def _sql_sign_cell(start: int) -> str:
-    return " + ".join(
-        f"(CASE WHEN embedding[{start + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(KNN_BITS)
-    )
+# Oracle-side cell: same sign pattern with `bits` as a runtime scalar from
+# the params CTE. Terms with i >= bits contribute 0 (DuckDB out-of-range
+# list indexing yields NULL, and NULL >= 0 is NULL -> the AND is not true).
+_SQL_SIGN_CELL_ADAPTIVE = " + ".join(
+    f"(CASE WHEN {i} < p.bits AND e.embedding[t.tbl * p.bits + {i} + 1] >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(KNN_MAX_BITS)
+)
 
 
 KNN_GRAPH_ORACLE = f"""
-WITH cells AS (
-    {" UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {_sql_sign_cell(t * KNN_BITS)} AS cell "
-        f"FROM embeddings"
-        for t in range(KNN_TABLES)
-    )}
+WITH params AS (SELECT {_KNN_BITS_SQL} AS bits FROM embeddings),
+cells AS (
+    SELECT e.vec_id, t.tbl AS tbl, {_SQL_SIGN_CELL_ADAPTIVE} AS cell
+    FROM embeddings e, params p,
+         (VALUES {", ".join(f"({t})" for t in range(KNN_TABLES))}) t(tbl)
 ),
 kept AS (
     SELECT vec_id, tbl, cell
@@ -442,11 +486,18 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-based dedup/cluster steps, versus similarity_topk's single probe.
 
     Candidate generation is MULTI-TABLE SIGN-LSH, never all-pairs: 4
-    independent hash tables (sign pattern of dim groups 0-7/8-15/16-23/
-    24-31 — fixed axis-aligned hyperplanes, deterministic on both
-    engines), candidates = union of exact-bucket mates across tables,
-    deduped, then one window per anchor ranks by pinned-fold cosine and
-    keeps k. Bucket mates come from POSTING LISTS (the jaccard_pairs
+    independent hash tables over disjoint dim groups (fixed axis-aligned
+    hyperplanes, deterministic on both engines), candidates = union of
+    exact-bucket mates across tables, deduped, then one window per anchor
+    ranks by pinned-fold cosine and keeps k. The per-table bit width is
+    ADAPTIVE: ``knn_bits(n)`` grows it with log(n) so expected bucket
+    size stays ~KNN_TARGET_BUCKET — with a fixed width the cell space
+    saturates as the corpus grows, every bucket crosses KNN_BUCKET_CAP,
+    and the skew guard silently deletes the whole graph (measured: a
+    200k-vector corpus at fixed 8 bits produced 0 rows). Sizing costs
+    one count(*) job (metadata-grade next to graph construction — the
+    standard index-build preamble); the oracle derives the same width
+    from the same ladder in SQL. Bucket mates come from POSTING LISTS (the jaccard_pairs
     idiom) with the cap enforced BEFORE any bucket array exists: a
     window count over (table, cell) — WindowExec buffers rows in a
     SPILLABLE array — drops hot and singleton buckets row-wise, and only
@@ -471,8 +522,9 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing no bucket drop out (no padding rows).
     """
     e = load_table(spark, sf_dir, "embeddings")
+    bits = knn_bits(e.count())
     cell_cols = F.array(
-        *[_sign_cell_expr(t * KNN_BITS) for t in range(KNN_TABLES)]
+        *[_sign_cell_expr(t, bits) for t in range(KNN_TABLES)]
     )
     cells = e.select(
         "vec_id", F.posexplode(cell_cols).alias("tbl", "cell")

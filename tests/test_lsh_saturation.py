@@ -1,0 +1,96 @@
+"""Anti-saturation pins for the adaptive sign-LSH widths (round 6).
+
+A 100x scaled sweep (tools/make_scaled_data.py + tools/scaling_sweep.py)
+caught ``similarity_knn_graph`` returning ZERO rows at 200k vectors: the
+then-fixed 8-bit cell space saturated (every bucket > KNN_BUCKET_CAP) and
+the hot-bucket skew guard silently deleted the whole graph. These tests
+pin the fix — ``adaptive_sign_bits`` — at three levels: the pure integer
+ladder, its DuckDB mirror (the oracles must derive the IDENTICAL width
+from count(*)), and the end-to-end property that a corpus big enough to
+saturate the old fixed width still yields a full-coverage kNN graph.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mapreduce_6_824_lab1_spark import QUERIES
+from mapreduce_6_824_lab1_spark.operators.similarity import (
+    KNN_BUCKET_CAP,
+    KNN_MAX_BITS,
+    KNN_MIN_BITS,
+    KNN_TARGET_BUCKET,
+    adaptive_sign_bits,
+    knn_bits,
+    sql_adaptive_bits,
+)
+
+
+def test_adaptive_sign_bits_ladder():
+    # driver/bench scales are all below the first step: width unchanged
+    for n in (0, 1, 20, 200, 2000, 4096):
+        assert knn_bits(n) == KNN_MIN_BITS
+    assert knn_bits(4097) == 9
+    assert knn_bits(20_000) == 11
+    assert knn_bits(200_000) == 14
+    assert knn_bits(10**9) == KNN_MAX_BITS  # clamped
+    # defining property: smallest width whose expected bucket <= target
+    for n in (1, 4096, 4097, 12_345, 65_536, 10**6):
+        b = adaptive_sign_bits(n, KNN_MIN_BITS, KNN_MAX_BITS, KNN_TARGET_BUCKET)
+        assert (1 << b) * KNN_TARGET_BUCKET >= n or b == KNN_MAX_BITS
+        if b > KNN_MIN_BITS:
+            assert (1 << (b - 1)) * KNN_TARGET_BUCKET < n
+
+
+@pytest.mark.parametrize(
+    "min_b,max_b,target", [(8, 16, 16), (4, 16, 128), (2, 5, 10)]
+)
+def test_sql_ladder_matches_python(min_b, max_b, target):
+    """The oracle's CASE ladder over count(*) == adaptive_sign_bits for
+    every n, including the exact step boundaries (integer thresholds —
+    no float log2 on either side, so equality is exact, not approximate)."""
+    ladder = sql_adaptive_bits(min_b, max_b, target)
+    ns = [0, 1, 2]
+    for b in range(min_b, max_b + 1):
+        ns += [(1 << b) * target - 1, (1 << b) * target, (1 << b) * target + 1]
+    con = duckdb.connect()
+    for n in ns:
+        got = con.execute(f"SELECT {ladder} FROM range({n})").fetchone()[0]
+        assert got == adaptive_sign_bits(n, min_b, max_b, target), n
+
+
+def test_knn_graph_survives_saturating_corpus(spark, tmp_path):
+    """20k vectors saturate a fixed 8-bit space (expected bucket 78 >
+    KNN_BUCKET_CAP=64 -> the old code dropped ~all buckets and most
+    anchors lost their neighbors). With adaptive width (11 bits here)
+    virtually every anchor must keep its full k of 3."""
+    rng = np.random.default_rng(6)
+    n, d = 20_000, 64
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(list(x), pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    assert knn_bits(n) == 11
+    exp_bucket = n / (1 << 11)
+    assert exp_bucket <= KNN_BUCKET_CAP / 2  # cap has real headroom again
+    got = (
+        QUERIES["similarity_knn_graph"](spark, str(tmp_path))
+        .groupBy("vec_id")
+        .count()
+        .toPandas()
+    )
+    # sign-LSH on isotropic data leaves a small tail of anchors whose
+    # buckets are singletons in all 4 tables; coverage must be near-total
+    assert len(got) >= 0.99 * n
+    assert (got["count"] == 3).mean() >= 0.99

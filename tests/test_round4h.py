@@ -203,19 +203,20 @@ def test_hierarchy_shares_sum_within_floor_loss(spark):
 
 def _numpy_lsh_candidates(X):
     """Replay the operator's multi-table sign-LSH candidate rule exactly:
-    union of exact-bucket mates over KNN_TABLES tables of KNN_BITS sign
-    bits, hot buckets (> KNN_BUCKET_CAP) dropped."""
+    union of exact-bucket mates over KNN_TABLES tables of knn_bits(n)
+    sign bits, hot buckets (> KNN_BUCKET_CAP) dropped."""
     import numpy as np
     from mapreduce_6_824_lab1_spark.operators.similarity import (
-        KNN_BITS,
         KNN_BUCKET_CAP,
         KNN_TABLES,
+        knn_bits,
     )
 
     n = len(X)
+    bits = knn_bits(n)
     cand = [set() for _ in range(n)]
     for t in range(KNN_TABLES):
-        dims = range(t * KNN_BITS, (t + 1) * KNN_BITS)
+        dims = range(t * bits, (t + 1) * bits)
         cell = sum(
             ((X[:, d] >= 0).astype(np.int64) << i) for i, d in enumerate(dims)
         )
