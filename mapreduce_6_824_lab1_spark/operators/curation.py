@@ -121,8 +121,25 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carry their text into the exact phase.
 # ---------------------------------------------------------------------------
 
-BLOOM_BITS = 1 << 17  # m: bit-array size per hash function
+BLOOM_MIN_BITS = 1 << 17  # m floor: unchanged at every fixture/driver scale
+BLOOM_BITS_PER_KEY = 8  # k=2, m/n=8 -> FPR ~ (1-e^(-1/4))^2 ~ 5%
 BLOOM_SEEDS = (17, 41)  # k=2 independent xxhash64 seeds
+
+
+def bloom_bits(n_eval: int) -> int:
+    """Bit-array size per hash function for an n_eval-shingle eval set:
+    smallest power of two >= BLOOM_MIN_BITS with m >= 8*n_eval. A FIXED m
+    saturates as the eval suite grows — FPR drifts toward 1 and the
+    prefilter silently passes the whole corpus to the exact join (correct
+    but the 100 TB map-side drop evaporates) — the same fixed-capacity
+    defect class as the sign-LSH width ``similarity.adaptive_sign_bits``
+    fixed. Growing m is free at broadcast time: the shipped "bit array"
+    is the DISTINCT set of occupied buckets, whose size is <= n_eval
+    whatever m is."""
+    m = BLOOM_MIN_BITS
+    while m < n_eval * BLOOM_BITS_PER_KEY:
+        m <<= 1
+    return m
 
 
 @query("decontaminate_bloom", oracle=DECONTAMINATE_ORACLE)
@@ -132,6 +149,9 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result is identical to ``decontaminate`` (same oracle): the Bloom
     phase only drops TRUE negatives, and the exact join removes its false
     positives — the rewrite is purely physical, like the salted join.
+    The bit-array size adapts to the eval shingle count (:func:`bloom_bits`
+    — one count(*) on the checkpointed eval set, which the plan was
+    already re-deriving per seed; the checkpoint also stops that).
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
@@ -144,21 +164,24 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.expr(_SHINGLES_FROM_TOKS))
         ).alias("shingle"),
     )
+    # localCheckpoint: the eval set is re-read per seed and by the exact
+    # verify join (3 plan uses); eval sources are a small fixed slice, so
+    # the materialization is broadcast-grade, and its count sizes the Bloom.
     eval_shingles = (
         sh.where(F.col("source").isin(*EVAL_SOURCES))
         .select("shingle")
         .distinct()
+        .localCheckpoint()
     )
+    m = bloom_bits(eval_shingles.count())
     corpus = sh.where(~F.col("source").isin(*EVAL_SOURCES))
     for seed in BLOOM_SEEDS:
         bits = eval_shingles.select(
-            F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(BLOOM_BITS)).alias(
-                "bit"
-            )
+            F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(m)).alias("bit")
         ).distinct()
         corpus = corpus.join(
             broadcast(bits),
-            F.pmod(F.xxhash64(corpus["shingle"], F.lit(seed)), F.lit(BLOOM_BITS))
+            F.pmod(F.xxhash64(corpus["shingle"], F.lit(seed)), F.lit(m))
             == bits["bit"],
             "left_semi",
         )

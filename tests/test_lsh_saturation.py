@@ -94,3 +94,23 @@ def test_knn_graph_survives_saturating_corpus(spark, tmp_path):
     # buckets are singletons in all 4 tables; coverage must be near-total
     assert len(got) >= 0.99 * n
     assert (got["count"] == 3).mean() >= 0.99
+
+def test_bloom_bits_ladder():
+    """Same defect class, Bloom flavor: decontaminate_bloom's bit-array
+    size must grow with the eval shingle count so FPR stays bounded
+    (fixed m -> FPR drifts to 1 and the prefilter silently passes the
+    whole corpus to the exact join)."""
+    from mapreduce_6_824_lab1_spark.operators.curation import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_MIN_BITS,
+        bloom_bits,
+    )
+
+    # every fixture/driver/bench eval set is far below the floor: unchanged
+    for n in (0, 1, 1000, BLOOM_MIN_BITS // BLOOM_BITS_PER_KEY):
+        assert bloom_bits(n) == BLOOM_MIN_BITS
+    for n in (10**5, 10**6, 10**8):
+        m = bloom_bits(n)
+        assert m >= n * BLOOM_BITS_PER_KEY  # bounded FPR
+        assert m & (m - 1) == 0  # power of two
+        assert m // 2 < n * BLOOM_BITS_PER_KEY or m == BLOOM_MIN_BITS

@@ -81,11 +81,13 @@ def main() -> None:
             raise SystemExit(f"unknown query key: {k}")
 
     results: dict[str, dict[str, float]] = {}
+    counts: dict[str, dict[str, int]] = {}
     for tag in sf_tags:
         sf_dir = resolve_sf_dir(tag)
         spark = get_spark(app_name=f"scaling-sweep-{tag}")
         spark.sparkContext.setLogLevel("ERROR")
         times: dict[str, float] = {}
+        rows: dict[str, int] = {}
         for key in keys:
             best = float("inf")
             for _ in range(runs):
@@ -95,9 +97,17 @@ def main() -> None:
                 ).save()
                 best = min(best, time.monotonic() - t0)
             times[key] = round(best, 3)
-            print(f"  {tag} {key}: {times[key]}", file=sys.stderr)
+            # result-count sanity: the round-6 LSH saturation returned ZERO
+            # rows while getting FASTER — a falling/zero count across SFs is
+            # the bug signature timing alone can miss. One extra execution.
+            rows[key] = QUERIES[key](spark, sf_dir).count()
+            print(
+                f"  {tag} {key}: {times[key]} ({rows[key]} rows)",
+                file=sys.stderr,
+            )
         results[tag] = times
-        print(json.dumps({"sf": tag, "queries": times}))
+        counts[tag] = rows
+        print(json.dumps({"sf": tag, "queries": times, "rows": rows}))
         spark.stop()
 
     # markdown table with per-step ratios
@@ -107,7 +117,9 @@ def main() -> None:
     print(hdr)
     print("|" + "---|" * (1 + len(sf_tags) + len(sf_tags) - 1))
     for key in keys:
-        row = [key] + [f"{results[t][key]:.2f}" for t in sf_tags]
+        row = [key] + [
+            f"{results[t][key]:.2f} ({counts[t][key]}r)" for t in sf_tags
+        ]
         for a, b in zip(sf_tags, sf_tags[1:]):
             ratio = results[b][key] / max(results[a][key], 1e-9)
             row.append(f"{ratio:.1f}x")
