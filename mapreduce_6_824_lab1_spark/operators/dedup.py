@@ -316,19 +316,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks equal
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_COMBO_CHUNKS = 8  # scale scheme: 8×8-bit chunks, ≥5 equal by pigeonhole
+SIMHASH_COMBO_THRESHOLD = 1_000_000  # rows where combo bands beat single chunks
+
+
+def _simhash_band_rows(fp: DataFrame, n_chunks: int) -> DataFrame:
+    """Explode fingerprints into pigeonhole band rows (doc_id, fp, band, key).
+
+    The fingerprint splits into ``n_chunks`` equal-width chunks; a pair at
+    hamming ≤ SIMHASH_MAX_HAMMING differs in at most that many chunks, so
+    at least ``r = n_chunks - SIMHASH_MAX_HAMMING`` chunks are equal — and
+    therefore SOME r-subset of chunks matches exactly. One band per
+    r-combination; the band key packs the combo's chunk values into one
+    long (width·r ≤ 40 bits at the widest scheme). n_chunks=4 gives the
+    classic 4 single-chunk bands (r=1); n_chunks=8 gives Manku-style
+    C(8,5)=56 combination bands whose 40-bit key space keeps expected
+    bucket size ~n/2^40 — the per-band explode costs 14× more rows but
+    pair work drops from n²/2^16 (quadratic in corpus size) to ~56·n²/2^40
+    (negligible until n is in the trillions). Both band sets are exact
+    covers of the hamming ball, so the downstream distinct+filter yields
+    IDENTICAL pairs under either scheme.
+    """
+    from itertools import combinations
+
+    width = SIMHASH_BITS // n_chunks
+    r = n_chunks - SIMHASH_MAX_HAMMING
+    mask = (1 << width) - 1
+
+    def chunk(j: int) -> Column:
+        return F.shiftright(F.col("fp"), j * width).bitwiseAND(F.lit(mask))
+
+    structs = []
+    for band_id, combo in enumerate(combinations(range(n_chunks), r)):
+        key = F.lit(0).cast("long")
+        for pos, j in enumerate(combo):
+            key = key + F.shiftleft(chunk(j), pos * width)
+        structs.append(
+            F.struct(F.lit(band_id).alias("band"), key.alias("key"))
+        )
+    return fp.select(
+        "doc_id", "fp", F.explode(F.array(*structs)).alias("b")
+    ).select("doc_id", "fp", "b.band", "b.key")
 
 
 @query("dedup_simhash")  # rows-only: xxhash64 fingerprints aren't in DuckDB
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints + chunk-banded hamming-distance pairs.
+    """64-bit SimHash fingerprints + pigeonhole-banded hamming-distance pairs.
 
     Per doc: for each distinct shingle, hash to 64 bits; per bit position sum
     ±1 contributions; fingerprint bit = sign of the sum. Near-dups = pairs
-    with hamming(fp_a, fp_b) ≤ 3, found by joining on any equal 16-bit chunk
-    (pigeonhole guarantee — never an all-pairs comparison).
+    with hamming(fp_a, fp_b) ≤ 3, found by an equi-join on a pigeonhole
+    band key (:func:`_simhash_band_rows`) — never an all-pairs comparison.
 
-    100 TB: fingerprints are 8 bytes/doc; the chunk join touches only docs
-    agreeing on 16 consecutive bits (expected bucket size n/2^16 per chunk).
+    100 TB: fingerprints are 8 bytes/doc. The band scheme ADAPTS to the
+    corpus count (one count(*) sizing job, the index-build preamble used
+    by every adaptive operator here): below SIMHASH_COMBO_THRESHOLD the
+    classic 4×16-bit single-chunk join (expected bucket n/2^16); above it
+    the 5-of-8-chunk combination bands whose 40-bit keys keep buckets
+    near-singleton — the fixed 16-bit key space is exactly the
+    fixed-capacity saturation the round-6 scale sweep caught in the
+    sign-LSH operators (pair work n²/2^16 goes quadratic; here the guard
+    is cost, not a silent output drop, since no bucket cap is applied).
+    Both schemes produce identical pairs (exact hamming ball covers).
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = shingled(docs)
@@ -358,33 +407,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
     fp = perbit.select("doc_id", fp_expr.alias("fp"))
 
-    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
-    chunks = fp.select(
-        "doc_id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_id"),
-                        F.shiftright(F.col("fp"), i * chunk_width)
-                        .bitwiseAND(F.lit((1 << chunk_width) - 1))
-                        .alias("chunk"),
-                    )
-                    for i in range(SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "fp", "c.chunk_id", "c.chunk")
+    n_chunks = (
+        SIMHASH_CHUNKS
+        if docs.count() <= SIMHASH_COMBO_THRESHOLD
+        else SIMHASH_COMBO_CHUNKS
+    )
+    bands = _simhash_band_rows(fp, n_chunks)
 
-    ca = chunks.alias("ca")
-    cb = chunks.alias("cb")
+    ca = bands.alias("ca")
+    cb = bands.alias("cb")
     hamming = F.bit_count(F.col("ca.fp").bitwiseXOR(F.col("cb.fp")))
     return (
         ca.join(
             cb,
-            (F.col("ca.chunk_id") == F.col("cb.chunk_id"))
-            & (F.col("ca.chunk") == F.col("cb.chunk"))
+            (F.col("ca.band") == F.col("cb.band"))
+            & (F.col("ca.key") == F.col("cb.key"))
             & (F.col("ca.doc_id") < F.col("cb.doc_id")),
         )
         .select(

@@ -114,3 +114,23 @@ def test_bloom_bits_ladder():
         assert m >= n * BLOOM_BITS_PER_KEY  # bounded FPR
         assert m & (m - 1) == 0  # power of two
         assert m // 2 < n * BLOOM_BITS_PER_KEY or m == BLOOM_MIN_BITS
+
+def test_simhash_combo_bands_identical_pairs(spark, monkeypatch):
+    """The scale scheme (5-of-8-chunk combination bands, used above
+    SIMHASH_COMBO_THRESHOLD) must produce EXACTLY the pairs of the classic
+    4-single-chunk scheme — both are exact covers of the hamming<=3 ball,
+    so the only difference is candidate-generation cost."""
+    import mapreduce_6_824_lab1_spark.operators.dedup as dd
+
+    sf = "/root/testdata/sf0.01"
+    base = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.dedup_simhash(spark, sf).collect()
+    )
+    monkeypatch.setattr(dd, "SIMHASH_COMBO_THRESHOLD", 0)
+    combo = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.dedup_simhash(spark, sf).collect()
+    )
+    assert len(base) > 0
+    assert base == combo
