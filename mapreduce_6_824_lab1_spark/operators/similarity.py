@@ -95,6 +95,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_JOIN_THRESHOLD = 0.3  # fixture cosines peak ~0.47 within-label; 0.3 → ~111 pairs at sf0.01
+SIM_JOIN_BLOCKS = 8  # B: per-label pair work spreads over B² join keys
 
 
 @query(
@@ -115,13 +116,36 @@ def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine ≥ 0.3 within each label (embedding near-dup pass).
 
     The label equi-join key keeps this a partitioned self-join, not a
-    cartesian. 100 TB: the label would be an LSH bucket id (random-hyperplane
-    sign signature) instead of a class label — same plan shape, bounded
-    bucket fan-out; see similarity_ivf for the quantizer.
+    cartesian — but label cardinality is TINY (a handful of classes), so a
+    plain equi-join concentrates each label's n² pair work onto one join
+    key, and with a broadcast-sized corpus onto however few input splits
+    the scan yields (the round-6 scale sweep measured ONE task grinding
+    the whole sf1 corpus). Block decomposition restores parallelism
+    without changing pair work: each side is tagged with an id-hash block
+    in [0,B) and replicated B× on the OTHER side's block, so the join key
+    becomes (label, block_a, block_b) — B² keys per label, and every pair
+    matches on EXACTLY ONE key (its own block pair), so no post-dedup is
+    needed. The explicit repartition on the composite key is the exchange
+    a shuffle join would insert anyway; it also guards the broadcast-join
+    path, where nothing else would break up the probe-side scan split.
+    100 TB: the label would be an LSH bucket id (random-hyperplane sign
+    signature) instead of a class label (see similarity_ivf for the
+    quantizer) and B scales the per-(label-)bucket work to task size.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
+    blocks = F.array(*[F.lit(i) for i in range(SIM_JOIN_BLOCKS)])
+    own = F.pmod(F.xxhash64("vec_id"), F.lit(SIM_JOIN_BLOCKS)).cast("int")
+    # explicit partition COUNT: this shuffle is byte-small but compute-dense
+    # (each row carries ~n_label/B² cosine probes), and AQE's byte-based
+    # coalescing would fold it back to a handful of tasks — a user-pinned
+    # count opts the exchange out of coalescing.
+    a = (
+        e.withColumn("pa", own)
+        .withColumn("pb", F.explode(blocks))
+        .repartition(spark.sparkContext.defaultParallelism, "label", "pa", "pb")
+        .alias("a")
+    )
+    b = e.withColumn("pb", own).withColumn("pa", F.explode(blocks)).alias("b")
     cos = _dot("a.embedding", "b.embedding") / (
         _norm("a.embedding") * _norm("b.embedding")
     )
@@ -129,6 +153,8 @@ def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.pa") == F.col("b.pa"))
+            & (F.col("a.pb") == F.col("b.pb"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn("cosine_raw", cos)
