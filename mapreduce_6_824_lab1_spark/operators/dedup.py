@@ -746,9 +746,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.count(), EMB_DEDUP_MIN_BITS, EMB_DEDUP_MAX_BITS,
         EMB_DEDUP_TARGET_BUCKET,
     )
+    # pinned-count repartition on the bucket key: the cell shuffle is
+    # byte-small (≈5 MB at 20k vectors) but compute-dense (~target_bucket
+    # cosine folds per row), and AQE's byte-based coalescing was folding
+    # the self-join onto a couple of tasks (measured 32 s at sf1 — nearly
+    # single-threaded). Same remedy as similarity_join's block exchange.
     cells = e.select(
         "vec_id", "embedding", _sign_cell_expr(0, bits).alias("cell")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "cell")
     a = cells.alias("a")
     b = cells.alias("b")
     cos = _dot("a.embedding", "b.embedding") / (
