@@ -270,47 +270,85 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEG_K = 4
 _NEG_KNUTH = 2654435761
+_NEG_KNUTH_VB = 2246822519  # independent odd constant for the vector bucket
 _NEG_MOD = 4294967296
+NEG_TARGET_BUCKET = 64  # candidate-bucket size the bucket count aims for
 
 NEGATIVES_ORACLE = f"""
-WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+WITH nn AS (
+    SELECT GREATEST(CAST(count(*) AS BIGINT) // {NEG_TARGET_BUCKET}, 1) AS nb
+    FROM embeddings
+),
+vec AS (
+    SELECT vec_id AS neg_id, CAST(label AS BIGINT) AS neg_label,
+           (vec_id * {_NEG_KNUTH_VB}) % {_NEG_MOD} % nn.nb AS vb
+    FROM embeddings, nn
+),
 cand AS (
     SELECT e.vec_id, CAST(e.label AS BIGINT) AS anchor_label,
            CAST(i AS BIGINT) AS slot,
-           ((e.vec_id + i) * {_NEG_KNUTH}) % {_NEG_MOD} % nn.n AS raw,
-           nn.n AS n
+           ((e.vec_id + i) * {_NEG_KNUTH}) % {_NEG_MOD} % nn.nb AS cb
     FROM embeddings e, generate_series(1, {NEG_K}) AS gs(i), nn
 ),
-fix AS (
-    SELECT vec_id, anchor_label, slot,
-           CASE WHEN raw = vec_id THEN (raw + 1) % n ELSE raw END AS neg_id
-    FROM cand
+hits AS (
+    SELECT c.vec_id, c.slot, c.anchor_label, v.neg_id, v.neg_label,
+           ((v.neg_id + c.slot) * {_NEG_KNUTH}) % {_NEG_MOD} AS pick
+    FROM cand c JOIN vec v ON v.vb = c.cb AND v.neg_id != c.vec_id
 )
-SELECT c.vec_id, c.slot, c.neg_id, c.anchor_label,
-       CAST(e.label AS BIGINT) AS neg_label,
-       c.anchor_label != CAST(e.label AS BIGINT) AS is_informative
-FROM fix c JOIN embeddings e ON e.vec_id = c.neg_id
+SELECT vec_id, slot, arg_min(neg_id, pick) AS neg_id, anchor_label,
+       arg_min(neg_label, pick) AS neg_label,
+       anchor_label != arg_min(neg_label, pick) AS is_informative
+FROM hits GROUP BY vec_id, slot, anchor_label
 """
 
 
 @query("sample_contrastive_negatives", oracle=NEGATIVES_ORACLE)
 def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=4 deterministic negative samples per anchor vector for
-    contrastive training: candidate ids come from the pinned Knuth hash
-    over the dense key space (self-hits deflected to the next id), then
-    one equi-join fetches each negative's label and flags informative
-    pairs (different label).
+    contrastive training: each anchor-slot hashes to a candidate BUCKET
+    (Knuth hash mod an adaptive bucket count), joins the bucket's
+    vectors, and keeps the arg-min of a second Knuth rank — one negative
+    per slot, with the negative's label flagging informative pairs.
 
     RNG-free by design — the pair set is a pure function of the corpus,
     so shuffling, retries, and re-runs reproduce identical training
-    pairs (the property epoch-reproducible pipelines need). Scale shape:
-    map-side candidate generation (explode of a K-element sequence), one
-    hash equi-join on the dense id — no sampling pass, no collect;
-    (vec_id+K)·knuth stays < 2⁶³ for ids < ~3·10⁹ (documented Knuth
-    domain rule, text_analysis.py:394).
+    pairs (the property epoch-reproducible pipelines need). The earlier
+    formulation hashed to an ID (``hash mod n``) and equi-joined on it,
+    which silently assumed a DENSE 0..n-1 id space: on the round-6
+    key-offset-replicated sf1 corpus 90% of candidates missed the inner
+    join and most anchors lost their negatives (7,994 of the expected
+    80,000 rows) — and any real filtered/sharded corpus has the same
+    sparse ids. Bucketing by id HASH is density-independent: every
+    anchor-slot finds a non-empty bucket (~NEG_TARGET_BUCKET vectors,
+    bucket count = max(n/64, 1) keeps the join fan-out linear in n and
+    the key cardinality high). The pick rank ((neg_id+slot)·knuth mod
+    2³²) is injective in neg_id within a slot, so the arg-min is
+    deterministic on both engines. Scale shape: one count aggregate
+    (broadcast 1-row), one hash equi-join on the bucket id, one
+    partial-aggregated group-by; (id+K)·knuth stays < 2⁶³ for ids
+    < ~3·10⁹ (documented Knuth domain rule, text_analysis.py:394).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.greatest(
+            F.floor(F.col("n") / NEG_TARGET_BUCKET).cast("long"), F.lit(1)
+        ).alias("nb")
+    )
+    vec = (
+        emb.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").cast("long").alias("neg_label"),
+        )
+        .crossJoin(broadcast(nn))
+        .select(
+            "neg_id",
+            "neg_label",
+            F.pmod(
+                F.pmod(F.col("neg_id") * _NEG_KNUTH_VB, F.lit(_NEG_MOD)),
+                F.col("nb"),
+            ).alias("vb"),
+        )
+    )
     cand = (
         emb.select(
             "vec_id", F.col("label").cast("long").alias("anchor_label")
@@ -320,7 +358,7 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "anchor_label",
             F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("slot"),
-            "n",
+            "nb",
         )
         .select(
             "vec_id",
@@ -331,33 +369,31 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("vec_id") + F.col("slot")) * _NEG_KNUTH,
                     F.lit(_NEG_MOD),
                 ),
-                F.col("n"),
-            ).alias("raw"),
-            "n",
+                F.col("nb"),
+            ).alias("cb"),
+        )
+    )
+    hits = cand.join(
+        vec,
+        (F.col("cb") == F.col("vb")) & (F.col("neg_id") != F.col("vec_id")),
+    ).withColumn(
+        "pick",
+        F.pmod((F.col("neg_id") + F.col("slot")) * _NEG_KNUTH, F.lit(_NEG_MOD)),
+    )
+    return (
+        hits.groupBy("vec_id", "slot", "anchor_label")
+        .agg(
+            F.min_by("neg_id", "pick").alias("neg_id"),
+            F.min_by("neg_label", "pick").alias("neg_label"),
         )
         .select(
             "vec_id",
-            "anchor_label",
             "slot",
-            F.when(
-                F.col("raw") == F.col("vec_id"),
-                F.pmod(F.col("raw") + 1, F.col("n")),
-            )
-            .otherwise(F.col("raw"))
-            .alias("neg_id"),
+            "neg_id",
+            "anchor_label",
+            "neg_label",
+            (F.col("anchor_label") != F.col("neg_label")).alias(
+                "is_informative"
+            ),
         )
-    )
-    neg = emb.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").cast("long").alias("neg_label"),
-    )
-    return cand.join(neg, "neg_id").select(
-        "vec_id",
-        "slot",
-        "neg_id",
-        "anchor_label",
-        "neg_label",
-        (F.col("anchor_label") != F.col("neg_label")).alias(
-            "is_informative"
-        ),
     )

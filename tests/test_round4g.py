@@ -179,19 +179,76 @@ def test_tree_scores_match_pandas(spark):
         )
 
 
+def _negatives_reference(ids, labels):
+    """Pure-python replay of the bucket-argmin negative-sampling rule
+    (density-independent: works on ANY id multiset, not just 0..n-1)."""
+    n = len(ids)
+    nb = max(n // 64, 1)
+    buckets: dict = {}
+    for v in ids:
+        buckets.setdefault((v * 2246822519) % 4294967296 % nb, []).append(v)
+    out = {}
+    for a in ids:
+        for slot in (1, 2, 3, 4):
+            cb = ((a + slot) * 2654435761) % 4294967296 % nb
+            cands = [v for v in buckets.get(cb, []) if v != a]
+            if not cands:
+                continue
+            neg = min(
+                cands, key=lambda v: ((v + slot) * 2654435761) % 4294967296
+            )
+            out[(a, slot)] = neg
+    return out
+
+
 def test_negatives_are_deterministic_informative_and_self_free(spark):
     got = QUERIES["sample_contrastive_negatives"](spark, SF_DIR).toPandas()
     emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    n = len(emb)
     labels = dict(zip(emb["vec_id"], emb["label"]))
-    assert len(got) == n * 4
+    ref = _negatives_reference(list(emb["vec_id"]), labels)
+    assert len(got) == len(ref)
+    # near-total coverage: only an anchor alone in its candidate bucket
+    # can lose a slot
+    assert len(ref) >= 0.99 * 4 * len(emb)
     for _, r in got.iterrows():
-        raw = (r["vec_id"] + r["slot"]) * 2654435761 % 4294967296 % n
-        exp = (raw + 1) % n if raw == r["vec_id"] else raw
-        assert r["neg_id"] == exp
+        assert r["neg_id"] == ref[(r["vec_id"], r["slot"])]
         assert r["neg_id"] != r["vec_id"]  # never a self-pair
         assert r["neg_label"] == labels[r["neg_id"]]
         assert r["is_informative"] == (r["anchor_label"] != r["neg_label"])
+
+
+def test_negatives_survive_sparse_id_space(spark, tmp_path):
+    """Regression for the round-6 sweep find: the old dense-id formula
+    (hash mod n as an ID, inner-joined) silently dropped ~90% of
+    negatives on a key-offset-replicated corpus. On sparse, gappy ids
+    the bucket scheme must still give virtually every anchor its K
+    negatives."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(64)
+    n = 3000
+    ids = (1_000_000 + 7919 * np.arange(n)).astype("int64")  # dense nowhere
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    list(rng.standard_normal((n, 8)).astype(np.float32)),
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(rng.integers(0, 10, n, dtype=np.int32)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = QUERIES["sample_contrastive_negatives"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(got) >= 0.99 * 4 * n
+    assert (got["neg_id"] != got["vec_id"]).all()
+    assert set(got["neg_id"]).issubset(set(ids))
 
 
 def test_cached_fanout_reads_cache_twice(spark):
