@@ -451,7 +451,7 @@ WITH d AS (
 obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY 1),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
 SELECT digit, n_orders,
-       (n_orders * 1000000) // n AS observed_ppm,
+       CAST((CAST(n_orders AS HUGEINT) * 1000000) // n AS BIGINT) AS observed_ppm,
        CAST({_BENFORD_CASE_SQL} AS BIGINT) AS benford_ppm
 FROM obs, tot
 """
@@ -488,7 +488,7 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obs.crossJoin(broadcast(tot)).select(
         "digit",
         "n_orders",
-        F.expr("(n_orders * 1000000) div n").alias("observed_ppm"),
+        F.expr("(CAST(n_orders AS DECIMAL(38,0)) * 1000000) div n").alias("observed_ppm"),
         benford.cast("long").alias("benford_ppm"),
     )
 
@@ -570,8 +570,8 @@ _SKEW_TOPN = 10
 def _skew_sql(name: str, table: str, key: str) -> str:
     return f"""
 SELECT '{name}' AS key_name, n_rows, n_keys,
-       (max_c * 1000000) // n_rows AS top1_ppm,
-       (top10 * 1000000) // n_rows AS top10_ppm
+       CAST((CAST(max_c AS HUGEINT) * 1000000) // n_rows AS BIGINT) AS top1_ppm,
+       CAST((CAST(top10 AS HUGEINT) * 1000000) // n_rows AS BIGINT) AS top10_ppm
 FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
              CAST(count(*) AS BIGINT) AS n_keys,
              CAST(max(c) AS BIGINT) AS max_c
@@ -611,8 +611,8 @@ def _skew_audit(df: DataFrame, name: str, key: str) -> DataFrame:
         F.lit(name).alias("key_name"),
         "n_rows",
         "n_keys",
-        F.expr("(max_c * 1000000) div n_rows").alias("top1_ppm"),
-        F.expr("(top10 * 1000000) div n_rows").alias("top10_ppm"),
+        F.expr("(CAST(max_c AS DECIMAL(38,0)) * 1000000) div n_rows").alias("top1_ppm"),
+        F.expr("(CAST(top10 AS DECIMAL(38,0)) * 1000000) div n_rows").alias("top10_ppm"),
     )
 
 
@@ -1111,7 +1111,8 @@ t AS (
 r AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM t GROUP BY a)
 SELECT t1.a AS src, t2.b AS dst,
        CAST(count(*) AS BIGINT) AS n_paths,
-       CAST(sum((t1.c * t2.c * 1000000) // (r1.ra * r2.ra)) AS BIGINT)
+       CAST(sum((CAST(t1.c AS HUGEINT) * t2.c * 1000000)
+                // (CAST(r1.ra AS HUGEINT) * r2.ra)) AS BIGINT)
            AS p2_micro
 FROM t t1
 JOIN t t2 ON t1.b = t2.a
@@ -1155,7 +1156,8 @@ def events_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t1.a").alias("src"),
             F.col("t2.b").alias("dst"),
             F.expr(
-                "(t1.c * t2.c * 1000000) div (r1.ra * r2.ra)"
+                "(CAST(t1.c AS DECIMAL(38,0)) * t2.c * 1000000)"
+                " div (CAST(r1.ra AS DECIMAL(38,0)) * r2.ra)"
             ).alias("term"),
         )
     )
@@ -1419,8 +1421,8 @@ SELECT s.s_name AS supplier,
        CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
        CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
             AS BIGINT) AS revenue_cents,
-       (CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
-            * 1000000) // CAST(count(*) AS BIGINT) AS return_ppm,
+       CAST((CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS HUGEINT)
+            * 1000000) // count(*) AS BIGINT) AS return_ppm,
        CAST(sum(CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
                      AS BIGINT)) AS BIGINT)
            // CAST(count(*) AS BIGINT) AS avg_ship_lag_days
@@ -1468,7 +1470,8 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
         F.expr(
-            "(count_if(l_returnflag = 'R') * 1000000) div count(*)"
+            "(CAST(count_if(l_returnflag = 'R') AS DECIMAL(38,0)) * 1000000)"
+            " div count(*)"
         ).alias("return_ppm"),
         F.expr(
             "CAST(sum(CAST(datediff(l_shipdate, o_orderdate) AS BIGINT))"
@@ -1608,8 +1611,9 @@ SELECT strftime(window_day, '%Y-%m-%d') AS day,
        CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS BIGINT)
            AS dau,
        CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
-       (CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS BIGINT)
-           * 1000000) // CAST(count(DISTINCT user_id) AS BIGINT)
+       CAST((CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END)
+                  AS HUGEINT)
+           * 1000000) // count(DISTINCT user_id) AS BIGINT)
            AS stickiness_ppm
 FROM fan GROUP BY window_day
 """
@@ -1663,7 +1667,8 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dau"),
         F.count_distinct("user_id").alias("wau"),
         F.expr(
-            "(count(DISTINCT CASE WHEN i = 0 THEN user_id END) * 1000000)"
+            "(CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END)"
+            " AS DECIMAL(38,0)) * 1000000)"
             " div count(DISTINCT user_id)"
         ).alias("stickiness_ppm"),
     )

@@ -40,8 +40,9 @@ top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {_VOCAB_N})
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
        word,
        cnt AS n_occurrences,
-       (CAST(sum(cnt) OVER (ORDER BY cnt DESC, word) AS BIGINT) * 1000000)
-           // t AS coverage_ppm
+       CAST((CAST(sum(cnt) OVER (ORDER BY cnt DESC, word) AS HUGEINT)
+            * 1000000)
+           // t AS BIGINT) AS coverage_ppm
 FROM top, tot
 """
 
@@ -84,7 +85,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "word",
             F.col("cnt").alias("n_occurrences"),
-            F.expr("(cum * 1000000) div t").alias("coverage_ppm"),
+            F.expr("(CAST(cum AS DECIMAL(38,0)) * 1000000) div t").alias("coverage_ppm"),
         )
     )
 
@@ -110,8 +111,8 @@ SELECT g.doc_id,
        CAST(count(*) AS BIGINT) AS n_grams,
        CAST(count(*) FILTER (WHERE d.gram IS NOT NULL) AS BIGINT)
            AS n_dup_grams,
-       (CAST(count(*) FILTER (WHERE d.gram IS NOT NULL) AS BIGINT)
-           * 1000000) // CAST(count(*) AS BIGINT) AS dup_ppm
+       CAST((CAST(count(*) FILTER (WHERE d.gram IS NOT NULL) AS HUGEINT)
+           * 1000000) // count(*) AS BIGINT) AS dup_ppm
 FROM g LEFT JOIN dup d ON g.gram = d.gram
 GROUP BY g.doc_id
 """
@@ -170,7 +171,7 @@ def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_grams"),
         )
         .withColumn(
-            "dup_ppm", F.expr("(n_dup_grams * 1000000) div n_grams")
+            "dup_ppm", F.expr("(CAST(n_dup_grams AS DECIMAL(38,0)) * 1000000) div n_grams")
         )
     )
 

@@ -1655,11 +1655,12 @@ WITH rev AS (
     GROUP BY 1, 2
 )
 SELECT region, nation, cents,
-       (cents * 1000000)
-           // CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT)
-           AS share_of_region_ppm,
-       (cents * 1000000) // CAST(sum(cents) OVER () AS BIGINT)
-           AS share_of_total_ppm
+       CAST((CAST(cents AS HUGEINT) * 1000000)
+           // CAST(sum(cents) OVER (PARTITION BY region) AS HUGEINT)
+           AS BIGINT) AS share_of_region_ppm,
+       CAST((CAST(cents AS HUGEINT) * 1000000)
+           // CAST(sum(cents) OVER () AS HUGEINT)
+           AS BIGINT) AS share_of_total_ppm
 FROM rev
 """
 
@@ -1673,9 +1674,15 @@ def hierarchy_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE fact aggregate (orders joined to broadcast
     customer→nation→region dims) collapses to nation grain (25 rows);
     both parent totals are windows over that dimension-grain table, so
-    the shares are free. Shares are BIGINT floor-division ppm — exact,
+    the shares are free. Shares are integer floor-division ppm — exact,
     and each level's shares sum to ≤ 1e6 with the deficit bounded by
-    row count (floor loss), pinned in tests/test_round4h.py.
+    row count (floor loss), pinned in tests/test_round4h.py. The ppm
+    numerator is DECIMAL(38,0) (HUGEINT in the oracle): cents·1e6
+    overflows BIGINT once a parent's revenue passes ~9·10¹² cents —
+    the round-6 sf10 sweep hit exactly that (ANSI mode raised
+    ARITHMETIC_OVERFLOW; with ANSI off it would have wrapped silently).
+    `div` on decimals is Spark's exact integral divide returning long,
+    so the result column types are unchanged.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1705,7 +1712,7 @@ def hierarchy_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "cents",
         F.expr(
-            "(cents * 1000000)"
+            "CAST(cents AS DECIMAL(38,0)) * 1000000"
         ).alias("_num"),
         F.sum("cents").over(wr).cast("long").alias("_r"),
         F.sum("cents").over(wt).cast("long").alias("_t"),
