@@ -526,37 +526,48 @@ WITH ps AS (
                     AS BIGINT)) AS ps_cents
     FROM lineitem
     GROUP BY l_partkey, l_suppkey
-)
-SELECT ps_partkey,
-       CAST(sum(ps_cents) AS DOUBLE) / 100 AS part_value
-FROM ps
-JOIN supplier ON ps_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-WHERE n_name = 'NATION_19'
-GROUP BY ps_partkey
-HAVING sum(ps_cents) > (
-    SELECT sum(ps_cents) * 0.002
+),
+pv AS (
+    SELECT ps_partkey, CAST(sum(ps_cents) AS BIGINT) AS part_cents
     FROM ps
     JOIN supplier ON ps_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_19'
+    GROUP BY ps_partkey
+),
+tot AS (
+    SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM pv
 )
+SELECT ps_partkey,
+       CAST(part_cents AS DOUBLE) / 100 AS part_value
+FROM pv, tot
+WHERE CAST(part_cents AS DECIMAL(38,0)) * n_parts
+      > CAST(total_cents AS DECIMAL(38,0)) * 2
 """
 
 
 @query("sql_tpch_q11", oracle=Q11_SQL)
 def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 (important stock): grouped HAVING against an uncorrelated
-    scalar subquery computing a fraction of the SAME aggregate — the
-    global-total-as-broadcast-scalar pattern. Official stock value is
+    """TPC-H Q11 (important stock): part values filtered against an
+    uncorrelated aggregate of the SAME table — the global-total-as-
+    broadcast-scalar pattern. Official stock value is
     ps_supplycost*ps_availqty; the derived revenue-weighted value keeps
     the two-pass shape (availqty does not exist in the fixture).
 
-    Money is aggregated as integer cents: each line's value is one IEEE
-    expression (identical doubles on both engines), floored to a BIGINT
-    once, then summed exactly — a double-typed sum near a half-cent
-    boundary flipped the HAVING between engines at sf0.01. Deterministic
-    money aggregation at 100 TB means integer cents, not double sums."""
+    The threshold is SCALE-INVARIANT: a part is "important" when its
+    value exceeds 2× the MEAN part value. The earlier fixed fraction of
+    the total (official TPC-H divides its fraction by SF for exactly
+    this reason) degenerated as the part population grew — the round-6
+    sf1/sf10 sweeps returned 0 rows, an "important stock" report that at
+    warehouse scale can never name a part. The comparison is integer
+    cross-multiplication (part_cents·n_parts > total_cents·2) in
+    DECIMAL(38,0) — no float threshold, no overflow: a double-typed sum
+    near a half-cent boundary once flipped the HAVING between engines at
+    sf0.01, and cents·count products pass int64 at warehouse scale.
+    Money is still aggregated as integer cents (floored once per line,
+    summed exactly). Both engines run this identical SQL string."""
     return _run_sql(spark, sf_dir, Q11_SQL)
 
 
