@@ -81,6 +81,12 @@ EXTENDED = [
     # regression in scoped shuffle confs or checkpointing shows up in first)
     "similarity_knn_clusters",
     "graph_bfs_frontier",
+    # round 6: the three operators the scale sweep forced a rewrite of
+    # (block-decomposed pair join, pinned-width bucket exchange,
+    # bucket-argmin sampling) — benched so the rewrites stay guarded
+    "similarity_join",
+    "dedup_embedding",
+    "sample_contrastive_negatives",
 ]
 
 
