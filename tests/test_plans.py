@@ -418,3 +418,11 @@ def test_gram_matrix_has_no_join(spark):
     plan = formatted_plan(QUERIES["embedding_gram_matrix"](spark, SF_DIR))
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_char_entropy_uses_arrow_python(spark):
+    # round 6 moved the per-char entropy fold to the sanctioned Arrow path
+    # (single-bincount histogram per batch); it must stay batched
+    plan = formatted_plan(QUERIES["text_char_entropy"](spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
