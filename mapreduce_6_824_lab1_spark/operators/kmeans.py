@@ -11,11 +11,10 @@ an independent numpy implementation of the same algorithm to 1e-6.
 Scale shape per iteration (the whole point):
 - centroids (k×64 doubles) are driver-held between iterations (collected
   once per iteration — iteration-control-grade data, not a data-scale
-  collect; the collect boundary truncates lineage), then re-broadcast as
-  ONE packed array<struct(cid, centroid)> row;
-- assignment is a map-only pass (no shuffle): argmin over k distances
-  computed with codegen'd higher-order array functions — a least() fold
-  over (dist, cid) structs, one row in → one row out;
+  collect; the collect boundary truncates lineage), then closed over by
+  the Arrow assign kernel;
+- assignment is a map-only pass (no shuffle): the per-batch numpy
+  distance matrix + argmin, one row in → one row out;
 - new centroids via ONE partial-aggregated shuffle of (cid, dim) sums —
   the paper's combiner pattern; traffic is O(partitions · k · dim), never
   O(rows). Per-iteration lineage is truncated at the collect boundary, so
@@ -26,8 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
-
 from mapreduce_6_824_lab1_spark.catalog import load_table
 from mapreduce_6_824_lab1_spark.functions.numeric import hround
 from mapreduce_6_824_lab1_spark.registry import query
@@ -37,71 +34,63 @@ ITERATIONS = 3
 DIM = 64  # embeddings.parquet vector length (all SFs)
 
 
-def _sq_dist(a, b) -> F.Column:
-    diffs = F.zip_with(
-        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double"))
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-
 def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Map phase: nearest centroid per vector — GENUINELY map-only.
 
-    The k centroids are packed into ONE array<struct(cid, centroid)> row
-    (``collect_list`` aggregate) and attached to every vector via
-    ``crossJoin(broadcast(...))`` — the engine's 1-row-aggregate idiom;
-    the argmin is a ``least()``-over-(dist, cid)-structs fold across that
-    array, evaluated row-local: one row in → one row out, ZERO shuffle of
-    the corpus. (The earlier crossJoin(broadcast)+groupBy(vec_id,
-    embedding) form shuffled the whole corpus — embeddings included —
-    once per iteration to dedupe the k-expanded rows; at 100 TB that is
-    4 corpus shuffles Lloyd's doesn't need.) The fold is min over structs
-    compared lexicographically (d, cid) — order-independent, so the
-    nondeterministic collect_list order doesn't matter and distance ties
-    still break toward the lower centroid id. Keeping the centroid
-    VALUES in the broadcast row (not inlined as literals) means one
-    compiled codegen template serves every iteration.
+    Arrow-batched numpy kernel (the sanctioned Python lane, same pattern
+    as the Gram matrix and the entropy histogram): the k×dim centroid
+    matrix is collected (iteration-control-grade — the caller already
+    collects centroids at every iteration boundary) and closed over; each
+    batch computes the full distance matrix with the IDENTICAL numpy
+    expression the independent reference test uses, so operator and
+    reference are arithmetically the same, not merely within tolerance.
+    One row in → one row out, ZERO shuffle of the corpus. The JVM
+    least()-fold this replaces ran the 8×64 lambda distance fold through
+    codegen at ~110 µs/row — 22 s per pass at 200k vectors, ~90 s per
+    kmeans call at sf10; the batch kernel is BLAS-grade and I/O-bound.
 
-    NaN guard: a NaN element anywhere in a vector makes every centroid
-    distance NaN, and Spark's struct ordering ranks NaN ABOVE Infinity —
-    an unguarded fold would keep the init sentinel and the row would
-    silently vanish in the cid join downstream. ``nanvl`` maps NaN
-    distances to Infinity so such a row ties every centroid at (inf,
-    cid) and lands on cid 0 — same outcome as the earlier
-    min-over-structs aggregate (NaN tied with NaN there, lowest cid
-    won), and the row stays counted.
+    NaN guard: a NaN element makes every centroid distance NaN; mapping
+    NaN distances to +inf before the argmin assigns such a row to the
+    lowest cid and keeps it counted (row conservation — pinned by
+    test_assign_keeps_nan_vectors). Ties break toward the lower cid:
+    argmin returns the first minimum over centroids sorted by cid.
     """
-    packed = centroids.agg(
-        F.collect_list(
-            F.struct(
-                F.col("cid").cast("int").alias("cid"),
-                F.col("centroid").alias("centroid"),
+    from pyspark.sql.types import (  # noqa: PLC0415
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    rows = sorted(centroids.collect(), key=lambda r: r.cid)
+    import numpy as np  # noqa: PLC0415
+
+    cids = np.array([r.cid for r in rows], dtype=np.int32)
+    cmat = np.array([list(r.centroid) for r in rows], dtype=np.float64)
+
+    def _assign_batches(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                out = pdf.copy()
+                out["cid"] = pd.Series([], dtype="int32")
+                yield out
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-        ).alias("cents")
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            d = np.where(np.isnan(d), np.inf, d)
+            out = pdf.copy()
+            out["cid"] = cids[d.argmin(axis=1)]
+            yield out
+
+    # a fresh StructType: StructType.add MUTATES the receiver, and
+    # vectors.schema is the frame's own schema object
+    out_schema = StructType(
+        list(vectors.schema.fields) + [StructField("cid", IntegerType())]
     )
-    init = F.struct(
-        F.lit(float("inf")).alias("d"),
-        F.lit(2**31 - 1).cast("int").alias("cid"),  # loses every (inf, cid<k) tie
-    )
-    best = F.aggregate(
-        F.col("cents"),
-        init,
-        lambda acc, c: F.least(
-            acc,
-            F.struct(
-                F.nanvl(
-                    _sq_dist("embedding", c.getField("centroid")),
-                    F.lit(float("inf")),
-                ).alias("d"),
-                c.getField("cid").alias("cid"),
-            ),
-        ),
-    )
-    return (
-        vectors.crossJoin(broadcast(packed))
-        .select("vec_id", "embedding", best.getField("cid").alias("cid"))
-    )
+    return vectors.mapInPandas(_assign_batches, out_schema)
 
 
 def recompute(assigned: DataFrame) -> DataFrame:

@@ -516,10 +516,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Character entropy — the classic cheap "is this text natural language"
 # quality signal (gibberish and boilerplate sit at the entropy extremes).
-# Computed WITHOUT exploding characters: per-symbol counts come from the
-# length(text) - length(replace(text, c, '')) identity, 27 parallel
-# codegen'd expressions — a map-only scan with zero shuffle, against the
-# alternative's per-character explode (|chars| row blow-up + hash agg).
+# Computed WITHOUT exploding characters: a per-batch Arrow histogram
+# kernel (one bincount per batch) — map-only, zero shuffle, against the
+# alternatives' per-character explode (|chars| row blow-up + hash agg) or
+# per-symbol length(replace()) scans (27 string copies per doc). The
+# oracle keeps the per-symbol-count formulation, which IS the spec.
 # ---------------------------------------------------------------------------
 
 _ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
