@@ -510,45 +510,84 @@ WHERE c >= {FP_MIN_COUNT}
 @query("basket_fpgrowth", oracle=FPGROWTH_ORACLE)
 def basket_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All frequent itemsets (absolute support >= 3, size <= 3) over order
-    baskets, mined with MLlib's FPGrowth — the parallel FP-growth (PFP)
-    algorithm that shards conditional FP-trees by item.
+    baskets — level-wise (Apriori-style) mining expressed as DataFrame
+    pair/triple expansion from sorted basket arrays.
 
-    Frequent-itemset mining is exact counting, so the MLlib result admits
-    a full SQL oracle: explicit 1/2/3-way self-joins enumerate the same
-    lattice slice (the size cap is applied on BOTH sides; by the Apriori
-    property any larger frequent set would also surface all its subsets
-    here, so the cap loses no information about what was checked). The
-    relative minSupport is derived from the basket count so the ABSOLUTE
-    threshold stays 3 at every scale factor — pair/triple supports in the
-    fixtures don't grow with corpus size, only the item universe does.
-    100 TB: PFP shuffles each basket's item list once to build per-item
-    conditional trees; basket distinct-ing first keeps multi-line orders
-    from inflating supports — same guard as basket_pair_support.
+    Originally ran MLlib's parallel FP-growth; the round-6 scale sweep
+    killed that with a Java heap OOM at 10× data: under an ABSOLUTE
+    support threshold, minSupport relative to 1.5M baskets is ~2e-6, so
+    virtually every item in the 2M-part universe stays "frequent" and
+    PFP's Java-serialized conditional trees grow with the item universe,
+    not the answer. With the size cap at 3, the same lattice slice is
+    exact counting: expand each sorted basket's pairs and triples
+    JVM-side (nested ``transform``+``slice``, one explode per level —
+    the basket_pair_support idiom), hash-aggregate each level with
+    map-side partials, filter support >= 3. Per-basket fan-out is
+    C(k,3) at basket size k (fixture max 17) — bounded by how much one
+    customer buys, never by corpus or item-universe size, and the
+    aggregates spill; sf1 now runs in seconds where PFP died. For
+    unbounded baskets the standard hot-basket cap (drop size(parts) >
+    bound) applies, as in basket_pair_support. The oracle enumerates the
+    identical 1/2/3-way join lattice; by the Apriori property the size
+    cap loses no information about what was checked.
     """
-    from pyspark.ml.fpm import FPGrowth as MLFPGrowth
-
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     baskets = items.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("items")
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    n_baskets = baskets.count()
-    fp = MLFPGrowth(
-        itemsCol="items",
-        minSupport=(FP_MIN_COUNT - 0.5) / n_baskets,
-        minConfidence=0.5,
-    )
-    freq = fp.fit(baskets).freqItemsets
-    return (
-        freq.filter(
-            (F.size("items") <= FP_MAX_SIZE)
-            & (F.col("freq") >= FP_MIN_COUNT)
-        )
+    singles = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("freq"))
         .select(
-            F.array_join(F.array_sort("items"), ",").alias("itemset"),
-            F.size("items").cast("long").alias("size"),
-            F.col("freq").cast("long").alias("freq"),
+            F.col("l_partkey").cast("string").alias("itemset"),
+            F.lit(1).cast("long").alias("size"),
+            "freq",
         )
+    )
+    pair_rows = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (p1, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "p2 -> struct(p1 AS p1, p2 AS p2))))"
+            )
+        ).alias("c")
+    ).select("c.p1", "c.p2")
+    pairs = (
+        pair_rows.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat_ws(",", "p1", "p2").alias("itemset"),
+            F.lit(2).cast("long").alias("size"),
+            "freq",
+        )
+    )
+    triple_rows = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (p1, i) -> "
+                "flatten(transform(slice(parts, i + 2, size(parts) - i - 1),"
+                " (p2, j) -> "
+                "transform(slice(parts, i + j + 3, size(parts) - i - j - 2), "
+                "p3 -> struct(p1 AS p1, p2 AS p2, p3 AS p3))))))"
+            )
+        ).alias("c")
+    ).select("c.p1", "c.p2", "c.p3")
+    triples = (
+        triple_rows.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat_ws(",", "p1", "p2", "p3").alias("itemset"),
+            F.lit(3).cast("long").alias("size"),
+            "freq",
+        )
+    )
+    return (
+        singles.unionByName(pairs)
+        .unionByName(triples)
+        .filter(F.col("freq") >= FP_MIN_COUNT)
+        .select("itemset", "size", F.col("freq").cast("long").alias("freq"))
     )
 
 
