@@ -1,0 +1,112 @@
+"""Structured Streaming throughput characterization (round 6).
+
+The stream_* registry keys prove CORRECTNESS on bounded file fixtures;
+this harness measures SUSTAINED LOAD on the unbounded built-in ``rate``
+source through the same stateful shapes the registry exercises:
+
+- ``project``   stateless projection+filter (the stream_grep shape)
+- ``tumbling``  watermark + 10s tumbling window count/sum (stream_tumbling_watermark)
+- ``dedup``     watermarked dropDuplicates on a rolling key (stream_dedup_watermark)
+- ``session``   watermark + session_window gap agg (stream_session_window)
+
+Each shape runs for --seconds wall-clock at --rate rows/sec and reports
+the mean of the per-batch ``processedRowsPerSecond`` once the stream
+warms up (first 2 batches dropped), plus the max batch duration — the
+two numbers that tell you whether a 1000-executor deployment keeps up
+with its ingest. One JSON line to stdout.
+
+Usage:  python tools/stream_throughput.py [--rate 500000] [--seconds 25]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _rate_events(spark, rate):
+    # rate source → event-shaped columns: a rolling user key, an event
+    # type from a small domain, event time = source timestamp
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rate))
+        .option("numPartitions", "8")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.pmod(F.col("value"), F.lit(10_000)).alias("user_id"),
+            F.pmod(F.col("value"), F.lit(5)).cast("int").alias("etype"),
+            (F.col("value") % 1000).alias("cents"),
+        )
+    )
+
+
+def _shapes(spark, rate):
+    ev = lambda: _rate_events(spark, rate)  # noqa: E731
+    return {
+        "project": lambda: ev().filter(F.col("etype") < 3).select(
+            "ts", "user_id", (F.col("cents") * 2).alias("v")
+        ),
+        "tumbling": lambda: ev()
+        .withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "10 seconds"), "etype")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")),
+        "dedup": lambda: ev()
+        .withWatermark("ts", "5 seconds")
+        .dropDuplicates(["user_id", "etype"]),
+        "session": lambda: ev()
+        .withWatermark("ts", "5 seconds")
+        .groupBy(F.session_window("ts", "3 seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+    }
+
+
+def main() -> None:
+    rate = int(sys.argv[sys.argv.index("--rate") + 1]) if "--rate" in sys.argv else 500_000
+    seconds = int(sys.argv[sys.argv.index("--seconds") + 1]) if "--seconds" in sys.argv else 25
+
+    from mapreduce_6_824_lab1_spark.session import get_spark
+
+    spark = get_spark(app_name="stream-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for name, build in _shapes(spark, rate).items():
+        mode = "update" if name == "tumbling" else "append"
+        q = (
+            build()
+            .writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", f"/tmp/stream_tp_{name}_{time.time_ns()}")
+            .start()
+        )
+        time.sleep(seconds)
+        prog = [json.loads(str(p)) for p in q.recentProgress]
+        q.stop()
+        # drop warm-up batches; keep batches that actually processed rows
+        rows = [
+            p for p in prog[2:]
+            if p.get("numInputRows", 0) > 0 and "processedRowsPerSecond" in p
+        ]
+        if rows:
+            rps = sorted(p["processedRowsPerSecond"] for p in rows)
+            results[name] = {
+                "median_rows_per_sec": round(rps[len(rps) // 2]),
+                "max_batch_ms": max(p["batchDuration"] for p in rows),
+                "batches": len(rows),
+            }
+        else:
+            results[name] = {"error": "no progress recorded"}
+        print(f"  {name}: {results[name]}", file=sys.stderr)
+    print(json.dumps({"rate_rows_per_sec": rate, "seconds_per_shape": seconds,
+                      "shapes": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
