@@ -716,8 +716,9 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("pmi_micro"), F.asc("bigram"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= PMI_TOP_K)
+        scored.orderBy(F.desc("pmi_micro"), F.asc("bigram"))
+        .limit(PMI_TOP_K)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("bigram", "cnt", "pmi_micro", "rnk")
     )
 

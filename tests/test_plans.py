@@ -426,3 +426,11 @@ def test_char_entropy_uses_arrow_python(spark):
     plan = formatted_plan(QUERIES["text_char_entropy"](spark, SF_DIR))
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_pmi_topk_uses_takeordered_head(spark):
+    # the global PMI ranking must TakeOrdered the top-20 BEFORE the
+    # row_number window — a window over the full bigram vocabulary plans
+    # a single-partition global sort that grows with the corpus
+    plan = formatted_plan(QUERIES["text_collocations_pmi"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
