@@ -630,10 +630,21 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cumulative share is an integer comparison (cum·100 ≤ total·80) on
     exact cent sums — no ratio ever floats. The running sum orders by
-    (revenue desc, partkey) so ties split deterministically. The global
-    window runs over the PART-grain aggregate, not line items — parts are
-    the bounded dimension (the same domain argument as pareto_frontier);
-    the lineitem-sized data only ever sees one partial-agg shuffle.
+    (revenue desc, partkey) so ties split deterministically.
+
+    Scale shape: parts grow linearly with SF (unlike pareto_frontier's
+    bounded price domain), so the running revenue sum must NOT be a
+    single-partition global window over the part-grain aggregate. It
+    reuses distributed_sort's bucket+offset decomposition: per-part
+    revenue buckets by a fixed cents width (the per-part revenue DOMAIN
+    is SF-independent — lineitems-per-part is constant in TPC-H — so the
+    bucket count is bounded while buckets fill up), the cumsum windows
+    WITHIN each bucket, and each bucket's starting revenue is the
+    broadcast exclusive prefix over whole-bucket sums (bucket-grain,
+    dimension-sized). Equal cents always share a bucket, so the
+    (cents desc, partkey) order composes exactly across the cut. The
+    grand total rides in as a broadcast 1-row crossJoin, not an
+    unpartitioned window.
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -643,20 +654,53 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("cents")
     )
-    w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    bucketed = rev.withColumn("bkt", F.expr("cents div 16384"))
+    w_loc = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("cents"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "cents",
-        F.sum("cents").over(w_cum).alias("cum"),
-        F.sum("cents").over(w_all).alias("total"),
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("cents").alias("bc"))
+        .select(
+            "bkt", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off")
+        )
+    )  # bucket-grain: bounded by the per-part revenue domain / width
+    total = rev.agg(F.sum("cents").cast("long").alias("total"))
+    ranked = (
+        bucketed.withColumn("local_cum", F.sum("cents").over(w_loc))
+        .join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "cents",
+            (F.col("off") + F.col("local_cum")).cast("long").alias("cum"),
+            "total",
+        )
+    )
+    # DECIMAL(38,0) like the other widened ppm sites: cum·100 passes
+    # BIGINT range once total cents nears 9·10¹⁶ (DuckDB's windowed sum
+    # is HUGEINT already, so the oracle needs no change)
     classed = ranked.withColumn(
         "abc",
-        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
-        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        F.when(
+            F.expr(
+                "CAST(cum AS DECIMAL(38,0)) * 100"
+                " <= CAST(total AS DECIMAL(38,0)) * 80"
+            ),
+            "A",
+        )
+        .when(
+            F.expr(
+                "CAST(cum AS DECIMAL(38,0)) * 100"
+                " <= CAST(total AS DECIMAL(38,0)) * 95"
+            ),
+            "B",
+        )
         .otherwise("C"),
     )
     return classed.groupBy("abc").agg(

@@ -252,6 +252,41 @@ def test_abc_classes_partition_and_order(spark):
         assert per_a > per_c
 
 
+def test_abc_bucket_decomposition_matches_naive_cumsum(spark):
+    """The bucketed cumsum (local window + broadcast bucket offsets) must
+    equal the naive single-window running sum exactly — including ties on
+    cents, which must compose across the bucket cut via the partkey
+    tie-break."""
+    got = (
+        QUERIES["abc_classification"](spark, SF_DIR)
+        .toPandas()
+        .set_index("abc")
+        .sort_index()
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    rev = (
+        li.assign(c=_cents(li["l_extendedprice"]))
+        .groupby("l_partkey", as_index=False)["c"]
+        .sum()
+        .sort_values(["c", "l_partkey"], ascending=[False, True])
+    )
+    cum = rev["c"].cumsum()
+    total = int(rev["c"].sum())
+    abc = np.where(
+        cum * 100 <= total * 80, "A", np.where(cum * 100 <= total * 95, "B", "C")
+    )
+    ref = (
+        rev.assign(abc=abc)
+        .groupby("abc")["c"]
+        .agg(n_parts="size", class_cents="sum")
+    ).sort_index()
+    assert list(got.index) == list(ref.index)
+    assert (got["n_parts"].to_numpy() == ref["n_parts"].to_numpy()).all()
+    assert (
+        got["class_cents"].to_numpy() == ref["class_cents"].to_numpy()
+    ).all()
+
+
 def test_incremental_topk_segments_both_contribute(spark):
     """The merge must genuinely draw from both segments (otherwise the
     operator silently degenerates to a plain top-k of one side)."""
