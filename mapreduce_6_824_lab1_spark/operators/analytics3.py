@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from mapreduce_6_824_lab1_spark.catalog import load_table
 from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
+from mapreduce_6_824_lab1_spark.functions.prefix import bucketed_running_sum
 from mapreduce_6_824_lab1_spark.operators.text_analysis import _KNUTH, _MOD
 from mapreduce_6_824_lab1_spark.registry import query
 
@@ -654,34 +655,16 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("cents")
     )
-    bucketed = rev.withColumn("bkt", F.expr("cents div 16384"))
-    w_loc = (
-        Window.partitionBy("bkt")
-        .orderBy(F.desc("cents"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        bucketed.groupBy("bkt")
-        .agg(F.sum("cents").alias("bc"))
-        .select(
-            "bkt", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off")
-        )
-    )  # bucket-grain: bounded by the per-part revenue domain / width
     total = rev.agg(F.sum("cents").cast("long").alias("total"))
-    ranked = (
-        bucketed.withColumn("local_cum", F.sum("cents").over(w_loc))
-        .join(F.broadcast(offsets), "bkt")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "l_partkey",
-            "cents",
-            (F.col("off") + F.col("local_cum")).cast("long").alias("cum"),
-            "total",
-        )
-    )
+    ranked = bucketed_running_sum(
+        rev,
+        "cents",
+        [F.desc("cents"), F.asc("l_partkey")],
+        # ascending bucket == descending cents; width 16384 cents bounds
+        # the bucket count by the SF-independent per-part revenue domain
+        F.expr("-(cents div 16384)"),
+        name="cum",
+    ).crossJoin(F.broadcast(total))
     # DECIMAL(38,0) like the other widened ppm sites: cum·100 passes
     # BIGINT range once total cents nears 9·10¹⁶ (DuckDB's windowed sum
     # is HUGEINT already, so the oracle needs no change)

@@ -357,3 +357,48 @@ def test_concurrency_sweep_matches_serial_prefix_sum(spark, points):
     # identity is interchangeable, and the running values still must
     # match position-for-position in the global order
     assert sorted(ref) == got
+
+
+# adversarial (key, value) sets: dense value ties spanning bucket
+# boundaries, plus width extremes (every row its own bucket / one bucket)
+PREFIX_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # duplicate keys allowed
+        st.sampled_from([0, 1, 2, 3, 15, 16, 17, 31, 32, 33, 100]),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=PREFIX_ROWS, width=st.sampled_from([1, 16, 1_000_000]))
+def test_bucketed_running_sum_matches_serial_cumsum(spark, rows, width):
+    """bucketed_running_sum (abc_classification's decomposition) must
+    equal the sequential cumulative sum for ANY value multiset and ANY
+    bucket width — ties on the value must compose across the bucket cut
+    via the key tie-break, and the width extremes degenerate to
+    one-row-per-bucket / single-bucket without changing the result."""
+    from mapreduce_6_824_lab1_spark.functions.prefix import (
+        bucketed_running_sum,
+    )
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, k long, v long")
+    got = {
+        r["rid"]: r["running"]
+        for r in bucketed_running_sum(
+            df,
+            "v",
+            [F.desc("v"), F.asc("k"), F.asc("rid")],
+            F.expr(f"-(v div {width})"),
+        ).collect()
+    }
+    run = 0
+    for rid, _, v in sorted(data, key=lambda r: (-r[2], r[1], r[0])):
+        run += v
+        assert got[rid] == run, (rid, width)
