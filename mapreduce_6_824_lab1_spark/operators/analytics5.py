@@ -1441,7 +1441,10 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reviews run, all five KPIs folded into ONE aggregate.
 
     Scale shape: lineitem⋈orders is the co-partitioned fact join (both
-    keyed by order), the supplier dim BROADCASTS for the name, and every
+    keyed by order); supplier joins for the name UNhinted — it is
+    SF-scaled (smallest fact-family table), so Catalyst auto-broadcasts
+    it below the threshold and AQE shuffle-joins beyond, instead of a
+    forced hint OOMing the driver at 100 TB — and every
     metric is a conditional/aggregated expression in the same pass — the
     table_expectations fusion rule applied to reporting: adding a KPI
     adds a column, not a job. Lag can be negative in this fixture
@@ -1457,7 +1460,7 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name"
     )
     j = li.join(o, li.l_orderkey == o.o_orderkey).join(
-        broadcast(s), li.l_suppkey == s.s_suppkey
+        s, li.l_suppkey == s.s_suppkey
     )
     return j.groupBy(F.col("s_name").alias("supplier")).agg(
         F.count(F.lit(1)).alias("n_lineitems"),

@@ -1671,8 +1671,12 @@ def hierarchy_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation revenue with its integer-ppm share of the region and of the
     total — the drill-down table every hierarchy dashboard renders.
 
-    Scale shape: ONE fact aggregate (orders joined to broadcast
-    customer→nation→region dims) collapses to nation grain (25 rows);
+    Scale shape: ONE fact aggregate (orders joined through
+    customer→nation→region) collapses to nation grain (25 rows);
+    nation/region carry explicit broadcast hints (fixed 25/5 rows);
+    customer is SF-scaled so it is deliberately UNhinted — Catalyst
+    auto-broadcasts it under the threshold and AQE demotes to a shuffle
+    join when it outgrows it (the relational.py join_inner_equi rule);
     both parent totals are windows over that dimension-grain table, so
     the shares are free. Shares are integer floor-division ppm — exact,
     and each level's shares sum to ≤ 1e6 with the deficit bounded by
@@ -1689,7 +1693,7 @@ def hierarchy_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = (
-        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(
