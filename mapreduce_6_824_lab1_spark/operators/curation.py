@@ -486,6 +486,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects = cross.union(in_batch).distinct()
     return (
         docs.where(F.col("doc_id") >= INCR_SPLIT)
+        # rejects ⊆ the incoming batch's ids — batch-bounded by the
+        # incremental contract, so the broadcast stays driver-safe at
+        # any corpus size (unlike pipeline_training_data's corpus-scaled
+        # drop list, which must shuffle)
         .join(broadcast(rejects), docs.doc_id == rejects.rej_id, "left_anti")
         .select("doc_id", "lang", "source")
     )

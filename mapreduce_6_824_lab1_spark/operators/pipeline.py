@@ -60,11 +60,17 @@ GROUP BY 1, 2
 
 @query("pipeline_training_data", oracle=PIPELINE_ORACLE)
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup-cleaned, split-assigned corpus statistics in one plan."""
+    """Near-dup-cleaned, split-assigned corpus statistics in one plan.
+
+    The drop list is CORPUS-scaled (dup rate × N docs — billions of ids
+    at 100 TB), so the anti-join is deliberately unhinted: it shuffles
+    16-byte doc_ids, never forces the full dup list through the driver
+    (contrast dedup_incremental, whose reject list is batch-bounded and
+    may broadcast)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(shingle_sets(docs))
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    clean = docs.join(broadcast(drops), "doc_id", "left_anti")
+    clean = docs.join(drops, "doc_id", "left_anti")
     h = F.pmod(F.col("doc_id") * _KNUTH, F.lit(_MOD))
     split = (
         F.when(h < int(0.90 * _MOD), "train")
