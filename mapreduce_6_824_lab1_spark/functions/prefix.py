@@ -42,9 +42,16 @@ def bucketed_running_sum(
       bucket is a function of the leading order key alone).
 
     Then bucket-local inclusive sums plus the exclusive prefix of
-    whole-bucket sums equal the global running sum exactly. The offsets
+    whole-bucket sums equal the global running sum exactly ("exactly"
+    holds for integral/decimal value columns, where Spark's sum() is
+    exact; for floats the bucket cut changes accumulation order, so
+    results match a serial cumsum only to float tolerance). The offsets
     window is bucket-grain — bounded when the bucket quantizes a bounded
     domain (cents width, hour, month); skewed buckets split via AQE.
+
+    The running column keeps sum(value)'s own type (long for integral
+    input, double/decimal preserved) — no silent truncation of
+    fractional sums.
     """
     b = df.withColumn("__bkt", bucket)
     w_loc = (
@@ -66,6 +73,6 @@ def bucketed_running_sum(
     return (
         b.withColumn("__loc", F.sum(value).over(w_loc))
         .join(F.broadcast(offsets), "__bkt")
-        .withColumn(name, (F.col("__off") + F.col("__loc")).cast("long"))
+        .withColumn(name, F.col("__off") + F.col("__loc"))
         .drop("__bkt", "__loc", "__off")
     )

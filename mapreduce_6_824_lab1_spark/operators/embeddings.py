@@ -327,6 +327,17 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast 1-row), one hash equi-join on the bucket id, one
     partial-aggregated group-by; (id+K)·knuth stays < 2⁶³ for ids
     < ~3·10⁹ (documented Knuth domain rule, text_analysis.py:394).
+
+    CONTRACT (relaxed vs the pre-round-6 dense-id form): the output is
+    AT MOST n·K rows, not exactly — an anchor-slot whose hashed bucket
+    is empty or contains only the anchor itself drops out of the inner
+    join (no padding row, mirrored by the oracle's identical join).
+    With bucket count = max(n/64, 1) the expected bucket holds ~64
+    vectors, so a lost slot needs all ~64 to collide onto the anchor —
+    coverage ≥99% is pinned in tests/test_round4g.py; consumers that
+    need exactly K negatives per anchor must re-slot the residue
+    themselves (a second-seed retry band was considered and rejected:
+    it doubles the join for a <1% residue and breaks oracle parity).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n")).select(

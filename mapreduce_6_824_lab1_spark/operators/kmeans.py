@@ -76,8 +76,18 @@ def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
                 out["cid"] = pd.Series([], dtype="int32")
                 yield out
                 continue
+            # a NULL embedding row becomes an all-NaN vector, so it rides
+            # the NaN guard below (every distance inf -> lowest cid, row
+            # conserved) instead of raising in np.stack — the same
+            # degrade-don't-crash discipline as the replaced JVM fold
+            dim = cmat.shape[1]
             x = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                [
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None
+                    else np.full(dim, np.nan)
+                    for v in pdf["embedding"]
+                ]
             )
             d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
             d = np.where(np.isnan(d), np.inf, d)

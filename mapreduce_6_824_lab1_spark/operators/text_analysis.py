@@ -548,7 +548,10 @@ def _char_entropy_batches(batches):
 
     codes = np.array([ord(c) for c in _ALPHABET], dtype=np.int64)
     for pdf in batches:
-        texts = pdf["text"].astype(str).tolist()
+        # NULL text degrades to entropy 0.0 — the oracle's CASE terms all
+        # evaluate NULL>0 = false on a NULL doc, summing to 0; astype(str)
+        # alone would score the literal string 'None' instead
+        texts = pdf["text"].fillna("").astype(str).tolist()
         n_docs = len(texts)
         lens = np.array([len(t) for t in texts], dtype=np.int64)
         arr = np.frombuffer(

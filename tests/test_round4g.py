@@ -712,3 +712,51 @@ def test_decontamination_attribution_matches_python(spark):
     assert len(got) == len(ref)
     for _, r in got.iterrows():
         assert ref[(r["train_doc"], r["eval_doc"])] == r["shared_grams"]
+
+
+def test_char_entropy_null_text_degrades_to_zero(spark):
+    """A NULL (or empty) text row must score entropy 0.0 — exactly what
+    the DuckDB oracle's CASE terms produce on NULL (every `cnt > 0` is
+    false, the sum is 0) — never the entropy of the literal string
+    'None' that an unmasked astype(str) would decode. Real text in the
+    same batch stays pinned to the hand-computed value, so the null mask
+    can't perturb neighbors (round-7 ADVICE fix)."""
+    from mapreduce_6_824_lab1_spark.operators.text_analysis import (
+        _char_entropy_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "en", None), (1, "en", ""), (2, "en", "aab")],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: r.char_entropy
+        for r in df.mapInPandas(
+            _char_entropy_batches,
+            "doc_id long, lang string, char_entropy double",
+        ).collect()
+    }
+    # H("aab") = -(2/3·ln(2/3) + 1/3·ln(1/3)), floor-rounded to 1e-4
+    expect = -(2 / 3 * np.log(2 / 3) + 1 / 3 * np.log(1 / 3))
+    expect = np.floor(expect * 10000 + 0.5) / 10000
+    assert got == {0: 0.0, 1: 0.0, 2: expect}
+
+
+def test_kmeans_assign_keeps_null_embedding_rows(spark):
+    """A NULL embedding ROW (not just a NaN element) must ride the same
+    degrade path as NaN vectors: every centroid distance inf, assigned
+    to the lowest cid, row conserved — the replaced crossJoin/min-struct
+    formulation degraded this way, and np.stack over a None would raise
+    instead (round-7 ADVICE fix)."""
+    from mapreduce_6_824_lab1_spark.operators.kmeans import assign
+
+    vectors = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "cid int, centroid array<double>",
+    )
+    got = {r.vec_id: r.cid for r in assign(vectors, centroids).collect()}
+    assert got == {0: 0, 1: 1, 2: 0}
