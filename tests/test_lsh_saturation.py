@@ -134,3 +134,54 @@ def test_simhash_combo_bands_identical_pairs(spark, monkeypatch):
     )
     assert len(base) > 0
     assert base == combo
+
+
+def test_shingle_df_cap_sensitivity(spark):
+    """The SHINGLE_DF_CAP recall trade (PLANS.md 100 TB ruling), made
+    executable: (a) pairs whose ONLY shared shingle is hot (df > cap)
+    are deliberately lost; (b) pairs sharing any sub-cap shingle
+    survive; (c) a pair sharing both keeps FULL set sizes, so its
+    capped Jaccard is exactly the lower-bound formula
+    common_kept / (na + nb - common_kept); (d) with the cap above the
+    hot df, the same input yields the hot pairs back — the result is
+    cap-sensitive on exactly the hot-only class and nothing else."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_6_824_lab1_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+
+    # 12 docs that are pure boilerplate: one shingle, "h1 h2 h3".
+    hot = [(100 + i, "h1 h2 h3") for i in range(12)]
+    # one true near-dup pair on rare shingles only
+    rare = [(1, "a b c d"), (2, "a b c d")]
+    # one pair sharing 3 rare shingles + the hot one (4 total each)
+    mixed = [(5, "r s t h1 h2 h3"), (6, "r s t h1 h2 h3")]
+    docs = spark.createDataFrame(
+        hot + rare + mixed, "doc_id long, text string"
+    )
+    sets = shingle_sets(docs)
+
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sets, df_cap=10).collect()
+    }
+    # hot-only pairs (true J = 1.0) are gone: df("h1 h2 h3") = 14 > 10
+    assert not any(a >= 100 for a, _ in capped), capped
+    # rare pair survives at full score
+    assert capped[(1, 2)] == 1.0
+    # mixed pair: 3 of 4 shared shingles kept -> 3/(4+4-3) = 0.6 exactly
+    # (true J = 1.0; the capped score is the documented lower bound)
+    assert capped[(5, 6)] == 0.6
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sets, df_cap=1000).collect()
+    }
+    assert uncapped[(5, 6)] == 1.0 and uncapped[(1, 2)] == 1.0
+    # every hot-only pair reappears, at J = 1.0, and the delta vs the
+    # capped run is EXACTLY the hot-only class
+    hot_pairs = {p for p in uncapped if p[0] >= 100}
+    assert len(hot_pairs) == 12 * 11 // 2
+    assert set(uncapped) - set(capped) == hot_pairs
