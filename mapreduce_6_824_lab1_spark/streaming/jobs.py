@@ -21,6 +21,9 @@ a batch driver — SURVEY.md §2.C):
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,6 +89,54 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     return spark.table(name)
 
 
+# Sink-grain ruling (round 7, after the sf10 sweep OOM'd the JVM on a
+# session-grain memory sink): a memory sink buffers the ENTIRE result on
+# the driver-JVM heap, so it is reserved for AGGREGATE-grade results —
+# complete-mode aggregates whose cardinality is domain-bounded (event
+# types, top-k, hour×type windows). Any append-mode result that scales
+# with the corpus (matched events, stream-stream join rows, per-user
+# sessions, deduped events) drains through ``_run_to_parquet`` instead:
+# executor-side file sink, exactly-once via the _spark_metadata commit
+# log, lazily read back — the 100 TB shape, where the sink is the
+# pipeline's durable output, not a debug buffer.
+
+# Output scratch dirs live until interpreter exit: the returned frame is
+# a LAZY read of the file-sink output, so the dir must outlive the call
+# (unlike input staging scratch, which a finished query has drained).
+_OUT_SCRATCH: list[str] = []
+
+
+def _cleanup_out_scratch() -> None:
+    for d in _OUT_SCRATCH:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_out_scratch)
+
+
+def _run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain an append-mode stream into a PARQUET file sink and return a
+    lazy batch read of it (see the sink-grain ruling above). Same
+    STATE_PARTITIONS scoping as ``_run_to_memory``."""
+    out = tempfile.mkdtemp(prefix="mr_stream_out_")
+    _OUT_SCRATCH.append(out)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(f"{out}/data")
+
+
 @query("stream_tumbling", oracle=TUMBLING_ORACLE)
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 1-hour tumbling counts — literally reuses the batch
@@ -114,7 +165,7 @@ def stream_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
         hround("value", 2).alias("value"),
     )
-    return _run_to_memory(out, spark, mode="append")
+    return _run_to_parquet(out, spark)
 
 
 WATERMARK_DELAY_MIN = 10
@@ -243,7 +294,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("err_user").alias("user_id"),
         F.date_format("err_ts", TS_FMT_SPARK).alias("err_ts_s"),
     )
-    return _run_to_memory(joined, spark, mode="append")
+    return _run_to_parquet(joined, spark)
 
 
 # ---------------------------------------------------------------------------
@@ -488,7 +539,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, spark, mode="append")
+    return _run_to_parquet(agg, spark)
 
 
 @query(
@@ -575,7 +626,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("err_user").alias("user_id"),
         F.date_format("err_ts", TS_FMT_SPARK).alias("err_ts_s"),
     )
-    return _run_to_memory(joined, spark, mode="append")
+    return _run_to_parquet(joined, spark)
 
 
 TOPK_TYPES = 3
@@ -1088,4 +1139,4 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("pur_id", F.lit(-1)).alias("pur_id"),
         F.coalesce("err_user", "pur_user").alias("user_id"),
     )
-    return _run_to_memory(joined, spark, mode="append")
+    return _run_to_parquet(joined, spark)

@@ -45,6 +45,7 @@ from mapreduce_6_824_lab1_spark.streaming.jobs import (
     WATERMARK_DELAY_MIN,
     _events_stream,
     _run_to_memory,
+    _run_to_parquet,
 )
 
 GAP_NS = SESSION_GAP_MIN * 60 * 1_000_000_000
@@ -143,7 +144,8 @@ def _run_session_stream(spark: SparkSession, sf_dir: str, attach) -> DataFrame:
     """Shared harness for the two custom-stateful sessionizers: long-ns
     normalization, per-user flush sentinel, time-ranged batch staging
     (maxFilesPerTrigger=1 so open sessions genuinely cross micro-batch
-    boundaries through state), memory sink, scratch detach. ``attach``
+    boundaries through state), file-sink drain (session-grain output —
+    see the sink-grain ruling in jobs.py), scratch detach. ``attach``
     maps the raw source stream to the sessionized stream."""
     configure(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -209,9 +211,8 @@ def _run_session_stream(spark: SparkSession, sf_dir: str, attach) -> DataFrame:
             .parquet(scratch)
         )
         sessions = attach(src)
-        sink = _run_to_memory(sessions, spark, mode="append")
-        # detach from the scratch files before they are removed
-        return spark.createDataFrame(sink.collect(), sink.schema)
+        # session-grain output: file-sink detach, never a driver collect
+        return _run_to_parquet(sessions, spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -322,7 +323,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"]).select(
         "event_id", "event_type"
     )
-    sink = _run_to_memory(deduped, spark, mode="append")
+    sink = _run_to_parquet(deduped, spark)
     return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -355,7 +356,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "event_type"
     )
-    sink = _run_to_memory(deduped, spark, mode="append")
+    sink = _run_to_parquet(deduped, spark)
     return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
