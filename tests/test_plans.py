@@ -434,3 +434,27 @@ def test_pmi_topk_uses_takeordered_head(spark):
     # a single-partition global sort that grows with the corpus
     plan = formatted_plan(QUERIES["text_collocations_pmi"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_streaming_fact_grain_sinks_are_file_backed(spark):
+    """The round-7 sink-grain ruling, pinned as a plan shape: a
+    corpus-scaled streaming result (grep matches, sessions) must come
+    back as a LAZY parquet read of the file-sink output — a FileScan in
+    the plan — never a driver-materialized LocalTableScan (the memory-
+    sink + collect detach that OOM'd the JVM at the sf10 sweep). An
+    aggregate-grade complete-mode key keeps the memory sink by the same
+    ruling (its plan reads the in-memory sink table)."""
+    grep_plan = formatted_plan(QUERIES["stream_grep"](spark, SF_DIR))
+    assert "Scan parquet" in grep_plan, grep_plan
+    assert "LocalTableScan" not in grep_plan, grep_plan
+
+    sess_plan = formatted_plan(
+        QUERIES["stream_session_stateful"](spark, SF_DIR)
+    )
+    assert "Scan parquet" in sess_plan, sess_plan
+    assert "LocalTableScan" not in sess_plan, sess_plan
+
+    # counter-case: domain-bounded complete-mode aggregate stays on the
+    # memory sink (driver-held is CORRECT for type-grain cardinality)
+    tumb_plan = formatted_plan(QUERIES["stream_tumbling"](spark, SF_DIR))
+    assert "Scan parquet" not in tumb_plan, tumb_plan
