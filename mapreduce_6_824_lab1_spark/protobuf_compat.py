@@ -27,10 +27,13 @@ Version gap: pyspark 4.1.2's generated ``StateMessage_pb2`` declares
 gencode 6.33.0; the on-disk runtime is 6.32.0, and protobuf's
 ``ValidateProtobufRuntimeVersion`` refuses gencode newer than runtime
 even within a major. The patch below narrows that refusal to a warning
-for exactly this case — same major, gencode minor ahead — where the
-descriptor wire format and the generated-code API surface are stable;
-every other validation outcome (major mismatch, domain mismatch)
-still raises. The full message surface the state client uses is
+for exactly this case — same major, gencode minor strictly ahead,
+non-prerelease gencode — where the descriptor wire format and the
+generated-code API surface are stable; every other validation outcome
+(major mismatch, domain mismatch, patch-ahead-same-minor, prerelease
+gencode) still raises, and the shim is installed at all only when the
+FALLBACK runtime was used (a healthy installed protobuf keeps stock
+validation). The full message surface the state client uses is
 round-trip-smoke-tested at patch time, so a genuinely incompatible
 runtime fails HERE, loudly, not mid-stream inside a worker.
 """
@@ -67,10 +70,18 @@ def _tolerate_newer_gencode_minor() -> None:
         try:
             orig(domain, major, minor, patch, suffix, location)
         except rv.VersionError:
+            # EXACTLY the documented case: PUBLIC domain, same major,
+            # gencode minor STRICTLY ahead, gencode not a prerelease.
+            # Patch-ahead-same-minor and prerelease GENCODE stay fatal,
+            # as upstream intends; the RUNTIME's own tag is accepted
+            # as-is (the on-disk fallback runtime is a '-dev' build —
+            # that tag is the runtime's identity, not a mismatch we
+            # can do anything about).
             if (
                 domain == rv.Domain.PUBLIC
                 and major == rv.MAJOR
-                and minor >= rv.MINOR
+                and minor > rv.MINOR
+                and not suffix
             ):
                 warnings.warn(
                     f"protobuf gencode {major}.{minor}.{patch} loaded on "
@@ -128,29 +139,38 @@ def ensure_protobuf() -> bool:
     pure-python fallback. Idempotent; safe to call at module import in
     driver and workers alike. Returns False when no usable runtime
     exists (the caller keeps its honest gate closed)."""
+    used_fallback = False
     if not _protobuf_usable():
         for d in PROTOBUF_FALLBACK_DIRS:
             if not os.path.isdir(os.path.join(d, "google", "protobuf")):
                 continue
-            if d not in sys.path:
+            appended = d not in sys.path
+            if appended:
                 sys.path.append(d)
-            # drop any cached namespace-shell modules so resolution
-            # re-runs over the extended path — PEP 420 then prefers the
-            # fallback's REGULAR package (it has __init__.py) over the
-            # jar's namespace portion regardless of path order
+            # drop the cached namespace-SHELL modules (the bare package
+            # and the protobuf subtree only — never google.auth/cloud/…
+            # with live references elsewhere) so resolution re-runs over
+            # the extended path — PEP 420 then prefers the fallback's
+            # REGULAR package (it has __init__.py) over the jar's
+            # namespace portion regardless of path order
             for mod in [
                 m
                 for m in sys.modules
-                if m == "google" or m.startswith("google.")
+                if m in ("google", "google.protobuf")
+                or m.startswith("google.protobuf.")
             ]:
                 del sys.modules[mod]
             if _protobuf_usable():
+                used_fallback = True
                 break
-            if d in sys.path:
+            if appended:  # undo only what THIS call added
                 sys.path.remove(d)
         else:
             return False
-    _tolerate_newer_gencode_minor()
+    if used_fallback:
+        # the shim exists solely for the fallback runtime's version gap;
+        # a healthy installed protobuf keeps stock validation untouched
+        _tolerate_newer_gencode_minor()
     try:
         _smoke_state_messages()
     except Exception:

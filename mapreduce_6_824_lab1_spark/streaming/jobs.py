@@ -117,12 +117,27 @@ atexit.register(_cleanup_out_scratch)
 def _run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Drain an append-mode stream into a PARQUET file sink and return a
     lazy batch read of it (see the sink-grain ruling above). Same
-    STATE_PARTITIONS scoping as ``_run_to_memory``."""
+    STATE_PARTITIONS scoping as ``_run_to_memory``, via scoped_conf.
+
+    Disk bound: one result copy per invocation lives until interpreter
+    exit — deliberate; the returned frame is LAZY, so an eager rmtree of
+    a prior invocation's dir could invalidate a frame a caller still
+    holds. A bench/sim session accumulates at most (streaming keys ×
+    runs) small sf0.1/sf0.01 results; a sweep session at sf10 a few GB
+    in /tmp, all reclaimed at exit.
+
+    The read-back passes the stream's own schema explicitly: a query
+    whose result is EMPTY commits a _spark_metadata batch with zero
+    data files, and schema inference over a data-less sink dir would
+    raise where the memory sink returned an empty, correctly-typed
+    table."""
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
+
     out = tempfile.mkdtemp(prefix="mr_stream_out_")
     _OUT_SCRATCH.append(out)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
-    try:
+    with scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(STATE_PARTITIONS)}
+    ):
         q = (
             df.writeStream.format("parquet")
             .option("path", f"{out}/data")
@@ -132,9 +147,7 @@ def _run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(f"{out}/data")
+    return spark.read.schema(df.schema).parquet(f"{out}/data")
 
 
 @query("stream_tumbling", oracle=TUMBLING_ORACLE)

@@ -44,7 +44,6 @@ from mapreduce_6_824_lab1_spark.registry import query
 from mapreduce_6_824_lab1_spark.streaming.jobs import (
     WATERMARK_DELAY_MIN,
     _events_stream,
-    _run_to_memory,
     _run_to_parquet,
 )
 

@@ -54,13 +54,14 @@ def test_tws_stream_matches_groupstate_result(spark):
 
 def test_tws_validation_shim_is_narrow():
     """The runtime-version shim may relax EXACTLY one case — same-major
-    gencode minor ahead of the runtime, PUBLIC domain — and must still
-    raise on a major mismatch."""
+    gencode minor STRICTLY ahead, non-prerelease gencode, PUBLIC domain
+    — and must still raise on a major mismatch, a patch-ahead gencode
+    within the same minor, and a prerelease gencode."""
     if not _protobuf_available():
         pytest.skip("no protobuf runtime")
     from google.protobuf import runtime_version as rv
 
-    # newer minor, same major: tolerated (warns, does not raise)
+    # newer minor, same major, clean gencode: tolerated (warns)
     with pytest.warns(UserWarning, match="older same-major runtime"):
         rv.ValidateProtobufRuntimeVersion(
             rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "", "shim-test"
@@ -70,3 +71,39 @@ def test_tws_validation_shim_is_narrow():
         rv.ValidateProtobufRuntimeVersion(
             rv.Domain.PUBLIC, rv.MAJOR + 1, 0, 0, "", "shim-test"
         )
+    # patch ahead within the SAME minor: still fatal
+    with pytest.raises(rv.VersionError):
+        rv.ValidateProtobufRuntimeVersion(
+            rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR, rv.PATCH + 1, "",
+            "shim-test",
+        )
+    # prerelease gencode: still fatal even with the minor ahead
+    with pytest.raises(rv.VersionError):
+        rv.ValidateProtobufRuntimeVersion(
+            rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "-rc1",
+            "shim-test",
+        )
+
+
+def test_run_to_parquet_empty_result_keeps_schema(spark):
+    """A stream whose result is EMPTY commits a _spark_metadata batch
+    with zero data files; the file-sink read-back must come home as an
+    empty, correctly-typed frame (explicit schema — inference over a
+    data-less sink dir raises), matching the memory sink's old
+    behavior."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_6_824_lab1_spark.streaming.jobs import (
+        _events_stream,
+        _run_to_parquet,
+    )
+
+    src = _events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "__no_such_type__"
+    ).select("event_id", "event_type", "value")
+    out = _run_to_parquet(src, spark)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "event_id", "event_type", "value",
+    ]
+    assert out.schema["value"].dataType.typeName() == "double"
