@@ -503,7 +503,10 @@ def connected_components(
 
     Each round is THREE shuffles, not four: neighbor messages (edge join)
     union the node's own label row and fold through ONE min-aggregate —
-    there is no second join folding the old labels back in. Convergence
+    there is no second join folding the old labels back in. And all
+    three are NODE-grain: the corpus-scaled edge side is persisted
+    pre-partitioned on the join key (see ``_cc_loop``), so rounds never
+    re-shuffle edges. Convergence
     is a monotone fingerprint, not a changed-row count: labels only ever
     decrease, so sum(label) is strictly decreasing until the fixed point
     and two consecutive equal sums mean converged. The sum is taken in
@@ -549,7 +552,7 @@ def connected_components(
         with scoped_conf(
             spark, {"spark.sql.shuffle.partitions": str(loop_partitions)}
         ):
-            return _cc_loop(pairs, max_rounds)
+            return _cc_loop(pairs, max_rounds, loop_partitions)
     finally:
         pairs.unpersist()
 
@@ -573,12 +576,32 @@ def _fingerprint(labels: DataFrame):
     return row["s"]
 
 
-def _cc_loop(pairs: DataFrame, max_rounds: int) -> DataFrame:
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+def _cc_loop(
+    pairs: DataFrame, max_rounds: int, loop_partitions: int
+) -> DataFrame:
+    # Edges are persisted PRE-PARTITIONED on the join key (doc_b) at
+    # the loop's own partition count, for two reasons. (1) Alignment:
+    # a plain union-persist inherits the UPSTREAM layout — the caller's
+    # corpus-grain partitioning, doubled by the union (e.g. 64 cached
+    # partitions under a 4-partition loop; 100s under a vanilla
+    # session) — so every round scans far more cached-edge tasks than
+    # the node-grain loop sizing intends; repartitioning once pins the
+    # per-round task count to loop_partitions. Measured (3-run
+    # interleaved A/B, sf0.1 kNN edges): CC loop ~4.4 s → ~2.6 s.
+    # (2) At scale: when labels outgrow the broadcast threshold and the
+    # round join becomes sort-merge, HashPartitioning(doc_b,
+    # loop_partitions) on the cached blocks satisfies the join's
+    # distribution requirement, so the corpus-scaled edge side is
+    # never re-exchanged per round — only node-grain state shuffles.
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).persist()
+        .repartition(loop_partitions, "doc_b")
+        .persist()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
