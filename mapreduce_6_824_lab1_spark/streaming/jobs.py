@@ -916,64 +916,77 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the stream_foreach_batch exactly-once recipe). 100 TB: per batch one
     broadcast-or-shuffle join against the dimension plus an event-grain
     argmax; state never accumulates across batches.
-    """
-    import shutil
-    import tempfile
 
+    The result is EVENT-grain (one row per event with a prior order — the
+    whole corpus at our fixtures, ~100 M rows at sf10), so per the
+    sink-grain ruling it must never ride a driver collect: the per-batch
+    parquet output dir joins the ``_OUT_SCRATCH`` exit-time lifecycle and
+    the function returns a LAZY read of it (round 8 — this key previously
+    escaped the ruling because its whole scratch tree was rmtree'd in
+    ``finally``, which forced an eager detach). The input staging slices
+    keep the prompt cleanup: a terminated availableNow query has fully
+    drained them, and at sf10 they are a corpus-sized disk copy.
+    """
     from mapreduce_6_824_lab1_spark.catalog import load_table
 
     configure(spark)
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    scratch = tempfile.mkdtemp(prefix="mr_spark_asofstream_")
+
+    def enrich_frame(bdf: DataFrame) -> DataFrame:
+        j = bdf.join(
+            orders,
+            (F.col("user_id") == F.col("o_custkey"))
+            & (F.col("o_orderdate") <= F.col("ts")),
+        )
+        return (
+            j.groupBy("event_id")
+            .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+            .select(
+                "event_id",
+                F.col("m.o_orderkey").alias("o_orderkey"),
+                F.date_format("m.o_orderdate", "yyyy-MM-dd").alias(
+                    "order_day"
+                ),
+            )
+        )
+
+    in_scratch = tempfile.mkdtemp(prefix="mr_spark_asofstream_in_")
+    out = tempfile.mkdtemp(prefix="mr_stream_out_asof_")
+    _OUT_SCRATCH.append(out)
     try:
         for i in range(4):
             ev.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(
                 1
-            ).write.mode("overwrite").parquet(f"{scratch}/in/slice_{i}")
+            ).write.mode("overwrite").parquet(f"{in_scratch}/in/slice_{i}")
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .option("recursiveFileLookup", "true")
-            .parquet(f"{scratch}/in")
+            .parquet(f"{in_scratch}/in")
         )
 
         def enrich(bdf: DataFrame, batch_id: int) -> None:
-            j = bdf.join(
-                orders,
-                (F.col("user_id") == F.col("o_custkey"))
-                & (F.col("o_orderdate") <= F.col("ts")),
-            )
-            out = (
-                j.groupBy("event_id")
-                .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
-                .select(
-                    "event_id",
-                    F.col("m.o_orderkey").alias("o_orderkey"),
-                    F.date_format("m.o_orderdate", "yyyy-MM-dd").alias(
-                        "order_day"
-                    ),
-                )
-            )
-            out.write.mode("overwrite").parquet(
-                f"{scratch}/out/batch_{batch_id}"
+            enrich_frame(bdf).write.mode("overwrite").parquet(
+                f"{out}/data/batch_{batch_id}"
             )
 
         q = (
             src.writeStream.foreachBatch(enrich)
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation", f"{scratch}/ckpt"
-            )
+            .option("checkpointLocation", f"{out}/ckpt")
             .start()
         )
         q.awaitTermination()
-        back = spark.read.option("recursiveFileLookup", "true").parquet(
-            f"{scratch}/out"
-        )
-        return spark.createDataFrame(back.collect(), back.schema)
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(in_scratch, ignore_errors=True)
+    # explicit schema: an all-empty-batch run leaves a data-less out dir
+    # where inference would raise (same rationale as _run_to_parquet)
+    return (
+        spark.read.schema(enrich_frame(ev.limit(0)).schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{out}/data")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -458,3 +458,66 @@ def test_streaming_fact_grain_sinks_are_file_backed(spark):
     # memory sink (driver-held is CORRECT for type-grain cardinality)
     tumb_plan = formatted_plan(QUERIES["stream_tumbling"](spark, SF_DIR))
     assert "Scan parquet" not in tumb_plan, tumb_plan
+
+    # event-grain foreachBatch enrichment: the result comes home as a
+    # lazy read of the per-batch parquet output (round-8 conversion off
+    # the driver collect — the last key that escaped the ruling)
+    asof_plan = formatted_plan(QUERIES["stream_asof_enrich"](spark, SF_DIR))
+    assert "Scan parquet" in asof_plan, asof_plan
+    assert "LocalTableScan" not in asof_plan, asof_plan
+
+
+# Sink-grain ruling as a LINT (round-8 verdict ask #7): a doc ruling alone
+# let stream_asof_enrich keep a corpus-grain driver collect for a round —
+# this walks every registered streaming/source key's own source text for a
+# `.collect()` detach and allows it ONLY on keys whose result grain is
+# declared bounded below. Adding a collect to a new streaming key without
+# declaring (and justifying) its grain fails this test.
+_DECLARED_BOUNDED_GRAIN_COLLECT = {
+    # jobs.py — audited round 7 (VERDICT.md "What's wrong"): each collect
+    # detaches a groupBy over a bounded domain, not a corpus-scaled result.
+    "stream_foreach_batch",       # per-batch audit rows: O(batches)
+    "stream_rate_limited",        # per-micro-batch counts: O(batches)
+    "stream_restart_exactly_once",  # type-grain counts + a bounded
+                                    # distinct-years driver loop
+    "stream_cdc_apply",           # year-grain audit + distinct-years loop
+    "stream_update_mode",         # group×batch emissions: hour-domain ×
+                                  # 4 staged batches, domain-bounded
+    # sources — aggregate/partition-grain audits (5 rows/lang, file-grain)
+    "source_roundtrip_csv",
+    "source_roundtrip_json",
+    "source_roundtrip_orc",
+    "source_roundtrip_text",
+    "source_roundtrip_xml",
+    "source_schema_evolution",
+    "source_corrupt_records",
+    "source_corrupt_json",
+    "source_binaryfile",
+    "sink_dynamic_partition_overwrite",
+    "sink_codec_roundtrip",
+    "source_python_stream",
+}
+
+
+def test_streaming_collects_only_on_declared_bounded_grain():
+    import inspect
+
+    offenders = {}
+    for key, fn in QUERIES.items():
+        mod = inspect.getmodule(fn)
+        name = getattr(mod, "__name__", "")
+        if ".streaming." not in name and ".sources." not in name:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if ".collect()" in src and key not in _DECLARED_BOUNDED_GRAIN_COLLECT:
+            offenders[key] = name
+    assert not offenders, (
+        f"driver collect() on undeclared grain (sink-grain ruling, "
+        f"jobs.py:92): {offenders} — corpus-scaled results must drain "
+        f"through _run_to_parquet / a lazy file-sink read; if the grain "
+        f"is genuinely bounded, declare it in "
+        f"_DECLARED_BOUNDED_GRAIN_COLLECT with a justification"
+    )
