@@ -52,11 +52,19 @@ PROTOBUF_FALLBACK_DIRS = (
 )
 
 _PATCHED = False
+_ORIG_VALIDATOR = None
+
+# Sticky success flag: True once ensure_protobuf() has resolved the runtime
+# via the on-disk fallback in THIS process. Tests gate shim assertions on
+# this (the lenient validator is installed ONLY on the fallback path — a
+# host with a healthy installed protobuf keeps stock validation, so a
+# `ensure_protobuf() is True` gate alone would mis-predict shim presence).
+USED_FALLBACK = False
 
 
 def _tolerate_newer_gencode_minor() -> None:
     """Allow same-major gencode ahead of runtime by minor version only."""
-    global _PATCHED
+    global _PATCHED, _ORIG_VALIDATOR
     if _PATCHED:
         return
     try:
@@ -65,6 +73,7 @@ def _tolerate_newer_gencode_minor() -> None:
         _PATCHED = True
         return
     orig = rv.ValidateProtobufRuntimeVersion
+    _ORIG_VALIDATOR = orig
 
     def lenient(domain, major, minor, patch, suffix, location):
         try:
@@ -95,6 +104,19 @@ def _tolerate_newer_gencode_minor() -> None:
 
     rv.ValidateProtobufRuntimeVersion = lenient
     _PATCHED = True
+
+
+def _restore_validator() -> None:
+    """Undo :func:`_tolerate_newer_gencode_minor` (smoke-failure unwind:
+    a gate that reports closed must not leave the lenient validator
+    installed for every other protobuf consumer in the process)."""
+    global _PATCHED, _ORIG_VALIDATOR
+    if _ORIG_VALIDATOR is not None:
+        from google.protobuf import runtime_version as rv
+
+        rv.ValidateProtobufRuntimeVersion = _ORIG_VALIDATOR
+        _ORIG_VALIDATOR = None
+    _PATCHED = False
 
 
 def _smoke_state_messages() -> None:
@@ -139,7 +161,9 @@ def ensure_protobuf() -> bool:
     pure-python fallback. Idempotent; safe to call at module import in
     driver and workers alike. Returns False when no usable runtime
     exists (the caller keeps its honest gate closed)."""
+    global USED_FALLBACK
     used_fallback = False
+    appended_dir: str | None = None
     if not _protobuf_usable():
         for d in PROTOBUF_FALLBACK_DIRS:
             if not os.path.isdir(os.path.join(d, "google", "protobuf")):
@@ -162,6 +186,22 @@ def ensure_protobuf() -> bool:
                 del sys.modules[mod]
             if _protobuf_usable():
                 used_fallback = True
+                appended_dir = d if appended else None
+                # re-resolution REPLACED the 'google' parent module; any
+                # sibling children still cached in sys.modules
+                # (google.auth, google.cloud, …) were bound to the old
+                # parent only — rebind them on the new one so later
+                # `google.auth`-style attribute access in this long-lived
+                # process keeps working
+                parent = sys.modules.get("google")
+                if parent is not None:
+                    for name, mod in list(sys.modules.items()):
+                        if (
+                            name.startswith("google.")
+                            and "." not in name[len("google."):]
+                            and mod is not None
+                        ):
+                            setattr(parent, name.split(".", 1)[1], mod)
                 break
             if appended:  # undo only what THIS call added
                 sys.path.remove(d)
@@ -174,5 +214,13 @@ def ensure_protobuf() -> bool:
     try:
         _smoke_state_messages()
     except Exception:
+        if used_fallback:
+            # full unwind: a False return must not leave the fallback on
+            # sys.path or the lenient validator installed process-wide
+            _restore_validator()
+            if appended_dir is not None and appended_dir in sys.path:
+                sys.path.remove(appended_dir)
         return False
+    if used_fallback:
+        USED_FALLBACK = True
     return True

@@ -61,11 +61,23 @@ def test_tws_validation_shim_is_narrow():
         pytest.skip("no protobuf runtime")
     from google.protobuf import runtime_version as rv
 
-    # newer minor, same major, clean gencode: tolerated (warns)
-    with pytest.warns(UserWarning, match="older same-major runtime"):
-        rv.ValidateProtobufRuntimeVersion(
-            rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "", "shim-test"
-        )
+    from mapreduce_6_824_lab1_spark import protobuf_compat
+
+    # newer minor, same major, clean gencode: tolerated (warns) — but
+    # ONLY when the on-disk fallback runtime was used; a host with a
+    # healthy installed protobuf keeps stock validation, where the same
+    # call must stay fatal (gate on the sticky USED_FALLBACK flag, not
+    # on ensure_protobuf()'s return — round-8 ADVICE)
+    if protobuf_compat.USED_FALLBACK:
+        with pytest.warns(UserWarning, match="older same-major runtime"):
+            rv.ValidateProtobufRuntimeVersion(
+                rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "", "shim-test"
+            )
+    else:
+        with pytest.raises(rv.VersionError):
+            rv.ValidateProtobufRuntimeVersion(
+                rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "", "shim-test"
+            )
     # major mismatch: still fatal
     with pytest.raises(rv.VersionError):
         rv.ValidateProtobufRuntimeVersion(

@@ -1,0 +1,136 @@
+"""Round-8 additions: stream_session_tws registration, the deferred
+protobuf bootstrap (no import-time sys.path / validator mutation in
+processes that never touch TWS), and the ADVICE-driven unwind/rebind
+hardening of ensure_protobuf(). Process-global import effects are pinned
+in SUBPROCESSES — inside this pytest process other tests have already
+opened the protobuf gate, so a fresh interpreter is the only honest
+fixture for "pristine environment" claims."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str) -> str:
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, f"stdout={out.stdout}\nstderr={out.stderr}"
+    return out.stdout
+
+
+def test_tws_is_registered_with_oracle():
+    """Round-8 verdict ask #2: the freeze lifted (264/264 union closed),
+    so stream_session_tws must be a first-class registry key with the
+    shared window_session oracle (same SESSION_ORACLE as its GroupState
+    twin)."""
+    from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
+    from mapreduce_6_824_lab1_spark.operators.temporal import SESSION_ORACLE
+
+    assert "stream_session_tws" in QUERIES
+    assert ORACLES["stream_session_tws"] == SESSION_ORACLE
+    assert ORACLES["stream_session_stateful"] == SESSION_ORACLE
+
+
+def test_registry_import_leaves_protobuf_env_pristine():
+    """Deferred bootstrap (round-8 ADVICE): importing the full registry —
+    which registers stream_session_tws — must NOT append the fallback dir
+    to sys.path, install the lenient validator, or resolve the fallback.
+    Only an actual TWS run (or processor unpickle) may do that."""
+    _run(
+        "import sys\n"
+        "import mapreduce_6_824_lab1_spark  # full registry, incl. TWS\n"
+        "from mapreduce_6_824_lab1_spark import protobuf_compat as pc\n"
+        "assert not any(d in sys.path for d in pc.PROTOBUF_FALLBACK_DIRS), "
+        "'fallback dir on sys.path at import'\n"
+        "assert not pc._PATCHED, 'validator shim installed at import'\n"
+        "assert not pc.USED_FALLBACK\n"
+    )
+
+
+def test_session_processor_unpickle_bootstraps_protobuf():
+    """The worker-side guarantee the deferred design relies on: PICKLING
+    the processor is side-effect-free, UNPICKLING it (what read_single_udf
+    does in every worker, before the state client is constructed) runs
+    ensure_protobuf() in the receiving process."""
+    out = _run(
+        "import pickle\n"
+        "from mapreduce_6_824_lab1_spark.streaming.stateful import (\n"
+        "    _SessionProcessor,\n"
+        ")\n"
+        "from mapreduce_6_824_lab1_spark import protobuf_compat as pc\n"
+        "blob = pickle.dumps(_SessionProcessor())\n"
+        "assert not pc.USED_FALLBACK, 'pickling must not open the gate'\n"
+        "assert not pc._PATCHED\n"
+        "p = pickle.loads(blob)\n"
+        "assert isinstance(p, _SessionProcessor)\n"
+        "assert pc._protobuf_usable(), 'unpickle must have bootstrapped'\n"
+        "print('FALLBACK' if pc.USED_FALLBACK else 'INSTALLED')\n"
+    )
+    assert out.strip() in ("FALLBACK", "INSTALLED")
+
+
+def test_ensure_protobuf_smoke_failure_unwinds_global_state():
+    """Round-8 ADVICE: when the fallback activates but the StateMessage
+    smoke round-trip fails, ensure_protobuf must report False WITHOUT
+    leaving partial global state — the appended sys.path entry comes off
+    and the stock validator is restored (the lenient shim must not stay
+    installed for every other protobuf consumer in the process)."""
+    _run(
+        "import sys\n"
+        "from mapreduce_6_824_lab1_spark import protobuf_compat as pc\n"
+        "def boom():\n"
+        "    raise ImportError('forced smoke failure')\n"
+        "pc._smoke_state_messages = boom\n"
+        "before = list(sys.path)\n"
+        "assert pc.ensure_protobuf() is False\n"
+        "assert list(sys.path) == before, 'sys.path not unwound'\n"
+        "assert not pc._PATCHED and pc._ORIG_VALIDATOR is None\n"
+        "assert not pc.USED_FALLBACK\n"
+        "try:\n"
+        "    from google.protobuf import runtime_version as rv\n"
+        "except ImportError:\n"
+        "    rv = None  # no runtime at all on this host: nothing patched\n"
+        "if rv is not None:\n"
+        "    try:\n"
+        "        rv.ValidateProtobufRuntimeVersion(\n"
+        "            rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, '', 't'\n"
+        "        )\n"
+        "        raise SystemExit('lenient shim survived the unwind')\n"
+        "    except rv.VersionError:\n"
+        "        pass  # stock strict validation is back\n"
+    )
+
+
+def test_ensure_protobuf_rebinds_surviving_google_children():
+    """Round-8 ADVICE: re-resolving the 'google' parent must rebind any
+    surviving sibling children (google.auth-style modules cached in
+    sys.modules with live references elsewhere) as attributes of the NEW
+    parent, or later `google.<child>` attribute access breaks in
+    long-lived processes."""
+    out = _run(
+        "import sys, types\n"
+        "fake_parent = types.ModuleType('google')\n"
+        "fake_child = types.ModuleType('google.fake_surviving_child')\n"
+        "fake_parent.fake_surviving_child = fake_child\n"
+        "sys.modules['google'] = fake_parent\n"
+        "sys.modules['google.fake_surviving_child'] = fake_child\n"
+        "from mapreduce_6_824_lab1_spark import protobuf_compat as pc\n"
+        "pc.ensure_protobuf()\n"
+        "if pc.USED_FALLBACK:\n"
+        "    g = sys.modules['google']\n"
+        "    assert g is not fake_parent, 'parent was not re-resolved'\n"
+        "    assert getattr(g, 'fake_surviving_child', None) is fake_child\n"
+        "    print('REBOUND')\n"
+        "else:\n"
+        "    print('NO_FALLBACK')\n"
+    )
+    assert out.strip() in ("REBOUND", "NO_FALLBACK")
