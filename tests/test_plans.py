@@ -512,7 +512,11 @@ def test_streaming_collects_only_on_declared_bounded_grain():
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             continue
-        if ".collect()" in src and key not in _DECLARED_BOUNDED_GRAIN_COLLECT:
+        detaches = (".collect()", ".toPandas()", ".toLocalIterator()")
+        if (
+            any(d in src for d in detaches)
+            and key not in _DECLARED_BOUNDED_GRAIN_COLLECT
+        ):
             offenders[key] = name
     assert not offenders, (
         f"driver collect() on undeclared grain (sink-grain ruling, "
