@@ -394,3 +394,165 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # import-time sys.path mutation the deferred design removed) — the
 # runtime gate lives inside the function and raises loudly on hosts
 # with no protobuf runtime.
+
+
+# ---------------------------------------------------------------------------
+# transformWithState MapState: per-user per-type running aggregates
+# ---------------------------------------------------------------------------
+
+TYPE_COUNTS_ORACLE = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+_TYPE_OUT_SCHEMA = (
+    "user_id long, event_type string, cnt long, total_cents long"
+)
+
+
+def _rebuild_type_count_processor() -> "_TypeCountProcessor":
+    """Unpickle hook — same worker-side ensure_protobuf() contract as
+    :func:`_rebuild_session_processor`."""
+    ensure_protobuf()
+    return _TypeCountProcessor()
+
+
+class _TypeCountProcessor(StatefulProcessor):
+    """MapState processor: per user (the grouping key), a map
+    ``event_type -> (cnt, total_cents)`` updated batch-by-batch; each
+    batch EMITS the new cumulative row for every type it touched (the
+    update-mode changelog shape). State is one map entry per
+    (user, type) — domain-bounded per user, never per-event."""
+
+    def __reduce__(self):
+        return (_rebuild_type_count_processor, ())
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "cnt long, tot long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        (user_id,) = key
+        pdf = pd.concat(list(rows), ignore_index=True)
+        # integer-cents quantization, the repo-wide exact-sum convention
+        cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(
+            "int64"
+        )
+        agg = (
+            pd.DataFrame({"et": pdf["event_type"], "c": cents})
+            .groupby("et")["c"]
+            .agg(["count", "sum"])
+        )
+        users, types, cnts, tots = [], [], [], []
+        for et, row in agg.iterrows():
+            prior = self._counts.getValue((et,))
+            n0, t0 = prior if prior is not None else (0, 0)
+            n, t = n0 + int(row["count"]), t0 + int(row["sum"])
+            self._counts.updateValue((et,), (n, t))
+            users.append(user_id)
+            types.append(et)
+            cnts.append(n)
+            tots.append(t)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(users, dtype="int64"),
+                "event_type": types,
+                "cnt": pd.Series(cnts, dtype="int64"),
+                "total_cents": pd.Series(tots, dtype="int64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@query("stream_type_counts_tws", oracle=TYPE_COUNTS_ORACLE)
+def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type running (count, exact-cents sum) on
+    transformWithState **MapState** — the state primitive
+    ``stream_session_tws`` (ValueState) does not exercise: one map
+    entry per event type under each user key, point-read/point-updated
+    per batch (``getValue``/``updateValue`` round-trip the protobuf
+    state client per touched entry, not per event).
+
+    The input is staged as four event-id slices fed one per trigger
+    (``maxFilesPerTrigger=1``), so the running aggregates genuinely
+    carry across micro-batches through RocksDB-backed MapState. Each
+    batch emits the new cumulative row for every (user, type) it
+    touched — the update-mode changelog shape — and the final answer is
+    the per-(user, type) argmax over emissions by ``cnt`` (cnt strictly
+    grows on every touch, so the max-cnt struct IS the latest
+    emission; total_cents rides in the same struct and needs no
+    monotonicity of its own). That downstream fold makes the result
+    batch-boundary-independent, checked against the plain batch
+    aggregate oracle.
+
+    Grain discipline: emissions are (user × type × touching-batch) —
+    user-grain scales with the corpus (15/150/1,500 users at the three
+    fixture SFs), so the stream drains through ``_run_to_parquet``
+    (sink-grain ruling) and the returned aggregate stays lazy. Bench
+    placement: sim/scale tier per the round-8 ruling (no stream_* key
+    is benched). 100 TB: state is O(users × 5 types) map entries in
+    RocksDB; per batch the protobuf traffic is touched-entries, the
+    file sink is the durable changelog a KV upsert would consume.
+    """
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
+
+    if not ensure_protobuf():  # honest gate, same as stream_session_tws
+        raise RuntimeError(
+            "stream_type_counts_tws needs a protobuf runtime "
+            "(protobuf_compat.ensure_protobuf found none)"
+        )
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="mr_spark_typecnt_in_")
+    try:
+        for i in range(4):
+            ev.filter(F.pmod("event_id", F.lit(4)) == i).select(
+                "user_id", "event_type", "value"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{scratch}/slice_{i}"
+            )
+        src = (
+            spark.readStream.schema(
+                "user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(scratch)
+        )
+        counts = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_TypeCountProcessor(),
+            outputStructType=_TYPE_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        with scoped_conf(
+            spark,
+            {
+                "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            },
+        ):
+            sink = _run_to_parquet(counts, spark)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return (
+        sink.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("cnt", "total_cents")).alias("m"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.cnt").alias("cnt"),
+            F.col("m.total_cents").alias("total_cents"),
+        )
+    )

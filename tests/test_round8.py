@@ -134,3 +134,56 @@ def test_ensure_protobuf_rebinds_surviving_google_children():
         "    print('NO_FALLBACK')\n"
     )
     assert out.strip() in ("REBOUND", "NO_FALLBACK")
+
+
+def test_type_counts_tws_state_spans_batches(spark):
+    """The MapState key must genuinely carry running aggregates ACROSS
+    micro-batches: the changelog sink holds one row per (user, type,
+    touching batch) — strictly more rows than final groups — and any
+    multi-emission key's cnt sequence is strictly increasing (each
+    batch's emission is the new cumulative, the property the downstream
+    max-struct fold relies on). Folded result must equal the plain
+    batch aggregate exactly (integer cents)."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_6_824_lab1_spark import QUERIES
+    from mapreduce_6_824_lab1_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+
+    before = len(jobs._OUT_SCRATCH)
+    out = QUERIES["stream_type_counts_tws"](spark, SF_DIR)
+    new_dirs = jobs._OUT_SCRATCH[before:]
+    assert len(new_dirs) == 1  # exactly one _run_to_parquet drain
+    sink = spark.read.parquet(f"{new_dirs[0]}/data")
+
+    n_groups = out.count()
+    assert sink.count() > n_groups, "no cross-batch emissions — state dead?"
+
+    multi = (
+        sink.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_emit"),
+            F.collect_list("cnt").alias("cnts"),
+        )
+        .filter(F.col("n_emit") >= 2)
+    )
+    rows = multi.limit(20).collect()
+    assert rows, "every key emitted once — batches did not split the input"
+    for r in rows:
+        assert sorted(r["cnts"]) == sorted(set(r["cnts"])), r
+        # strictly increasing cumulative counts across touching batches
+        assert sorted(r["cnts"])[-1] == max(r["cnts"])
+
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
