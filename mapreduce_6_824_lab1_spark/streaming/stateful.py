@@ -556,3 +556,161 @@ def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.total_cents").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState ListState: per-user exact median (holistic aggregate)
+# ---------------------------------------------------------------------------
+
+USER_MEDIAN_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       median(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS median_cents
+FROM events
+GROUP BY user_id
+"""
+
+_MEDIAN_OUT_SCHEMA = "user_id long, n_events long, median_cents double"
+
+
+def _rebuild_median_processor() -> "_MedianProcessor":
+    """Unpickle hook — same worker-side ensure_protobuf() contract as
+    the other TWS processors."""
+    ensure_protobuf()
+    return _MedianProcessor()
+
+
+class _MedianProcessor(StatefulProcessor):
+    """ListState processor: per user, the integer-cents value list
+    accumulates across batches (``appendList`` — ONE state round-trip
+    per user per batch, however many events arrived); the flush
+    sentinel (last batch) reads the full list back, emits the exact
+    median, and clears the state. A median is a HOLISTIC aggregate —
+    no bounded running summary computes it exactly — which is what
+    genuinely motivates the list primitive over ValueState.
+
+    The flush branch combines the prior list with the current batch's
+    values LOCALLY (never appendList-then-get in one batch), so
+    correctness does not depend on same-batch read-your-writes
+    semantics of the state client."""
+
+    def __reduce__(self):
+        return (_rebuild_median_processor, ())
+
+    def init(self, handle) -> None:
+        self._cents = handle.getListState("cents", "c long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        (user_id,) = key
+        pdf = pd.concat(list(rows), ignore_index=True)
+        flush = bool((pdf["event_type"] == FLUSH).any())
+        data = pdf[pdf["event_type"] != FLUSH]
+        cents = np.floor(data["value"].to_numpy() * 100.0 + 0.5).astype(
+            "int64"
+        )
+        users, counts, medians = [], [], []
+        if flush:
+            prior = np.fromiter(
+                (c for (c,) in self._cents.get()), dtype="int64"
+            )
+            vals = np.concatenate([prior, cents])
+            self._cents.clear()
+            if len(vals):
+                users.append(user_id)
+                counts.append(len(vals))
+                medians.append(float(np.median(vals)))
+        elif len(cents):
+            self._cents.appendList([(int(c),) for c in cents])
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(users, dtype="int64"),
+                "n_events": pd.Series(counts, dtype="int64"),
+                "median_cents": pd.Series(medians, dtype="float64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@query("stream_user_median_tws", oracle=USER_MEDIAN_ORACLE)
+def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact value median on transformWithState **ListState** —
+    with this key all three TWS state primitives are exercised end-to-end
+    (ValueState: ``stream_session_tws``; MapState:
+    ``stream_type_counts_tws``).
+
+    The input is staged as four event-id slices plus a LAST flush-
+    sentinel file (one sentinel per user, distinct mtime so
+    ``maxFilesPerTrigger=1`` delivers it in the final micro-batch — the
+    sessionizer harness's flush recipe). Batches 1–4 append each user's
+    integer-cents values to ListState (``appendList``: one state
+    round-trip per user per batch regardless of event count — the
+    batched write is the scale-right call, vs MapState's per-entry
+    point ops); the flush batch reads the list back, emits
+    (user, n_events, exact median), clears state. The ORACLE ITSELF
+    proves cross-batch carry: n_events per user equals the full batch
+    count, which is only reachable if all four batches' appends
+    survived in state (median over BIGINT cents: DuckDB and numpy share
+    the even-count midpoint-average convention, exact at .5 precision —
+    no float interpolation drift).
+
+    Grain discipline: one emission per user — user grain scales with
+    the corpus, so the stream drains through ``_run_to_parquet``. Bench
+    placement: sim/scale tier per the round-8 ruling. 100 TB: state is
+    the per-user value list (bounded by per-user event counts — at
+    genuinely unbounded per-user volumes production swaps the exact
+    list for a mergeable quantile sketch (KLL/t-digest) in ValueState;
+    this key demonstrates the exact-list primitive and says so).
+    """
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
+
+    if not ensure_protobuf():  # honest gate, same as the TWS siblings
+        raise RuntimeError(
+            "stream_user_median_tws needs a protobuf runtime "
+            "(protobuf_compat.ensure_protobuf found none)"
+        )
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="mr_spark_median_in_")
+    try:
+        for i in range(4):
+            ev.filter(F.pmod("event_id", F.lit(4)) == i).select(
+                "user_id", "event_type", "value"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{scratch}/slice_{i}"
+            )
+            time.sleep(0.05)  # distinct mtimes => deterministic order
+        ev.select("user_id").distinct().select(
+            "user_id",
+            F.lit(FLUSH).alias("event_type"),
+            F.lit(0.0).alias("value"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{scratch}/flush")
+        src = (
+            spark.readStream.schema(
+                "user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(scratch)
+        )
+        medians = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_MedianProcessor(),
+            outputStructType=_MEDIAN_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        with scoped_conf(
+            spark,
+            {
+                "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            },
+        ):
+            return _run_to_parquet(medians, spark)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -187,3 +187,34 @@ def test_type_counts_tws_state_spans_batches(spark):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_user_median_tws_single_flush_emission(spark):
+    """The ListState key emits EXACTLY once per user (at the flush
+    batch): the changelog sink holds one row per user — state carried
+    every earlier batch's appends instead of emitting partials — and
+    n_events equals the per-user batch count (only reachable if all
+    four slices' appends survived in RocksDB across micro-batches)."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_6_824_lab1_spark import QUERIES
+    from mapreduce_6_824_lab1_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+
+    before = len(jobs._OUT_SCRATCH)
+    out = QUERIES["stream_user_median_tws"](spark, SF_DIR)
+    new_dirs = jobs._OUT_SCRATCH[before:]
+    assert len(new_dirs) == 1
+    sink = spark.read.parquet(f"{new_dirs[0]}/data")
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sink.count() == n_users  # one emission per user, no partials
+
+    batch_counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out.collect():
+        assert r["n_events"] == batch_counts[r["user_id"]], r
