@@ -17,11 +17,16 @@ workers with no environment plumbing (no PYTHONPATH, no sitecustomize):
    import — which is why ``pyspark.worker`` (worker.py:36) imports the
    client module fine without protobuf.
 2. the worker unpickles the user's StatefulProcessor (read_single_udf)
-   BEFORE it constructs ``StatefulProcessorApiClient`` (worker.py:3035),
-   and unpickling imports the processor's defining module — so a
-   module-level ``ensure_protobuf()`` in streaming/stateful.py runs in
-   every process that will ever touch the state client, before any pb2
-   import, purely via the pickle path.
+   BEFORE it constructs ``StatefulProcessorApiClient`` (worker.py:3035)
+   — and every TWS processor in streaming/stateful.py pickles through
+   ``_BootstrappedProcessor.__reduce__`` → ``_rebuild_processor``, whose
+   unpickle hook calls ``ensure_protobuf()`` (and raises if it returns
+   False), so the runtime lands in every process that will ever touch
+   the state client, before any pb2 import, purely via the pickle path.
+   (Merely importing streaming/stateful.py does NOT bootstrap — the
+   round-7 module-level call was deliberately removed in round 8 so
+   non-TWS sessions keep a pristine import environment; a new processor
+   must subclass ``_BootstrappedProcessor`` to get the guarantee.)
 
 Version gap: pyspark 4.1.2's generated ``StateMessage_pb2`` declares
 gencode 6.33.0; the on-disk runtime is 6.32.0, and protobuf's
@@ -216,10 +221,28 @@ def ensure_protobuf() -> bool:
     except Exception:
         if used_fallback:
             # full unwind: a False return must not leave the fallback on
-            # sys.path or the lenient validator installed process-wide
+            # sys.path, the lenient validator installed process-wide, OR
+            # the rejected runtime importable from the module cache (a
+            # cached google.protobuf whose __path__ points into the
+            # removed dir would keep serving the runtime the gate just
+            # declared unusable). The pre-call namespace shells are not
+            # restorable, but post-state matches a fresh interpreter:
+            # the next import re-resolves from the unmodified sys.path.
             _restore_validator()
             if appended_dir is not None and appended_dir in sys.path:
                 sys.path.remove(appended_dir)
+            for mod in [
+                m
+                for m in sys.modules
+                if m in ("google", "google.protobuf")
+                or m.startswith("google.protobuf.")
+            ]:
+                del sys.modules[mod]
+            # the smoke test may have cached the pb2 gencode against the
+            # now-evicted runtime
+            sys.modules.pop(
+                "pyspark.sql.streaming.proto.StateMessage_pb2", None
+            )
         return False
     if used_fallback:
         USED_FALLBACK = True

@@ -150,6 +150,29 @@ def _run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
     return spark.read.schema(df.schema).parquet(f"{out}/data")
 
 
+def _stage_event_id_slices(
+    df: DataFrame,
+    scratch: str,
+    keep_cols: list[str] | None = None,
+    n: int = 4,
+) -> None:
+    """Write ``df`` as ``n`` event-id-hash slices, one FILE each, so a
+    ``maxFilesPerTrigger=1`` file stream delivers exactly ``n``
+    micro-batches — the staging recipe shared by the foreachBatch and
+    transformWithState keys (state carry-over must span real batch
+    boundaries, not one pandas frame). Hash slicing is only valid for
+    batch-order-INDEPENDENT operators (as-of enrichment, running
+    counts, medians); time-ordered state machines use the sessionizer
+    harness's time-ranged staging instead."""
+    for i in range(n):
+        part = df.filter(F.pmod("event_id", F.lit(n)) == i)
+        if keep_cols is not None:
+            part = part.select(*keep_cols)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{scratch}/slice_{i}"
+        )
+
+
 @query("stream_tumbling", oracle=TUMBLING_ORACLE)
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 1-hour tumbling counts — literally reuses the batch
@@ -955,10 +978,7 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="mr_stream_out_asof_")
     _OUT_SCRATCH.append(out)
     try:
-        for i in range(4):
-            ev.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{in_scratch}/in/slice_{i}")
+        _stage_event_id_slices(ev, f"{in_scratch}/in")
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)

@@ -45,7 +45,16 @@ from mapreduce_6_824_lab1_spark.streaming.jobs import (
     WATERMARK_DELAY_MIN,
     _events_stream,
     _run_to_parquet,
+    _stage_event_id_slices,
 )
+
+# transformWithState rejects the default HDFS-backed state store; every
+# TWS key scopes the RocksDB provider around its own run.
+_ROCKSDB_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+}
 
 GAP_NS = SESSION_GAP_MIN * 60 * 1_000_000_000
 FLUSH = "__flush__"
@@ -55,8 +64,8 @@ FLUSH = "__flush__"
 # every process that merely imports the registry, TWS or not). The two
 # processes that genuinely need it still get it before any pb2 import:
 # - the DRIVER: stream_session_tws() calls it at entry (honest gate);
-# - every WORKER: _SessionProcessor pickles via __reduce__ through
-#   _rebuild_session_processor, which calls it on UNPICKLE — and
+# - every WORKER: each processor pickles via _BootstrappedProcessor's
+#   __reduce__ -> _rebuild_processor, which calls it on UNPICKLE — and
 #   read_single_udf precedes StatefulProcessorApiClient construction
 #   (worker.py:3030-3035) while all StateMessage_pb2 imports are lazy,
 #   so the sys.path fallback + version shim land in time on both sides
@@ -236,25 +245,39 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_session_stream(spark, sf_dir, attach)
 
 
-def _rebuild_session_processor() -> "_SessionProcessor":
-    """Unpickle hook for :class:`_SessionProcessor`: runs
-    ``ensure_protobuf()`` in the RECEIVING process before returning the
-    processor, so every worker that will construct a protobuf state
-    client has the runtime on its path — without the old module-import
-    side effect in processes that never touch TWS."""
-    ensure_protobuf()
-    return _SessionProcessor()
+def _rebuild_processor(cls: type) -> StatefulProcessor:
+    """Unpickle hook for EVERY TWS processor: runs ``ensure_protobuf()``
+    in the RECEIVING process before returning the processor — the worker
+    unpickles it (read_single_udf) before constructing the protobuf
+    state client, so the runtime lands on the worker's path in time,
+    without the old module-import side effect in processes that never
+    touch TWS. Fails LOUDLY here when no runtime exists (the
+    protobuf_compat contract: never opaquely mid-stream inside the
+    state client)."""
+    if not ensure_protobuf():
+        raise RuntimeError(
+            f"{cls.__name__} needs a protobuf runtime in this process "
+            "(protobuf_compat.ensure_protobuf found none)"
+        )
+    return cls()
 
 
-class _SessionProcessor(StatefulProcessor):
-    """transformWithStateInPandas processor around :func:`_fold_sessions`.
-
-    Carries no driver-side state, so pickling reduces to a fresh rebuild
-    (``__reduce__``) — the rebuild function is the worker-side
-    ``ensure_protobuf`` hook."""
+class _BootstrappedProcessor(StatefulProcessor):
+    """Base for the TWS processors: they carry no driver-side state, so
+    pickling reduces to a fresh rebuild via :func:`_rebuild_processor` —
+    subclassing this is what makes a new processor's worker-side
+    protobuf bootstrap correct BY CONSTRUCTION instead of by
+    remembering to hand-write a ``__reduce__`` hook."""
 
     def __reduce__(self):
-        return (_rebuild_session_processor, ())
+        return (_rebuild_processor, (type(self),))
+
+    def close(self) -> None:
+        pass
+
+
+class _SessionProcessor(_BootstrappedProcessor):
+    """transformWithStateInPandas processor around :func:`_fold_sessions`."""
 
     def init(self, handle) -> None:
         self._state = handle.getValueState("sess", _STATE_SCHEMA)
@@ -271,9 +294,6 @@ class _SessionProcessor(StatefulProcessor):
         elif self._state.exists():
             self._state.clear()
         yield _sessions_frame(out)
-
-    def close(self) -> None:
-        pass
 
 
 @query("stream_session_tws", oracle=SESSION_ORACLE)
@@ -323,14 +343,7 @@ def stream_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="none",
         )
 
-    with scoped_conf(
-        spark,
-        {
-            "spark.sql.streaming.stateStore.providerClass":
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider"
-        },
-    ):
+    with scoped_conf(spark, _ROCKSDB_CONF):
         return _run_session_stream(spark, sf_dir, attach)
 
 
@@ -414,22 +427,12 @@ _TYPE_OUT_SCHEMA = (
 )
 
 
-def _rebuild_type_count_processor() -> "_TypeCountProcessor":
-    """Unpickle hook — same worker-side ensure_protobuf() contract as
-    :func:`_rebuild_session_processor`."""
-    ensure_protobuf()
-    return _TypeCountProcessor()
-
-
-class _TypeCountProcessor(StatefulProcessor):
+class _TypeCountProcessor(_BootstrappedProcessor):
     """MapState processor: per user (the grouping key), a map
     ``event_type -> (cnt, total_cents)`` updated batch-by-batch; each
     batch EMITS the new cumulative row for every type it touched (the
     update-mode changelog shape). State is one map entry per
     (user, type) — domain-bounded per user, never per-event."""
-
-    def __reduce__(self):
-        return (_rebuild_type_count_processor, ())
 
     def init(self, handle) -> None:
         self._counts = handle.getMapState(
@@ -468,9 +471,6 @@ class _TypeCountProcessor(StatefulProcessor):
                 "total_cents": pd.Series(tots, dtype="int64"),
             }
         )
-
-    def close(self) -> None:
-        pass
 
 
 @query("stream_type_counts_tws", oracle=TYPE_COUNTS_ORACLE)
@@ -515,12 +515,9 @@ def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     scratch = tempfile.mkdtemp(prefix="mr_spark_typecnt_in_")
     try:
-        for i in range(4):
-            ev.filter(F.pmod("event_id", F.lit(4)) == i).select(
-                "user_id", "event_type", "value"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{scratch}/slice_{i}"
-            )
+        _stage_event_id_slices(
+            ev, scratch, keep_cols=["user_id", "event_type", "value"]
+        )
         src = (
             spark.readStream.schema(
                 "user_id long, event_type string, value double"
@@ -535,14 +532,7 @@ def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeMode="none",
         )
-        with scoped_conf(
-            spark,
-            {
-                "spark.sql.streaming.stateStore.providerClass":
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider"
-            },
-        ):
+        with scoped_conf(spark, _ROCKSDB_CONF):
             sink = _run_to_parquet(counts, spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -573,14 +563,7 @@ GROUP BY user_id
 _MEDIAN_OUT_SCHEMA = "user_id long, n_events long, median_cents double"
 
 
-def _rebuild_median_processor() -> "_MedianProcessor":
-    """Unpickle hook — same worker-side ensure_protobuf() contract as
-    the other TWS processors."""
-    ensure_protobuf()
-    return _MedianProcessor()
-
-
-class _MedianProcessor(StatefulProcessor):
+class _MedianProcessor(_BootstrappedProcessor):
     """ListState processor: per user, the integer-cents value list
     accumulates across batches (``appendList`` — ONE state round-trip
     per user per batch, however many events arrived); the flush
@@ -593,9 +576,6 @@ class _MedianProcessor(StatefulProcessor):
     values LOCALLY (never appendList-then-get in one batch), so
     correctness does not depend on same-batch read-your-writes
     semantics of the state client."""
-
-    def __reduce__(self):
-        return (_rebuild_median_processor, ())
 
     def init(self, handle) -> None:
         self._cents = handle.getListState("cents", "c long")
@@ -630,9 +610,6 @@ class _MedianProcessor(StatefulProcessor):
                 "median_cents": pd.Series(medians, dtype="float64"),
             }
         )
-
-    def close(self) -> None:
-        pass
 
 
 @query("stream_user_median_tws", oracle=USER_MEDIAN_ORACLE)
@@ -677,13 +654,12 @@ def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     scratch = tempfile.mkdtemp(prefix="mr_spark_median_in_")
     try:
-        for i in range(4):
-            ev.filter(F.pmod("event_id", F.lit(4)) == i).select(
-                "user_id", "event_type", "value"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{scratch}/slice_{i}"
-            )
-            time.sleep(0.05)  # distinct mtimes => deterministic order
+        _stage_event_id_slices(
+            ev, scratch, keep_cols=["user_id", "event_type", "value"]
+        )
+        # slice order is irrelevant (appends commute); only the flush
+        # file must sort LAST by mtime so the sentinel batch is final
+        time.sleep(0.05)
         ev.select("user_id").distinct().select(
             "user_id",
             F.lit(FLUSH).alias("event_type"),
@@ -703,14 +679,7 @@ def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeMode="none",
         )
-        with scoped_conf(
-            spark,
-            {
-                "spark.sql.streaming.stateStore.providerClass":
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider"
-            },
-        ):
+        with scoped_conf(spark, _ROCKSDB_CONF):
             return _run_to_parquet(medians, spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -500,8 +500,21 @@ _DECLARED_BOUNDED_GRAIN_COLLECT = {
 
 
 def test_streaming_collects_only_on_declared_bounded_grain():
+    """AST-based, not substring: docstrings/comments mentioning collect()
+    cannot false-positive, only actual `.collect()/.toPandas()/
+    .toLocalIterator()` CALL nodes count. Scope limit (deliberate): the
+    lint walks each KEY's own function body; shared helpers
+    (_run_session_stream, _run_to_parquet) are audited once at the
+    ruling site, not per key. The allowlist must stay live — a renamed
+    or deleted key in it fails the test."""
+    import ast
     import inspect
+    import textwrap
 
+    stale = _DECLARED_BOUNDED_GRAIN_COLLECT - set(QUERIES)
+    assert not stale, f"allowlist entries for unregistered keys: {stale}"
+
+    detach_names = {"collect", "toPandas", "toLocalIterator"}
     offenders = {}
     for key, fn in QUERIES.items():
         mod = inspect.getmodule(fn)
@@ -509,17 +522,21 @@ def test_streaming_collects_only_on_declared_bounded_grain():
         if ".streaming." not in name and ".sources." not in name:
             continue
         try:
-            src = inspect.getsource(fn)
-        except (OSError, TypeError):
+            tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        except (OSError, TypeError, SyntaxError):
             continue
-        detaches = (".collect()", ".toPandas()", ".toLocalIterator()")
-        if (
-            any(d in src for d in detaches)
-            and key not in _DECLARED_BOUNDED_GRAIN_COLLECT
+        calls = {
+            node.func.attr
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+        }
+        if calls & detach_names and key not in (
+            _DECLARED_BOUNDED_GRAIN_COLLECT
         ):
             offenders[key] = name
     assert not offenders, (
-        f"driver collect() on undeclared grain (sink-grain ruling, "
+        f"driver detach on undeclared grain (sink-grain ruling, "
         f"jobs.py:92): {offenders} — corpus-scaled results must drain "
         f"through _run_to_parquet / a lazy file-sink read; if the grain "
         f"is genuinely bounded, declare it in "

@@ -65,17 +65,31 @@ def test_session_processor_unpickle_bootstraps_protobuf():
         "import pickle\n"
         "from mapreduce_6_824_lab1_spark.streaming.stateful import (\n"
         "    _SessionProcessor,\n"
+        "    _TypeCountProcessor,\n"
+        "    _MedianProcessor,\n"
         ")\n"
         "from mapreduce_6_824_lab1_spark import protobuf_compat as pc\n"
         "blob = pickle.dumps(_SessionProcessor())\n"
         "assert not pc.USED_FALLBACK, 'pickling must not open the gate'\n"
         "assert not pc._PATCHED\n"
-        "p = pickle.loads(blob)\n"
-        "assert isinstance(p, _SessionProcessor)\n"
-        "assert pc._protobuf_usable(), 'unpickle must have bootstrapped'\n"
-        "print('FALLBACK' if pc.USED_FALLBACK else 'INSTALLED')\n"
+        "try:\n"
+        "    p = pickle.loads(blob)\n"
+        "except RuntimeError:\n"
+        "    # no runtime on this host: the hook must fail LOUDLY at\n"
+        "    # unpickle, never opaquely inside the state client later\n"
+        "    assert not pc._protobuf_usable()\n"
+        "    print('NO_RUNTIME')\n"
+        "else:\n"
+        "    assert isinstance(p, _SessionProcessor)\n"
+        "    assert pc._protobuf_usable(), 'unpickle must have bootstrapped'\n"
+        "    # every TWS processor shares the hook via the base class\n"
+        "    for cls in (_TypeCountProcessor, _MedianProcessor):\n"
+        "        assert isinstance(\n"
+        "            pickle.loads(pickle.dumps(cls())), cls\n"
+        "        )\n"
+        "    print('FALLBACK' if pc.USED_FALLBACK else 'INSTALLED')\n"
     )
-    assert out.strip() in ("FALLBACK", "INSTALLED")
+    assert out.strip() in ("FALLBACK", "INSTALLED", "NO_RUNTIME")
 
 
 def test_ensure_protobuf_smoke_failure_unwinds_global_state():
@@ -95,6 +109,17 @@ def test_ensure_protobuf_smoke_failure_unwinds_global_state():
         "assert list(sys.path) == before, 'sys.path not unwound'\n"
         "assert not pc._PATCHED and pc._ORIG_VALIDATOR is None\n"
         "assert not pc.USED_FALLBACK\n"
+        "# the rejected runtime must not stay importable from the module\n"
+        "# cache either: no cached module may point into a fallback dir\n"
+        "stale = [\n"
+        "    m for m, mod in sys.modules.items()\n"
+        "    if getattr(mod, '__file__', None)\n"
+        "    and any(\n"
+        "        str(mod.__file__).startswith(d)\n"
+        "        for d in pc.PROTOBUF_FALLBACK_DIRS\n"
+        "    )\n"
+        "]\n"
+        "assert not stale, f'fallback modules survived the unwind: {stale}'\n"
         "try:\n"
         "    from google.protobuf import runtime_version as rv\n"
         "except ImportError:\n"
@@ -169,10 +194,15 @@ def test_type_counts_tws_state_spans_batches(spark):
     )
     rows = multi.limit(20).collect()
     assert rows, "every key emitted once — batches did not split the input"
+    final = {
+        (r["user_id"], r["event_type"]): r["cnt"] for r in out.collect()
+    }
     for r in rows:
+        # cumulative counts: all emissions distinct, and the largest is
+        # exactly the group's final folded cnt (a state read-after-write
+        # bug emitting a stale cumulative would duplicate or undershoot)
         assert sorted(r["cnts"]) == sorted(set(r["cnts"])), r
-        # strictly increasing cumulative counts across touching batches
-        assert sorted(r["cnts"])[-1] == max(r["cnts"])
+        assert max(r["cnts"]) == final[(r["user_id"], r["event_type"])], r
 
     batch = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
