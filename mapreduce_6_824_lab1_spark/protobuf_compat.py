@@ -239,10 +239,19 @@ def ensure_protobuf() -> bool:
             ]:
                 del sys.modules[mod]
             # the smoke test may have cached the pb2 gencode against the
-            # now-evicted runtime
+            # now-evicted runtime — evict BOTH bindings: the sys.modules
+            # entry AND the attribute the import machinery set on the
+            # already-imported parent package (a later `from
+            # pyspark.sql.streaming.proto import StateMessage_pb2` would
+            # otherwise serve the stale attribute without re-importing)
             sys.modules.pop(
                 "pyspark.sql.streaming.proto.StateMessage_pb2", None
             )
+            proto_pkg = sys.modules.get("pyspark.sql.streaming.proto")
+            if proto_pkg is not None and hasattr(
+                proto_pkg, "StateMessage_pb2"
+            ):
+                delattr(proto_pkg, "StateMessage_pb2")
         return False
     if used_fallback:
         USED_FALLBACK = True

@@ -22,9 +22,12 @@ a batch driver — SURVEY.md §2.C):
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
+import time
 import uuid
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -150,6 +153,24 @@ def _run_to_parquet(df: DataFrame, spark: SparkSession) -> DataFrame:
     return spark.read.schema(df.schema).parquet(f"{out}/data")
 
 
+def _stamp_mtime(path: str, epoch_s: int) -> None:
+    """Pin every file under ``path`` (recursively) to ``epoch_s``.
+
+    FileStreamSource orders the files it discovers by modification time,
+    so ``maxFilesPerTrigger=1`` micro-batch order is EXACTLY the staged
+    files' mtime order. The staging helpers used to rely on
+    ``time.sleep(0.05)`` between writes to separate mtimes — timing-based
+    ordering that a coarse-mtime filesystem or clock skew could break
+    (round-8 ADVICE: a flush sentinel delivered mid-stream would drop a
+    slice from every median). An explicit ``os.utime`` stamp makes the
+    order a stated fact instead of a race. Stamps must stay within the
+    source's ``maxFileAge`` horizon (default 7 days) of each other, so
+    callers derive them from one ``time.time()`` base plus small offsets.
+    """
+    for p in Path(path).rglob("*"):
+        os.utime(p, (epoch_s, epoch_s))
+
+
 def _stage_event_id_slices(
     df: DataFrame,
     scratch: str,
@@ -163,7 +184,13 @@ def _stage_event_id_slices(
     boundaries, not one pandas frame). Hash slicing is only valid for
     batch-order-INDEPENDENT operators (as-of enrichment, running
     counts, medians); time-ordered state machines use the sessionizer
-    harness's time-ranged staging instead."""
+    harness's time-ranged staging instead.
+
+    Slice ``i`` is mtime-stamped to ``base + 60*i`` (``_stamp_mtime``):
+    batch composition AND order are deterministic, and a caller staging
+    an extra flush file after these slices stamps it ``base + 3600`` so
+    it sorts strictly last."""
+    base = int(time.time())
     for i in range(n):
         part = df.filter(F.pmod("event_id", F.lit(n)) == i)
         if keep_cols is not None:
@@ -171,6 +198,7 @@ def _stage_event_id_slices(
         part.coalesce(1).write.mode("overwrite").parquet(
             f"{scratch}/slice_{i}"
         )
+        _stamp_mtime(f"{scratch}/slice_{i}", base + 60 * i)
 
 
 @query("stream_tumbling", oracle=TUMBLING_ORACLE)

@@ -46,6 +46,7 @@ from mapreduce_6_824_lab1_spark.streaming.jobs import (
     _events_stream,
     _run_to_parquet,
     _stage_event_id_slices,
+    _stamp_mtime,
 )
 
 # transformWithState rejects the default HDFS-backed state store; every
@@ -202,6 +203,7 @@ def _run_session_stream(spark: SparkSession, sf_dir: str, attach) -> DataFrame:
         ).unionByName(sentinel)
         bounds = full.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
         cuts = [float("-inf"), *bounds, float("inf")]
+        base = int(time.time())
         for i in range(len(cuts) - 1):
             part = full.filter(
                 (F.col("ts") > F.lit(cuts[i]))
@@ -213,7 +215,9 @@ def _run_session_stream(spark: SparkSession, sf_dir: str, attach) -> DataFrame:
             part.coalesce(1).write.mode("overwrite").parquet(
                 f"{scratch}/batch_{i}"
             )
-            time.sleep(0.05)  # distinct mtimes => deterministic file order
+            # explicit mtime stamp => deterministic file (= batch) order;
+            # replaces the former time.sleep(0.05) race (_stamp_mtime doc)
+            _stamp_mtime(f"{scratch}/batch_{i}", base + 60 * i)
         src = (
             spark.readStream.schema(_RAW_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -657,14 +661,18 @@ def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage_event_id_slices(
             ev, scratch, keep_cols=["user_id", "event_type", "value"]
         )
-        # slice order is irrelevant (appends commute); only the flush
-        # file must sort LAST by mtime so the sentinel batch is final
-        time.sleep(0.05)
         ev.select("user_id").distinct().select(
             "user_id",
             F.lit(FLUSH).alias("event_type"),
             F.lit(0.0).alias("value"),
         ).coalesce(1).write.mode("overwrite").parquet(f"{scratch}/flush")
+        # slice order is irrelevant (appends commute); only the flush
+        # file must sort LAST by mtime so the sentinel batch is final —
+        # an explicit far-future-of-the-slices stamp (slices sit at
+        # base..base+180), not a sleep (round-8 ADVICE: timing-based
+        # ordering could deliver the flush mid-stream on a coarse-mtime
+        # filesystem, dropping a slice from every user's median)
+        _stamp_mtime(f"{scratch}/flush", int(time.time()) + 3600)
         src = (
             spark.readStream.schema(
                 "user_id long, event_type string, value double"

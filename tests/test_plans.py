@@ -516,14 +516,31 @@ def test_streaming_collects_only_on_declared_bounded_grain():
 
     detach_names = {"collect", "toPandas", "toLocalIterator"}
     offenders = {}
+    unsourceable = {}
     for key, fn in QUERIES.items():
         mod = inspect.getmodule(fn)
         name = getattr(mod, "__name__", "")
+        if not name.startswith("mapreduce_6_824_lab1_spark"):
+            # a registration that doesn't resolve to a package module
+            # (functools.partial resolves to `functools`, a C callable or
+            # module-less wrapper to nothing) would bypass the
+            # `.streaming./.sources.` scope filter entirely — flag it
+            # rather than silently exempting it from the ruling
+            unsourceable[key] = (
+                f"module {name!r} outside the package — register a "
+                "plain package-defined function"
+            )
+            continue
         if ".streaming." not in name and ".sources." not in name:
             continue
         try:
             tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
-        except (OSError, TypeError, SyntaxError):
+        except (OSError, TypeError, SyntaxError) as exc:
+            # a key whose source can't be read (wrapper decorator,
+            # functools.partial registration, …) would silently drop out
+            # of the lint — surface it instead of narrowing coverage
+            # (round-8 ADVICE row 3)
+            unsourceable[key] = repr(exc)
             continue
         calls = {
             node.func.attr
@@ -535,6 +552,12 @@ def test_streaming_collects_only_on_declared_bounded_grain():
             _DECLARED_BOUNDED_GRAIN_COLLECT
         ):
             offenders[key] = name
+    assert not unsourceable, (
+        f"sink-grain lint could not read the source of registered "
+        f"streaming/source keys: {unsourceable} — register plain "
+        f"functions (or extend the lint to unwrap), don't let keys "
+        f"silently fall out of the ruling's coverage"
+    )
     assert not offenders, (
         f"driver detach on undeclared grain (sink-grain ruling, "
         f"jobs.py:92): {offenders} — corpus-scaled results must drain "
