@@ -90,6 +90,20 @@ def _driver_failed_keys() -> list[str]:
     return [k for k, (_, ok) in latest.items() if not ok]
 
 
+_CHANGED_PIN_KEYS: dict[str, int] = {
+    # Round-8 verdict ask #1: a key whose SOURCE changed after its last
+    # green driver row must re-enter the window in the round it changed.
+    # The durable mechanism is the source-hash manifest (manifest.py);
+    # this hand-pin covers changes the manifest can't see — helper-level
+    # rewrites, and the bootstrap case below, whose body changed in r08
+    # (driver collect -> lazy file-sink) AFTER its r06 driver row but
+    # BEFORE the manifest existed. Value = the minimum round whose green
+    # driver row satisfies the pin; once CORRECTNESS records a pass at
+    # that round or later, the pin expires automatically.
+    "stream_asof_enrich": 8,
+}
+
+
 _PRIORITY_KEYS = (
     # Round-6 verdict ask #1: the final 6 never-driver-verified keys,
     # window-pinned so the CORRECTNESS_r07 union closes at 264/264.
@@ -107,12 +121,29 @@ _PRIORITY_KEYS = (
 )
 
 
+def _changed_keys() -> set[str]:
+    """Keys whose source changed since the last manifest snapshot — the
+    rotation's CHANGED tier (see manifest.py). Import must never fail
+    the driver over a manifest problem: degrade to the empty set."""
+    try:
+        from mapreduce_6_824_lab1_spark.manifest import changed_keys
+
+        return changed_keys()
+    except Exception:
+        return set()
+
+
 def _rotated_keys() -> list[str]:
     """Registry keys: latest-row-FAILED keys at the absolute head (a red
-    driver row is re-checked the very next round), then still-unverified
-    _PRIORITY_KEYS (explicit verdict asks), then never-driver-verified
-    keys so the driver's [0:50] window always checks fresh keys, then
-    previously-verified keys stalest-first. WITHIN the fresh group, keys are
+    driver row is re-checked the very next round), then CHANGED keys —
+    previously-verified keys whose source hash differs from the manifest
+    snapshot (manifest.py) or whose _CHANGED_PIN_KEYS hand-pin is still
+    unsatisfied (the driver-green chain must track the code that actually
+    ships, so a rewritten operator re-enters the window the round it
+    changes) — then still-unverified _PRIORITY_KEYS (explicit verdict
+    asks), then never-driver-verified keys so the driver's [0:50] window
+    always checks fresh keys, then previously-verified keys
+    stalest-first. WITHIN the fresh group, keys are
     round-robined across operator families (prefix before the first '_'):
     with more fresh keys than window slots, plain registry order would
     starve whole families registered late in the import order (the
@@ -127,6 +158,21 @@ def _rotated_keys() -> list[str]:
     failed = [k for k in _driver_failed_keys() if k in order]
     failed.sort(key=lambda k: order[k])
     failed_set = set(failed)
+    # changed tier: auto-detected source drift on VERIFIED keys (a fresh
+    # key is already ahead of the stale queue) plus unexpired hand-pins
+    changed = sorted(
+        (
+            {k for k in _changed_keys() if k in order and k in seen}
+            | {
+                k
+                for k, need in _CHANGED_PIN_KEYS.items()
+                if k in order and seen.get(k, -1) < need
+            }
+        )
+        - failed_set,
+        key=lambda k: order[k],
+    )
+    failed_set |= set(changed)
     priority = sorted(
         (
             k
@@ -156,7 +202,7 @@ def _rotated_keys() -> list[str]:
         (k for k in keys if k in seen and k not in failed_set),
         key=lambda k: (seen[k], order[k]),
     )
-    return failed + priority + interleaved + stale
+    return failed + changed + priority + interleaved + stale
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,111 @@
+"""Key source manifest — the rotation's CHANGED-KEY tier (round-8 verdict
+ask #1).
+
+The driver verifies the first 50 keys of ``queries()``; the rotation in
+``__spark_entry__`` orders failed → fresh → stalest keys. That left one
+gap: a key whose BODY was rewritten after its last green driver row
+(``stream_asof_enrich`` in round 8: collect → lazy file-sink, latest
+driver row still r06) had no tier — the code the driver had verified no
+longer existed, yet the key sat deep in the stale queue.
+
+``KEY_SOURCE_MANIFEST.json`` (repo root) records, per registry key, a
+sha256 over the key function's source text plus its oracle SQL, snapshot
+at the LAST ROUND'S CLOSE — i.e. the source the most recent driver rows
+actually verified. Any key whose current hash differs joins the window
+head (after failed keys), so modified operators always re-enter the
+driver window in the round they change.
+
+Refresh discipline (enforced by tests/test_entry_rotation.py): run
+``python tools/refresh_source_manifest.py <round>`` at ROUND START,
+before editing, while the tree still equals the previous round's close.
+Refreshing too rarely only OVER-reports changes (a verified key stays
+pinned one extra round — conservative); a refresh after mid-round edits
+would under-report, which is why the tool stamps the round number for
+the freshness check.
+
+Granularity (deliberate): the hash covers the key FUNCTION's own source
+segment and its oracle string, not shared helpers or module-level
+constants — hashing whole modules would flag every key in a file on any
+one-line edit and displace the stalest-first regression sweep. Helper
+rewrites that change a key's behavior without touching its body are
+covered by the hand-pin convention (``_CHANGED_PIN_KEYS`` in
+``__spark_entry__``), the same mechanism that bootstrapped
+``stream_asof_enrich``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+from collections.abc import Callable, Mapping
+from pathlib import Path
+
+MANIFEST_PATH = (
+    Path(__file__).resolve().parent.parent / "KEY_SOURCE_MANIFEST.json"
+)
+
+
+def key_source_hash(fn: Callable, oracle: str) -> str:
+    """sha256 over the function's source text + NUL + its oracle SQL.
+
+    Unsourceable callables hash a stable identity token instead of
+    raising — the sink-grain lint (test_plans.py) separately guarantees
+    every registered key IS a plain sourceable package function, so this
+    branch only matters for forward robustness."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = (
+            "<unsourceable:"
+            f"{getattr(fn, '__module__', '')}."
+            f"{getattr(fn, '__qualname__', repr(type(fn)))}>"
+        )
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"\x00")
+    h.update((oracle or "").encode())
+    return h.hexdigest()
+
+
+def compute_key_source_hashes(
+    queries: Mapping[str, Callable] | None = None,
+    oracles: Mapping[str, str] | None = None,
+) -> dict[str, str]:
+    """Current {key: source hash} over the live registry."""
+    if queries is None:
+        from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
+
+        queries, oracles = QUERIES, ORACLES
+    oracles = oracles or {}
+    return {
+        k: key_source_hash(fn, oracles.get(k, ""))
+        for k, fn in queries.items()
+    }
+
+
+def load_manifest() -> dict:
+    """The committed manifest, or {} when absent/unreadable (the changed
+    tier then contributes nothing — rotation degrades to r08 behavior)."""
+    try:
+        data = json.loads(MANIFEST_PATH.read_text())
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def changed_keys() -> set[str]:
+    """Registry keys whose current source hash differs from the manifest
+    snapshot. Keys absent from the manifest are NOT changed — they are
+    new registrations, which the rotation's fresh tier already leads
+    with; deleted keys linger harmlessly in the manifest until the next
+    refresh."""
+    recorded = load_manifest().get("keys", {})
+    if not isinstance(recorded, dict) or not recorded:
+        return set()
+    current = compute_key_source_hashes()
+    return {
+        k
+        for k, h in current.items()
+        if k in recorded and recorded[k] != h
+    }

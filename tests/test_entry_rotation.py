@@ -44,14 +44,89 @@ def test_failed_rows_rotate_back_into_window():
     assert not entry_mod._row_passed(None)
 
 
+def _changed_tier() -> set[str]:
+    """Keys the CHANGED tier lifts out of the stalest-first queue: auto
+    source-hash drift plus unexpired hand-pins (mirrors _rotated_keys)."""
+    seen = entry_mod._driver_verified_rounds()
+    return entry_mod._changed_keys() | {
+        k
+        for k, need in entry_mod._CHANGED_PIN_KEYS.items()
+        if seen.get(k, -1) < need
+    }
+
+
 def test_verified_keys_cycle_stalest_first():
     """Once every key is covered, the window must revisit the keys whose
-    last passing driver row is OLDEST, so regressions can't hide forever."""
+    last passing driver row is OLDEST, so regressions can't hide forever.
+    The CHANGED tier is the one sanctioned exception: a verified key
+    whose source was rewritten jumps the queue (its driver row describes
+    code that no longer exists)."""
     rounds = entry_mod._driver_verified_rounds()
+    changed = _changed_tier()
     keys = list(entry_mod.queries())
-    verified_tail = [k for k in keys if k in rounds]
+    verified_tail = [k for k in keys if k in rounds and k not in changed]
     last = [rounds[k] for k in verified_tail]
     assert last == sorted(last), "verified keys are not ordered stalest-first"
+
+
+def test_changed_keys_lead_the_window():
+    """Round-8 verdict ask #1: every key in the changed tier (source-hash
+    drift vs KEY_SOURCE_MANIFEST.json, or an unexpired hand-pin like the
+    r08-rewritten stream_asof_enrich) must land inside the driver's
+    50-key window, ahead of the stalest-first queue."""
+    changed = _changed_tier()
+    assert "stream_asof_enrich" in changed or (
+        entry_mod._driver_verified_rounds().get("stream_asof_enrich", -1)
+        >= entry_mod._CHANGED_PIN_KEYS["stream_asof_enrich"]
+    ), "the r08 hand-pin must stay active until a fresh driver row lands"
+    window = list(entry_mod.queries())[:DRIVER_WINDOW]
+    missing = {k for k in changed if k in set(entry_mod.QUERIES)} - set(
+        window
+    )
+    assert not missing, (
+        f"changed keys outside the driver window: {missing}"
+    )
+
+
+def test_changed_tier_is_synthetic_and_expires(monkeypatch):
+    """Mechanism pins, independent of the current tree's real drift:
+    (a) a verified key reported changed by the manifest jumps to the
+    window head (right after failed keys); (b) a hand-pin expires once a
+    driver row at/after its round lands."""
+    real_seen = entry_mod._driver_verified_rounds()
+    victim = max(real_seen, key=lambda k: real_seen[k])  # freshest row
+    monkeypatch.setattr(entry_mod, "_changed_keys", lambda: {victim})
+    monkeypatch.setattr(entry_mod, "_driver_failed_keys", lambda: [])
+    monkeypatch.setattr(entry_mod, "_CHANGED_PIN_KEYS", {})
+    rotated = entry_mod._rotated_keys()
+    assert rotated[0] == victim, (
+        "a source-changed verified key must lead the rotation"
+    )
+
+    # (b) expiry: a pin needing round N is inactive once seen >= N
+    monkeypatch.setattr(entry_mod, "_changed_keys", lambda: set())
+    monkeypatch.setattr(
+        entry_mod, "_CHANGED_PIN_KEYS", {victim: real_seen[victim]}
+    )
+    rotated = entry_mod._rotated_keys()
+    assert rotated[0] != victim, "a satisfied hand-pin must expire"
+
+
+def test_manifest_covers_every_driver_verified_key():
+    """Refresh discipline (manifest.py): the committed manifest must hold
+    a hash for every key with a driver row — a verified key missing from
+    the manifest could be rewritten without ever re-entering the window.
+    Manifest keys must also all resolve in the registry (no tombstones)."""
+    from mapreduce_6_824_lab1_spark.manifest import load_manifest
+
+    man = load_manifest().get("keys", {})
+    assert man, "KEY_SOURCE_MANIFEST.json missing or empty"
+    seen = set(entry_mod._driver_verified_rounds())
+    registry = set(entry_mod.QUERIES)
+    unhashed = seen - set(man)
+    assert not unhashed, f"driver-verified keys without a manifest hash: {unhashed}"
+    stale_entries = set(man) - registry
+    assert not stale_entries, f"manifest tombstones: {stale_entries}"
 
 
 def test_queries_window_prioritizes_unverified_keys():
