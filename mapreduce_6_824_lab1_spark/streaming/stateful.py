@@ -151,6 +151,28 @@ def _sessionize(
     yield _sessions_frame(out)
 
 
+def _events_ts_long_ns(raw: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to long nanoseconds (µs-truncated).
+
+    The state machines, scratch files (_RAW_SCHEMA) and pandas loops all
+    speak long nanoseconds. Older Spark reads TIMESTAMP(NANOS) that way
+    via nanosAsLong; Spark 4.1+ reads it as TIMESTAMP_NTZ (µs) instead —
+    re-express as long ns (µs×1000 == DuckDB's truncation) in that case.
+    The long-ns path is truncated to µs granularity too ((ts div 1000) ×
+    1000) so BOTH Spark-version paths classify session-gap boundaries
+    identically even if the fixture ever grows sub-µs components."""
+    if not isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "long"
+            ),
+        )
+    return raw.withColumn(
+        "ts", (F.col("ts") - F.col("ts") % F.lit(1000)).cast("long")
+    )
+
+
 def _run_session_stream(spark: SparkSession, sf_dir: str, attach) -> DataFrame:
     """Shared harness for the two custom-stateful sessionizers: long-ns
     normalization, per-user flush sentinel, time-ranged batch staging
@@ -159,25 +181,7 @@ def _run_session_stream(spark: SparkSession, sf_dir: str, attach) -> DataFrame:
     see the sink-grain ruling in jobs.py), scratch detach. ``attach``
     maps the raw source stream to the sessionized stream."""
     configure(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # The state machine, scratch files (_RAW_SCHEMA) and pandas loop all
-    # speak long nanoseconds. Older Spark reads TIMESTAMP(NANOS) that way
-    # via nanosAsLong; Spark 4.1+ reads it as TIMESTAMP_NTZ (µs) instead —
-    # re-express as long ns (µs×1000 == DuckDB's truncation) in that case.
-    # The long-ns path is truncated to µs granularity too ((ts div 1000) ×
-    # 1000) so BOTH Spark-version paths classify session-gap boundaries
-    # identically even if the fixture ever grows sub-µs components.
-    if not isinstance(raw.schema["ts"].dataType, LongType):
-        raw = raw.withColumn(
-            "ts",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
-                "long"
-            ),
-        )
-    else:
-        raw = raw.withColumn(
-            "ts", (F.col("ts") - F.col("ts") % F.lit(1000)).cast("long")
-        )
+    raw = _events_ts_long_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
     sentinel = (
         raw.select("user_id")
         .distinct()
@@ -436,12 +440,30 @@ class _TypeCountProcessor(_BootstrappedProcessor):
     ``event_type -> (cnt, total_cents)`` updated batch-by-batch; each
     batch EMITS the new cumulative row for every type it touched (the
     update-mode changelog shape). State is one map entry per
-    (user, type) — domain-bounded per user, never per-event."""
+    (user, type) — domain-bounded per user, never per-event.
+
+    Reads are per-entry POINT OPS (``getValue`` per touched type — the
+    canonical MapState exercise this key exists to demonstrate); the
+    measured alternative is :class:`_TypeCountIterProcessor`, which
+    replaces the reads with one ``iterator()`` scan. A/B-measured round
+    9 (tools/ab_mapstate_iterator.py, SCALING_r09.md) so the
+    "iterator() is the ~40% traffic lever" note from SCALING_r08.md is
+    a number, not an estimate."""
 
     def init(self, handle) -> None:
         self._counts = handle.getMapState(
             "counts", "event_type string", "cnt long, tot long"
         )
+
+    def _prior(self, touched: list[str]) -> dict[str, tuple[int, int]]:
+        """Point-read each touched entry (one protobuf round-trip per
+        type) — the read path the A/B variant overrides."""
+        out = {}
+        for et in touched:
+            val = self._counts.getValue((et,))
+            if val is not None:
+                out[et] = (int(val[0]), int(val[1]))
+        return out
 
     def handleInputRows(self, key, rows, timerValues):
         import numpy as np
@@ -457,10 +479,10 @@ class _TypeCountProcessor(_BootstrappedProcessor):
             .groupby("et")["c"]
             .agg(["count", "sum"])
         )
+        prior = self._prior(list(agg.index))
         users, types, cnts, tots = [], [], [], []
         for et, row in agg.iterrows():
-            prior = self._counts.getValue((et,))
-            n0, t0 = prior if prior is not None else (0, 0)
+            n0, t0 = prior.get(et, (0, 0))
             n, t = n0 + int(row["count"]), t0 + int(row["sum"])
             self._counts.updateValue((et,), (n, t))
             users.append(user_id)
@@ -475,6 +497,23 @@ class _TypeCountProcessor(_BootstrappedProcessor):
                 "total_cents": pd.Series(tots, dtype="int64"),
             }
         )
+
+
+class _TypeCountIterProcessor(_TypeCountProcessor):
+    """The read-side A/B lever (round-8 verdict ask #5): identical
+    semantics, but prior values come from ONE ``iterator()`` scan of the
+    user's map instead of one ``getValue`` round-trip per touched type.
+    Correct because the scan is a superset of the touched entries —
+    untouched types just ride along in the local dict. NOT registered:
+    the registered key keeps the point-op form (it exists to exercise
+    the MapState point primitives); this class exists so
+    tools/ab_mapstate_iterator.py can measure the difference."""
+
+    def _prior(self, touched: list[str]) -> dict[str, tuple[int, int]]:
+        return {
+            k[0]: (int(v[0]), int(v[1]))
+            for k, v in self._counts.iterator()
+        }
 
 
 @query("stream_type_counts_tws", oracle=TYPE_COUNTS_ORACLE)
@@ -507,6 +546,16 @@ def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     RocksDB; per batch the protobuf traffic is touched-entries, the
     file sink is the durable changelog a KV upsert would consume.
     """
+    return _run_type_counts(spark, sf_dir, _TypeCountProcessor())
+
+
+def _run_type_counts(
+    spark: SparkSession, sf_dir: str, processor: StatefulProcessor
+) -> DataFrame:
+    """Staged-slice harness + downstream max-struct fold shared by the
+    registered point-op key and the A/B iterator variant
+    (tools/ab_mapstate_iterator.py) — one harness, two read paths, so
+    the A/B measures exactly the state-read difference."""
     from mapreduce_6_824_lab1_spark.catalog import load_table
     from mapreduce_6_824_lab1_spark.session import scoped_conf
 
@@ -531,7 +580,7 @@ def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(scratch)
         )
         counts = src.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=_TypeCountProcessor(),
+            statefulProcessor=processor,
             outputStructType=_TYPE_OUT_SCHEMA,
             outputMode="append",
             timeMode="none",
@@ -689,5 +738,190 @@ def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with scoped_conf(spark, _ROCKSDB_CONF):
             return _run_to_parquet(medians, spark)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# transformWithState EVENT-TIME TIMERS: sessions closed by the watermark
+# ---------------------------------------------------------------------------
+
+_SENTINEL_USER = -1
+_TIMER_WM_DELAY = "1 minute"
+
+
+def _session_timer_ms(last_ns: int) -> int:
+    """The ONE live timer for an open session: expiry = session close
+    time (last event + gap) in ms, +1 so the ns→ms floor can never fire
+    a hair early. Derived purely from ``state.last``, so timer
+    bookkeeping needs no extra state: delete ``f(prior.last)``, register
+    ``f(new.last)``, and on expiry the guard ``expiry == f(state.last)``
+    identifies (and ignores) a stale fire race-free."""
+    return (last_ns + GAP_NS) // 1_000_000 + 1
+
+
+class _TimerSessionProcessor(_BootstrappedProcessor):
+    """Sessionizer whose OPEN sessions are closed by event-time TIMERS
+    instead of a flush sentinel — the transformWithState surface
+    (``registerTimer`` / ``deleteTimer`` / ``handleExpiredTimer``) the
+    three round-8 TWS keys deliberately did not exercise.
+
+    Within-batch gap closes still emit from ``handleInputRows`` (shared
+    :func:`_fold_sessions` machine); the open remainder goes to
+    ValueState with a timer at ``_session_timer_ms(last)``. When the
+    watermark passes it, ``handleExpiredTimer`` emits the session and
+    clears state. Both possible same-batch orderings of input vs timer
+    delivery are correct: input-first re-registers and the stale expiry
+    fails the guard; timer-first emits, clears, and the fold then starts
+    a fresh session (any event arriving after the timer's watermark is
+    ≥ gap away from the closed session — see the harness proof in
+    :func:`stream_session_timers_tws`)."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("sess", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        pdf = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+        prior = self._state.get() if self._state.exists() else None
+        if prior is not None:
+            # exactly-one-live-timer discipline: drop the prior open
+            # session's timer before the fold moves `last`
+            self._handle.deleteTimer(_session_timer_ms(int(prior[1])))
+        out, new_state = _fold_sessions(
+            user_id, pdf, tuple(prior) if prior is not None else None
+        )
+        # this harness stages no flush rows: every batch that reaches a
+        # key carries >=1 real event, so a session is always open here
+        assert new_state is not None
+        self._state.update(new_state)
+        self._handle.registerTimer(_session_timer_ms(int(new_state[1])))
+        yield _sessions_frame(out)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        if self._state.exists():
+            start, last, n, tot = self._state.get()
+            expiry = expiredTimerInfo.getExpiryTimeInMs()
+            if _session_timer_ms(int(last)) == expiry and n > 0:
+                self._state.clear()
+                yield _sessions_frame([(user_id, int(start), int(n), tot)])
+
+
+@query("stream_session_timers_tws", oracle=SESSION_ORACLE)
+def stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMERS on transformWithState —
+    completing the TWS surface matrix: ValueState
+    (``stream_session_tws``), MapState (``stream_type_counts_tws``),
+    ListState (``stream_user_median_tws``), and now timers, checked
+    against the SAME exact batch oracle (``window_session``'s
+    lag/cumsum SQL) as the other two sessionizers.
+
+    Round-8 VERDICT ask #4 ruled timers had "no deterministic oracle"
+    because availableNow leaves open sessions unemitted. This harness
+    removes that obstacle deterministically instead of ruling it prose:
+
+    - the input is staged as 4 time-RANGED slices (ascending, explicit
+      ``_stamp_mtime`` order), so the watermark only moves forward and
+      no row is ever late under the 1-minute delay;
+    - two FAR-FUTURE sentinel slices (a single sentinel-user row each,
+      at max_ts + 100/101 gaps) follow: the first advances the watermark
+      past every real session-close time, the second is the batch in
+      which all remaining timers FIRE (watermark updates lag one batch,
+      which is why one sentinel is not enough). Every real session
+      therefore emits exactly once; the sentinel user's own state dies
+      with the query and is filtered from the output.
+
+    Correctness of early fires (why a timer can never split a session
+    the batch oracle would merge): a timer for a session with last
+    event L fires in batch b only if watermark(b) = max_ts(<b) - delay
+    >= L + gap; every event in batch >= b has ts > max_ts(<b) (time-
+    ranged staging), hence ts - L > gap + delay - 0 > gap — already a
+    new session under the strict-gap rule. Firing order is therefore
+    irrelevant to the result; the sentinel batches only flush the tail.
+
+    Grain discipline: session-grain output drains through
+    ``_run_to_parquet`` (sink-grain lint). Bench placement: sim/scale
+    tier per the round-8 ruling (no stream_* key is benched). 100 TB:
+    state is one open session struct + one timer per active user —
+    RocksDB-bounded by concurrent users, the canonical production
+    sessionizer shape (no flush sentinels to inject at scale; the
+    watermark does the closing, which is exactly why timers exist).
+    """
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
+
+    if not ensure_protobuf():  # honest gate, same as the TWS siblings
+        raise RuntimeError(
+            "stream_session_timers_tws needs a protobuf runtime "
+            "(protobuf_compat.ensure_protobuf found none)"
+        )
+    configure(spark)
+    raw = _events_ts_long_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    cols = ["ts", "user_id", "event_type", "value"]
+    scratch = tempfile.mkdtemp(prefix="mr_spark_timer_sess_")
+    try:
+        base = int(time.time())
+        bounds = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+        cuts = [float("-inf"), *bounds, float("inf")]
+        for i in range(len(cuts) - 1):
+            part = raw.filter(
+                (F.col("ts") > F.lit(cuts[i]))
+                & (F.col("ts") <= F.lit(cuts[i + 1]))
+            ).select(*cols)
+            # one file per time range: in-order watermark advance
+            part.coalesce(1).write.mode("overwrite").parquet(
+                f"{scratch}/batch_{i}"
+            )
+            _stamp_mtime(f"{scratch}/batch_{i}", base + 60 * i)
+        max_ts = raw.agg(F.max("ts")).first()[0]
+        # sentinel rows carry a REAL (non-FLUSH) event type: the fold must
+        # treat them as events (an open sentinel session + far-future
+        # timer, filtered below), not as a flush that nulls the state
+        for j, mult in enumerate((100, 101)):
+            spark.createDataFrame(
+                [
+                    (
+                        int(max_ts) + mult * GAP_NS,
+                        _SENTINEL_USER,
+                        "__sentinel__",
+                        0.0,
+                    )
+                ],
+                schema="ts long, user_id long, event_type string, "
+                "value double",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{scratch}/sentinel_{j}"
+            )
+            _stamp_mtime(f"{scratch}/sentinel_{j}", base + 3600 + 60 * j)
+        src = (
+            spark.readStream.schema(
+                "ts long, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(scratch)
+            # event-time timers need a watermark column: ts is long ns,
+            # the watermark clock is its µs projection
+            .withColumn(
+                "ts_ts",
+                F.timestamp_micros(
+                    (F.col("ts") / F.lit(1000)).cast("long")
+                ),
+            )
+            .withWatermark("ts_ts", _TIMER_WM_DELAY)
+        )
+        sessions = (
+            src.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_TimerSessionProcessor(),
+                outputStructType=_OUT_SCHEMA,
+                outputMode="append",
+                timeMode="eventTime",
+            )
+            .filter(F.col("user_id") != F.lit(_SENTINEL_USER))
+        )
+        with scoped_conf(spark, _ROCKSDB_CONF):
+            return _run_to_parquet(sessions, spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
