@@ -446,9 +446,13 @@ class _TypeCountProcessor(_BootstrappedProcessor):
     canonical MapState exercise this key exists to demonstrate); the
     measured alternative is :class:`_TypeCountIterProcessor`, which
     replaces the reads with one ``iterator()`` scan. A/B-measured round
-    9 (tools/ab_mapstate_iterator.py, SCALING_r09.md) so the
-    "iterator() is the ~40% traffic lever" note from SCALING_r08.md is
-    a number, not an estimate."""
+    9 (tools/ab_mapstate_iterator.py, SCALING_r09.md): at sf1 the
+    iterator variant runs 0.66× of this point-op form (40.4 s vs
+    61.6 s medians on the identical harness, identical results) — the
+    SCALING_r08.md "~40% traffic" estimate lands as a measured 34%
+    wall-clock cut. The point-op form stays registered because the key
+    exists to exercise the point primitives; a 100 TB deployment whose
+    per-key maps are small should take the iterator read."""
 
     def init(self, handle) -> None:
         self._counts = handle.getMapState(
