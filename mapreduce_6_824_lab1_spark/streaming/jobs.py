@@ -29,7 +29,7 @@ import time
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark.catalog import configure, normalize_events
@@ -176,6 +176,7 @@ def _stage_event_id_slices(
     scratch: str,
     keep_cols: list[str] | None = None,
     n: int = 4,
+    slice_col: Column | None = None,
 ) -> None:
     """Write ``df`` as ``n`` event-id-hash slices, one FILE each, so a
     ``maxFilesPerTrigger=1`` file stream delivers exactly ``n``
@@ -189,10 +190,17 @@ def _stage_event_id_slices(
     Slice ``i`` is mtime-stamped to ``base + 60*i`` (``_stamp_mtime``):
     batch composition AND order are deterministic, and a caller staging
     an extra flush file after these slices stamps it ``base + 3600`` so
-    it sorts strictly last."""
+    it sorts strictly last.
+
+    ``slice_col`` overrides the slicing expression (default
+    ``pmod(event_id, n)``) — a caller feeding a PRE-FILTERED id
+    subspace (e.g. only odd event_ids) passes one that still spreads
+    rows over all ``n`` residues, or half the slices arrive empty."""
     base = int(time.time())
+    if slice_col is None:
+        slice_col = F.pmod("event_id", F.lit(n))
     for i in range(n):
-        part = df.filter(F.pmod("event_id", F.lit(n)) == i)
+        part = df.filter(slice_col == i)
         if keep_cols is not None:
             part = part.select(*keep_cols)
         part.coalesce(1).write.mode("overwrite").parquet(

@@ -747,6 +747,172 @@ def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# transformWithState INITIAL STATE: batch-seeded running aggregates
+# ---------------------------------------------------------------------------
+
+
+class _BootstrapTypeCountProcessor(_BootstrappedProcessor):
+    """``handleInitialState`` processor: MapState seeded from a BATCH
+    DataFrame before the first micro-batch (the checkpoint-migration /
+    backfill-then-stream shape), then updated per stream batch exactly
+    like :class:`_TypeCountProcessor`; a per-user flush sentinel in the
+    last batch emits the final map via ONE ``iterator()`` scan — the
+    read lever the round-9 A/B measured at 0.66× of point reads, here
+    doing registered work.
+
+    Emission is flush-only (one row per (user, type)), so the sink IS
+    the result — no downstream fold. Cross-batch AND cross-seed carry
+    is what the oracle proves: cnt per (user, type) equals the FULL
+    batch count, reachable only if the seeded values survived into the
+    stream's state and every slice's updates landed on them."""
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "cnt long, tot long"
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        for et, n, t in zip(
+            initialState["event_type"],
+            initialState["cnt"],
+            initialState["total_cents"],
+        ):
+            self._counts.updateValue((str(et),), (int(n), int(t)))
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        (user_id,) = key
+        pdf = pd.concat(list(rows), ignore_index=True)
+        flush = bool((pdf["event_type"] == FLUSH).any())
+        data = pdf[pdf["event_type"] != FLUSH]
+        if len(data):
+            cents = np.floor(
+                data["value"].to_numpy() * 100.0 + 0.5
+            ).astype("int64")
+            agg = (
+                pd.DataFrame({"et": data["event_type"], "c": cents})
+                .groupby("et")["c"]
+                .agg(["count", "sum"])
+            )
+            for et, row in agg.iterrows():
+                prior = self._counts.getValue((et,))
+                n0, t0 = prior if prior is not None else (0, 0)
+                self._counts.updateValue(
+                    (et,), (n0 + int(row["count"]), t0 + int(row["sum"]))
+                )
+        users, types, cnts, tots = [], [], [], []
+        if flush:
+            for k, v in self._counts.iterator():
+                users.append(user_id)
+                types.append(k[0])
+                cnts.append(int(v[0]))
+                tots.append(int(v[1]))
+            self._counts.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(users, dtype="int64"),
+                "event_type": types,
+                "cnt": pd.Series(cnts, dtype="int64"),
+                "total_cents": pd.Series(tots, dtype="int64"),
+            }
+        )
+
+
+@query("stream_bootstrap_counts_tws", oracle=TYPE_COUNTS_ORACLE)
+def stream_bootstrap_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-type running aggregates with transformWithState
+    **initial state** (``handleInitialState``) — the remaining TWS
+    surface after the state primitives (r08) and event-time timers
+    (this round): state variables seeded from a batch DataFrame before
+    the first micro-batch.
+
+    This is the backfill-then-stream migration shape a production
+    pipeline actually runs: the SEED half of events (even event_ids) is
+    aggregated in BATCH and handed to the operator as
+    ``initialState=seed.groupBy("user_id")``; only the LIVE half (odd
+    event_ids) streams, staged as 4 slices over ``floor(event_id/2) %
+    4`` (the id subspace is pre-filtered, so the default residue
+    slicing would leave half the batches empty) plus a per-user flush
+    sentinel. The flush emits each user's final map via one
+    ``iterator()`` scan (the A/B-measured read lever in registered
+    use) — one row per (user, type), so the file sink IS the result.
+
+    The oracle is the plain FULL-events batch aggregate
+    (``TYPE_COUNTS_ORACLE``, same as ``stream_type_counts_tws``):
+    matching it is only possible if the batch-seeded entries survived
+    into streaming state and all four live slices accumulated onto
+    them — seed carry, cross-batch carry, and the seed/live split
+    covering the whole corpus are all checked by one exact hash.
+
+    Grain discipline: (user × type) emissions, ``_run_to_parquet``
+    drain. Bench placement: sim/scale tier per the round-8 ruling (no
+    stream_* key is benched). 100 TB: the seed aggregate is one
+    shuffle over the backfill corpus; state stays O(users × types) map
+    entries; the flush scan is one round-trip per user — this key plus
+    ``stream_type_counts_tws`` together demonstrate both the changelog
+    (emit-per-touch) and snapshot (emit-at-flush) output shapes."""
+    from mapreduce_6_824_lab1_spark.catalog import load_table
+    from mapreduce_6_824_lab1_spark.session import scoped_conf
+
+    if not ensure_protobuf():  # honest gate, same as the TWS siblings
+        raise RuntimeError(
+            "stream_bootstrap_counts_tws needs a protobuf runtime "
+            "(protobuf_compat.ensure_protobuf found none)"
+        )
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seed = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    live = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    initial = (
+        seed.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+        .groupBy("user_id")
+    )
+    scratch = tempfile.mkdtemp(prefix="mr_spark_bootcnt_in_")
+    try:
+        _stage_event_id_slices(
+            live,
+            scratch,
+            keep_cols=["user_id", "event_type", "value"],
+            slice_col=F.pmod(
+                F.floor(F.col("event_id") / F.lit(2)).cast("long"),
+                F.lit(4),
+            ),
+        )
+        ev.select("user_id").distinct().select(
+            "user_id",
+            F.lit(FLUSH).alias("event_type"),
+            F.lit(0.0).alias("value"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{scratch}/flush")
+        _stamp_mtime(f"{scratch}/flush", int(time.time()) + 3600)
+        src = (
+            spark.readStream.schema(
+                "user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(scratch)
+        )
+        counts = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_BootstrapTypeCountProcessor(),
+            outputStructType=_TYPE_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+            initialState=initial,
+        )
+        with scoped_conf(spark, _ROCKSDB_CONF):
+            return _run_to_parquet(counts, spark)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # transformWithState EVENT-TIME TIMERS: sessions closed by the watermark
 # ---------------------------------------------------------------------------
 

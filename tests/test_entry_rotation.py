@@ -130,15 +130,36 @@ def test_manifest_covers_every_driver_verified_key():
 
 
 def test_queries_window_prioritizes_unverified_keys():
+    """While unverified keys remain, no STALE-tier key (verified,
+    unchanged, unfailed) may sit ahead of a fresh key — the window head
+    is reserved for failed + changed + priority + fresh. (Before the
+    changed tier this read 'the head is solely fresh keys'; changed
+    keys are verified keys with a sanctioned head claim.)"""
     keys = list(entry_mod.queries())
     seen = _verified()
-    fresh = [k for k in keys if k not in seen]
+    changed = _changed_tier()
+    failed = set(entry_mod._driver_failed_keys())
+    head_tiers = changed | failed
+    fresh_pos = [i for i, k in enumerate(keys) if k not in seen]
+    stale_pos = [
+        i
+        for i, k in enumerate(keys)
+        if k in seen and k not in head_tiers
+    ]
+    if fresh_pos and stale_pos:
+        assert max(fresh_pos) < min(stale_pos), (
+            "a stale-tier key displaced a fresh key from the window head"
+        )
+    n_head = len(fresh_pos) + len(
+        [k for k in head_tiers if k in set(keys)]
+    )
     window = keys[:DRIVER_WINDOW]
-    # while unverified keys remain, the window must consist solely of them
-    expect_fresh = min(DRIVER_WINDOW, len(fresh))
-    assert all(k not in seen for k in window[:expect_fresh]), (
-        "driver window contains already-verified keys while "
-        f"{len(fresh)} keys still lack any CORRECTNESS row"
+    expect = min(DRIVER_WINDOW, n_head)
+    assert all(
+        (k not in seen) or (k in head_tiers) for k in window[:expect]
+    ), (
+        "driver window contains stale-tier keys while "
+        f"{len(fresh_pos)} keys still lack any CORRECTNESS row"
     )
 
 

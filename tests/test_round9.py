@@ -214,6 +214,56 @@ def test_timer_sessionizer_matches_batch_twin_exactly(spark):
     assert sink.filter(sink.user_id < 0).count() == 0
 
 
+def test_bootstrap_counts_seeded_state_matches_full_batch(spark):
+    """handleInitialState end-to-end at sf0.001: batch-seeded MapState
+    (even event_ids) + streamed live half (odd event_ids) must equal
+    the FULL batch aggregate — only reachable if the seeded entries
+    survived into streaming state and all live slices accumulated onto
+    them. The live half alone is a strict subset of the counts, so a
+    dead handleInitialState cannot pass. Flush-only emission: the sink
+    holds exactly one row per (user, type)."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
+    from mapreduce_6_824_lab1_spark.streaming import jobs
+    from mapreduce_6_824_lab1_spark.streaming.stateful import (
+        TYPE_COUNTS_ORACLE,
+    )
+    from tests.conftest import SF_DIR
+
+    assert ORACLES["stream_bootstrap_counts_tws"] == TYPE_COUNTS_ORACLE
+
+    before = len(jobs._OUT_SCRATCH)
+    out = QUERIES["stream_bootstrap_counts_tws"](spark, SF_DIR)
+    new_dirs = jobs._OUT_SCRATCH[before:]
+    assert len(new_dirs) == 1
+    sink = spark.read.parquet(f"{new_dirs[0]}/data")
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("total_cents"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert sink.count() == len(want)  # flush-only: one row per group
+    # and the seed genuinely contributes: live-half-only counts differ
+    live_only = (
+        ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+        .groupBy("user_id", "event_type")
+        .count()
+    )
+    assert live_only.count() != 0
+    full_cnt = {(r[0], r[1]): r[2] for r in batch.collect()}
+    assert any(
+        full_cnt[(r["user_id"], r["event_type"])] != r["count"]
+        for r in live_only.collect()
+    ), "fixture degenerate: live half equals full counts everywhere"
+
+
 def test_sink_grain_lint_flags_unsourceable_keys(monkeypatch):
     """Round-8 ADVICE row 3, red-check: a registration whose source the
     lint cannot read (here a functools.partial — no module, no source)
