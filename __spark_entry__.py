@@ -101,6 +101,13 @@ _CHANGED_PIN_KEYS: dict[str, int] = {
     # driver row satisfies the pin; once CORRECTNESS records a pass at
     # that round or later, the pin expires automatically.
     "stream_asof_enrich": 8,
+    # Round-9 self-review: _run_session_stream — the harness BOTH custom
+    # sessionizers run through — was rewritten this round (sleep-based
+    # staging -> explicit _stamp_mtime ordering). A helper-level change
+    # the function-grain manifest can't see: exactly what this hand-pin
+    # convention exists for.
+    "stream_session_stateful": 9,
+    "stream_session_tws": 9,
 }
 
 

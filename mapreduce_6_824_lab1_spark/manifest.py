@@ -15,13 +15,19 @@ actually verified. Any key whose current hash differs joins the window
 head (after failed keys), so modified operators always re-enter the
 driver window in the round they change.
 
-Refresh discipline (enforced by tests/test_entry_rotation.py): run
-``python tools/refresh_source_manifest.py <round>`` at ROUND START,
-before editing, while the tree still equals the previous round's close.
-Refreshing too rarely only OVER-reports changes (a verified key stays
-pinned one extra round — conservative); a refresh after mid-round edits
-would under-report, which is why the tool stamps the round number for
-the freshness check.
+Refresh discipline: run ``python tools/refresh_source_manifest.py
+<round>`` at ROUND START, before editing, while the tree still equals
+the previous round's close. Enforced by
+tests/test_entry_rotation.py::test_manifest_covers_every_driver_verified_key,
+which requires the stamped ``round`` to EQUAL the latest
+CORRECTNESS_r*.json round on disk — so the moment a new round's driver
+evidence lands, the suite stays red until the manifest is re-snapshot,
+making refresh the forced first action of a round. The test cannot
+detect a refresh run late WITHIN a round (after mid-round edits — the
+under-report direction); that hole is covered by convention plus the
+hand-pin escape hatch (``_CHANGED_PIN_KEYS``), and refreshing too
+rarely only OVER-reports changes (a verified key stays pinned one
+extra round — conservative).
 
 Granularity (deliberate): the hash covers the key FUNCTION's own source
 segment and its oracle string, not shared helpers or module-level

@@ -253,6 +253,21 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_session_stream(spark, sf_dir, attach)
 
 
+def _stage_flush_sentinel(ev: DataFrame, scratch: str) -> None:
+    """Stage ONE per-user FLUSH row as the single last-sorting file:
+    written after the data slices (which sit at base..base+180) and
+    mtime-stamped a full hour past them, so ``maxFilesPerTrigger=1``
+    delivers it as the final micro-batch — the flush recipe shared by
+    the ListState median and the initial-state bootstrap keys
+    (self-review round 9: one copy, or the keys silently diverge)."""
+    ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(FLUSH).alias("event_type"),
+        F.lit(0.0).alias("value"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{scratch}/flush")
+    _stamp_mtime(f"{scratch}/flush", int(time.time()) + 3600)
+
+
 def _rebuild_processor(cls: type) -> StatefulProcessor:
     """Unpickle hook for EVERY TWS processor: runs ``ensure_protobuf()``
     in the RECEIVING process before returning the processor — the worker
@@ -435,6 +450,24 @@ _TYPE_OUT_SCHEMA = (
 )
 
 
+def _type_counts_frame(
+    user_id: int, entries: list[tuple[str, int, int]]
+) -> pd.DataFrame:
+    """(type, cnt, total_cents) entries -> one _TYPE_OUT_SCHEMA frame."""
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series(
+                [user_id] * len(entries), dtype="int64"
+            ),
+            "event_type": [e[0] for e in entries],
+            "cnt": pd.Series([e[1] for e in entries], dtype="int64"),
+            "total_cents": pd.Series(
+                [e[2] for e in entries], dtype="int64"
+            ),
+        }
+    )
+
+
 class _TypeCountProcessor(_BootstrappedProcessor):
     """MapState processor: per user (the grouping key), a map
     ``event_type -> (cnt, total_cents)`` updated batch-by-batch; each
@@ -446,13 +479,16 @@ class _TypeCountProcessor(_BootstrappedProcessor):
     canonical MapState exercise this key exists to demonstrate); the
     measured alternative is :class:`_TypeCountIterProcessor`, which
     replaces the reads with one ``iterator()`` scan. A/B-measured round
-    9 (tools/ab_mapstate_iterator.py, SCALING_r09.md): at sf1 the
-    iterator variant runs 0.66× of this point-op form (40.4 s vs
-    61.6 s medians on the identical harness, identical results) — the
-    SCALING_r08.md "~40% traffic" estimate lands as a measured 34%
-    wall-clock cut. The point-op form stays registered because the key
-    exists to exercise the point primitives; a 100 TB deployment whose
-    per-key maps are small should take the iterator read."""
+    9 (tools/ab_mapstate_iterator.py, SCALING_r09.md): at sf1 WARM the
+    iterator read is a ~7.5% wall-clock saving (medians 39.1 vs
+    42.2 s over 3 alternating reps, identical row-level results) —
+    round-trip COUNT is roughly halved (the r08 estimate), but at sf1
+    wall-clock is dominated by Arrow/RocksDB/staging, so the traffic
+    cut doesn't convert 1:1; cold/short sessions show the large effect
+    (69 vs 41 s cold reps). The point-op form stays registered because
+    the key exists to exercise the point primitives; the iterator read
+    does registered work in ``stream_bootstrap_counts_tws``'s flush,
+    where scanning the WHOLE map is unambiguously right."""
 
     def init(self, handle) -> None:
         self._counts = handle.getMapState(
@@ -469,11 +505,14 @@ class _TypeCountProcessor(_BootstrappedProcessor):
                 out[et] = (int(val[0]), int(val[1]))
         return out
 
-    def handleInputRows(self, key, rows, timerValues):
+    def _accumulate(self, pdf: pd.DataFrame) -> list[tuple[str, int, int]]:
+        """Fold one batch's rows into MapState and return the touched
+        entries' NEW cumulative (type, cnt, total_cents) — the one copy
+        of the integer-cents quantization + read/update loop shared by
+        the changelog key and the initial-state key (self-review round
+        9: the rounding convention must never live in two places)."""
         import numpy as np
 
-        (user_id,) = key
-        pdf = pd.concat(list(rows), ignore_index=True)
         # integer-cents quantization, the repo-wide exact-sum convention
         cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(
             "int64"
@@ -484,23 +523,18 @@ class _TypeCountProcessor(_BootstrappedProcessor):
             .agg(["count", "sum"])
         )
         prior = self._prior(list(agg.index))
-        users, types, cnts, tots = [], [], [], []
+        out = []
         for et, row in agg.iterrows():
             n0, t0 = prior.get(et, (0, 0))
             n, t = n0 + int(row["count"]), t0 + int(row["sum"])
             self._counts.updateValue((et,), (n, t))
-            users.append(user_id)
-            types.append(et)
-            cnts.append(n)
-            tots.append(t)
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series(users, dtype="int64"),
-                "event_type": types,
-                "cnt": pd.Series(cnts, dtype="int64"),
-                "total_cents": pd.Series(tots, dtype="int64"),
-            }
-        )
+            out.append((et, n, t))
+        return out
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        pdf = pd.concat(list(rows), ignore_index=True)
+        yield _type_counts_frame(user_id, self._accumulate(pdf))
 
 
 class _TypeCountIterProcessor(_TypeCountProcessor):
@@ -714,18 +748,12 @@ def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage_event_id_slices(
             ev, scratch, keep_cols=["user_id", "event_type", "value"]
         )
-        ev.select("user_id").distinct().select(
-            "user_id",
-            F.lit(FLUSH).alias("event_type"),
-            F.lit(0.0).alias("value"),
-        ).coalesce(1).write.mode("overwrite").parquet(f"{scratch}/flush")
         # slice order is irrelevant (appends commute); only the flush
-        # file must sort LAST by mtime so the sentinel batch is final —
-        # an explicit far-future-of-the-slices stamp (slices sit at
-        # base..base+180), not a sleep (round-8 ADVICE: timing-based
-        # ordering could deliver the flush mid-stream on a coarse-mtime
+        # file must sort LAST so the sentinel batch is final — explicit
+        # stamp, not a sleep (round-8 ADVICE: timing-based ordering
+        # could deliver the flush mid-stream on a coarse-mtime
         # filesystem, dropping a slice from every user's median)
-        _stamp_mtime(f"{scratch}/flush", int(time.time()) + 3600)
+        _stage_flush_sentinel(ev, scratch)
         src = (
             spark.readStream.schema(
                 "user_id long, event_type string, value double"
@@ -751,25 +779,20 @@ def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-class _BootstrapTypeCountProcessor(_BootstrappedProcessor):
+class _BootstrapTypeCountProcessor(_TypeCountProcessor):
     """``handleInitialState`` processor: MapState seeded from a BATCH
     DataFrame before the first micro-batch (the checkpoint-migration /
-    backfill-then-stream shape), then updated per stream batch exactly
-    like :class:`_TypeCountProcessor`; a per-user flush sentinel in the
+    backfill-then-stream shape), then updated per stream batch through
+    the INHERITED :meth:`_TypeCountProcessor._accumulate` (one copy of
+    the cents/accumulate convention); a per-user flush sentinel in the
     last batch emits the final map via ONE ``iterator()`` scan — the
-    read lever the round-9 A/B measured at 0.66× of point reads, here
-    doing registered work.
+    read lever the round-9 A/B measured, here doing registered work.
 
     Emission is flush-only (one row per (user, type)), so the sink IS
     the result — no downstream fold. Cross-batch AND cross-seed carry
     is what the oracle proves: cnt per (user, type) equals the FULL
     batch count, reachable only if the seeded values survived into the
     stream's state and every slice's updates landed on them."""
-
-    def init(self, handle) -> None:
-        self._counts = handle.getMapState(
-            "counts", "event_type string", "cnt long, tot long"
-        )
 
     def handleInitialState(self, key, initialState, timerValues) -> None:
         for et, n, t in zip(
@@ -780,43 +803,20 @@ class _BootstrapTypeCountProcessor(_BootstrappedProcessor):
             self._counts.updateValue((str(et),), (int(n), int(t)))
 
     def handleInputRows(self, key, rows, timerValues):
-        import numpy as np
-
         (user_id,) = key
         pdf = pd.concat(list(rows), ignore_index=True)
         flush = bool((pdf["event_type"] == FLUSH).any())
         data = pdf[pdf["event_type"] != FLUSH]
         if len(data):
-            cents = np.floor(
-                data["value"].to_numpy() * 100.0 + 0.5
-            ).astype("int64")
-            agg = (
-                pd.DataFrame({"et": data["event_type"], "c": cents})
-                .groupby("et")["c"]
-                .agg(["count", "sum"])
-            )
-            for et, row in agg.iterrows():
-                prior = self._counts.getValue((et,))
-                n0, t0 = prior if prior is not None else (0, 0)
-                self._counts.updateValue(
-                    (et,), (n0 + int(row["count"]), t0 + int(row["sum"]))
-                )
-        users, types, cnts, tots = [], [], [], []
+            self._accumulate(data)  # changelog emissions not needed
+        entries: list[tuple[str, int, int]] = []
         if flush:
-            for k, v in self._counts.iterator():
-                users.append(user_id)
-                types.append(k[0])
-                cnts.append(int(v[0]))
-                tots.append(int(v[1]))
+            entries = [
+                (k[0], int(v[0]), int(v[1]))
+                for k, v in self._counts.iterator()
+            ]
             self._counts.clear()
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series(users, dtype="int64"),
-                "event_type": types,
-                "cnt": pd.Series(cnts, dtype="int64"),
-                "total_cents": pd.Series(tots, dtype="int64"),
-            }
-        )
+        yield _type_counts_frame(user_id, entries)
 
 
 @query("stream_bootstrap_counts_tws", oracle=TYPE_COUNTS_ORACLE)
@@ -885,12 +885,9 @@ def stream_bootstrap_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(4),
             ),
         )
-        ev.select("user_id").distinct().select(
-            "user_id",
-            F.lit(FLUSH).alias("event_type"),
-            F.lit(0.0).alias("value"),
-        ).coalesce(1).write.mode("overwrite").parquet(f"{scratch}/flush")
-        _stamp_mtime(f"{scratch}/flush", int(time.time()) + 3600)
+        # flush covers ALL users (seed ∪ live), so seed-only users
+        # still emit their map even if the live half never touches them
+        _stage_flush_sentinel(ev, scratch)
         src = (
             spark.readStream.schema(
                 "user_id long, event_type string, value double"

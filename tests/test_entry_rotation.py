@@ -119,7 +119,8 @@ def test_manifest_covers_every_driver_verified_key():
     Manifest keys must also all resolve in the registry (no tombstones)."""
     from mapreduce_6_824_lab1_spark.manifest import load_manifest
 
-    man = load_manifest().get("keys", {})
+    manifest = load_manifest()
+    man = manifest.get("keys", {})
     assert man, "KEY_SOURCE_MANIFEST.json missing or empty"
     seen = set(entry_mod._driver_verified_rounds())
     registry = set(entry_mod.QUERIES)
@@ -127,6 +128,19 @@ def test_manifest_covers_every_driver_verified_key():
     assert not unhashed, f"driver-verified keys without a manifest hash: {unhashed}"
     stale_entries = set(man) - registry
     assert not stale_entries, f"manifest tombstones: {stale_entries}"
+    # freshness: the snapshot must be of the LATEST closed round's tree.
+    # When a new CORRECTNESS_r{N}.json lands, this fails until the next
+    # round's builder runs tools/refresh_source_manifest.py {N} as its
+    # FIRST action (before editing) — the refresh-at-round-start
+    # discipline the changed tier's under-report analysis relies on.
+    latest_round = max(
+        (r for r, _ in entry_mod._correctness_rounds()), default=0
+    )
+    assert manifest.get("round") == latest_round, (
+        f"manifest snapshot is of round {manifest.get('round')} but the "
+        f"latest driver evidence is round {latest_round} — run "
+        f"tools/refresh_source_manifest.py {latest_round} BEFORE editing"
+    )
 
 
 def test_queries_window_prioritizes_unverified_keys():

@@ -19,6 +19,7 @@ Results are recorded in SCALING_r09.md.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -43,35 +44,34 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     spark = get_spark(app_name="ab-mapstate-iterator")
     timings: dict[str, list[float]] = {k: [] for k in VARIANTS}
-    checksums: dict[str, set] = {}
+    contents: dict[str, frozenset] = {}
     for rep in range(reps):
         for name, cls in VARIANTS.items():
             t0 = time.monotonic()
             out = _run_type_counts(spark, sf_dir, cls())
-            rows = out.count()
+            rows = frozenset(tuple(r) for r in out.collect())
             dt = time.monotonic() - t0
             timings[name].append(dt)
-            agg = out.groupBy().sum("cnt", "total_cents").first()
-            checksums.setdefault(name, set()).add(
-                (rows, agg[0], agg[1])
-            )
+            # row-LEVEL equality across every run of every variant —
+            # an aggregate checksum could be fooled by compensating
+            # per-(user,type) errors (self-review round 9)
+            prev = contents.setdefault(name, rows)
+            assert rows == prev, f"{name} drifted between reps"
             print(
                 json.dumps(
                     {
                         "variant": name,
                         "rep": rep,
                         "sec": round(dt, 3),
-                        "rows": rows,
+                        "rows": len(rows),
                     }
                 ),
                 flush=True,
             )
-    assert len(set().union(*checksums.values())) == 1, (
-        f"variants disagree: {checksums}"
+    assert contents["point_getValue"] == contents["iterator_scan"], (
+        "variants disagree at row level"
     )
-    med = {
-        k: sorted(v)[len(v) // 2] for k, v in timings.items()
-    }
+    med = {k: statistics.median(v) for k, v in timings.items()}
     print(
         json.dumps(
             {
