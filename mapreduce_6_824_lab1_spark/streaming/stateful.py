@@ -993,12 +993,20 @@ def stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``_stamp_mtime`` order), so the watermark only moves forward and
       no row is ever late under the 1-minute delay;
     - two FAR-FUTURE sentinel slices (a single sentinel-user row each,
-      at max_ts + 100/101 gaps) follow: the first advances the watermark
-      past every real session-close time, the second is the batch in
-      which all remaining timers FIRE (watermark updates lag one batch,
-      which is why one sentinel is not enough). Every real session
-      therefore emits exactly once; the sentinel user's own state dies
-      with the query and is filtered from the output.
+      at max_ts + 100/101 gaps) follow: the first advances the
+      watermark past every real session-close time; the second
+      guarantees a batch RUNS under that advanced watermark (watermark
+      updates lag one batch) without relying on any runtime feature.
+      Measured round 9 (tests/test_round9.py): with ZERO sentinels the
+      run is INCOMPLETE — the tail session of the user owning the
+      global max ts never fires (exactly the availableNow obstacle the
+      r08 ruling described); with ONE sentinel this Spark build is
+      already complete because ``noDataMicroBatches`` (default on)
+      runs a final empty batch that fires the remaining timers — but
+      that is a conf-dependent rescue, so the registered form keeps
+      the second sentinel and is deterministic BY CONSTRUCTION under
+      either setting. The sentinel user's own state dies with the
+      query and is filtered from the output.
 
     Correctness of early fires (why a timer can never split a session
     the batch oracle would merge): a timer for a session with last
@@ -1016,6 +1024,17 @@ def stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionizer shape (no flush sentinels to inject at scale; the
     watermark does the closing, which is exactly why timers exist).
     """
+    return _run_timer_sessions(spark, sf_dir, n_sentinels=2)
+
+
+def _run_timer_sessions(
+    spark: SparkSession, sf_dir: str, n_sentinels: int = 2
+) -> DataFrame:
+    """The timer sessionizer harness with the sentinel count exposed:
+    the registered key runs the documented two-sentinel form;
+    tests/test_round9.py runs the ONE-sentinel form to red-prove the
+    watermark-lag claim (timers registered in the last data batch can
+    only fire once a LATER batch runs under the advanced watermark)."""
     from mapreduce_6_824_lab1_spark.session import scoped_conf
 
     if not ensure_protobuf():  # honest gate, same as the TWS siblings
@@ -1045,7 +1064,7 @@ def stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sentinel rows carry a REAL (non-FLUSH) event type: the fold must
         # treat them as events (an open sentinel session + far-future
         # timer, filtered below), not as a flush that nulls the state
-        for j, mult in enumerate((100, 101)):
+        for j, mult in enumerate(range(100, 100 + n_sentinels)):
             spark.createDataFrame(
                 [
                     (
