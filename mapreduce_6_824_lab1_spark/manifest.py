@@ -29,21 +29,30 @@ hand-pin escape hatch (``_CHANGED_PIN_KEYS``), and refreshing too
 rarely only OVER-reports changes (a verified key stays pinned one
 extra round — conservative).
 
-Granularity (deliberate): the hash covers the key FUNCTION's own source
-segment and its oracle string, not shared helpers or module-level
-constants — hashing whole modules would flag every key in a file on any
-one-line edit and displace the stalest-first regression sweep. Helper
-rewrites that change a key's behavior without touching its body are
-covered by the hand-pin convention (``_CHANGED_PIN_KEYS`` in
-``__spark_entry__``), the same mechanism that bootstrapped
-``stream_asof_enrich``.
+Granularity: the hash covers the key FUNCTION's own source segment, its
+oracle string, AND the source of every same-package callable the
+function invokes by bare name (``ast.Call`` over ``ast.Name``, resolved
+through ``fn.__globals__`` — one level, no recursion). The one-level
+closure is what makes "extract the body into a helper" safe: the
+round-9 self-review found that extracting
+``stream_session_timers_tws``'s body into ``_run_timer_sessions``
+reduced the function-only hash to a one-line wrapper, silently
+reopening the stream_asof_enrich gap this mechanism exists to close.
+Whole-module hashing stays rejected (one-line edits would flag every
+key in the file and displace the stalest-first sweep). Still invisible,
+by accepted limitation: helpers' helpers, methods inherited from an
+edited base class, and attribute-call helpers (``obj.method(...)``) —
+those remain the hand-pin convention's job (``_CHANGED_PIN_KEYS`` in
+``__spark_entry__``).
 """
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import json
+import textwrap
 from collections.abc import Callable, Mapping
 from pathlib import Path
 
@@ -52,25 +61,62 @@ MANIFEST_PATH = (
 )
 
 
-def key_source_hash(fn: Callable, oracle: str) -> str:
-    """sha256 over the function's source text + NUL + its oracle SQL.
-
-    Unsourceable callables hash a stable identity token instead of
-    raising — the sink-grain lint (test_plans.py) separately guarantees
-    every registered key IS a plain sourceable package function, so this
+def _source_or_token(obj) -> str:
+    """getsource, or a stable identity token for unsourceable callables
+    — the sink-grain lint (test_plans.py) separately guarantees every
+    registered key IS a plain sourceable package function, so the token
     branch only matters for forward robustness."""
     try:
-        src = inspect.getsource(fn)
+        return inspect.getsource(obj)
     except (OSError, TypeError):
-        src = (
+        return (
             "<unsourceable:"
-            f"{getattr(fn, '__module__', '')}."
-            f"{getattr(fn, '__qualname__', repr(type(fn)))}>"
+            f"{getattr(obj, '__module__', '')}."
+            f"{getattr(obj, '__qualname__', repr(type(obj)))}>"
         )
+
+
+def _called_package_callables(fn: Callable) -> list[tuple[str, object]]:
+    """Same-package callables (functions, processor classes) that
+    ``fn``'s source invokes by bare name — sorted for hash determinism.
+    One level: the helpers' own callees are not followed."""
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    names = sorted(
+        {
+            node.func.id
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+        }
+    )
+    out = []
+    pkg = __name__.split(".", 1)[0]
+    for name in names:
+        obj = getattr(fn, "__globals__", {}).get(name)
+        if obj is None or not callable(obj):
+            continue
+        mod = getattr(inspect.getmodule(obj), "__name__", "")
+        if mod.startswith(pkg):
+            out.append((name, obj))
+    return out
+
+
+def key_source_hash(fn: Callable, oracle: str) -> str:
+    """sha256 over the function's source + its oracle SQL + the source
+    of every same-package callable it invokes by bare name (see the
+    module docstring for the granularity rationale)."""
     h = hashlib.sha256()
-    h.update(src.encode())
+    h.update(_source_or_token(fn).encode())
     h.update(b"\x00")
     h.update((oracle or "").encode())
+    for name, obj in _called_package_callables(fn):
+        h.update(b"\x00")
+        h.update(name.encode())
+        h.update(b"\x00")
+        h.update(_source_or_token(obj).encode())
     return h.hexdigest()
 
 

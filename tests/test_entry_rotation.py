@@ -112,6 +112,29 @@ def test_changed_tier_is_synthetic_and_expires(monkeypatch):
     assert rotated[0] != victim, "a satisfied hand-pin must expire"
 
 
+def test_manifest_hash_covers_one_level_helpers():
+    """The round-9 self-review found that extracting a key's body into
+    a helper reduced its manifest hash to a one-line wrapper — the hash
+    must therefore cover same-package callables invoked by bare name,
+    pinned here on the exact extractions that motivated it."""
+    from mapreduce_6_824_lab1_spark import QUERIES
+    from mapreduce_6_824_lab1_spark.manifest import (
+        _called_package_callables,
+    )
+
+    def called(key):
+        return {n for n, _ in _called_package_callables(QUERIES[key])}
+
+    assert "_run_timer_sessions" in called("stream_session_timers_tws")
+    assert "_run_session_stream" in called("stream_session_tws")
+    # processor classes and cross-module helpers count too
+    assert "_run_type_counts" in called("stream_type_counts_tws")
+    assert "_stage_event_id_slices" in called("stream_user_median_tws")
+    assert "_BootstrapTypeCountProcessor" in called(
+        "stream_bootstrap_counts_tws"
+    )
+
+
 def test_manifest_covers_every_driver_verified_key():
     """Refresh discipline (manifest.py): the committed manifest must hold
     a hash for every key with a driver row — a verified key missing from

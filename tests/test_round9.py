@@ -278,7 +278,7 @@ def test_timer_sessionizer_sentinels_are_load_bearing(spark):
 
     from mapreduce_6_824_lab1_spark import QUERIES
     from mapreduce_6_824_lab1_spark.streaming.stateful import (
-        GAP_NS,
+        _TIMER_WM_DELAY_MIN,
         _events_ts_long_ns,
         _run_timer_sessions,
     )
@@ -300,23 +300,48 @@ def test_timer_sessionizer_sentinels_are_load_bearing(spark):
     raw = _events_ts_long_ns(
         spark.read.parquet(f"{SF_DIR}/events.parquet")
     )
-    max_ts = raw.agg(F.max("ts")).first()[0]
-    horizon_ns = GAP_NS + 2 * 60 * 1_000_000_000  # gap + delay + slack
-    # every missing session must END within the unfired-tail horizon:
-    # its last event is at/after (max_ts - horizon); session_start is
-    # what we have per row, and start <= last, so check via the events:
-    # the user's max event ts must sit inside the horizon
-    tail_users = {
-        r[0]
-        for r in raw.groupBy("user_id")
-        .agg(F.max("ts").alias("m"))
-        .filter(F.col("m") >= F.lit(int(max_ts) - horizon_ns))
+    max_ts = int(raw.agg(F.max("ts")).first()[0])
+    delay_ns = _TIMER_WM_DELAY_MIN * 60 * 1_000_000_000
+    # PER-SESSION check (not per-user: a tail-horizon user's wrongly
+    # dropped EARLY session must still fail). A session is legitimately
+    # unfired only if its close time (last event + gap == session_window
+    # end) was never passed by the final watermark (max_ts - delay).
+    from mapreduce_6_824_lab1_spark.catalog import normalize_events
+    from mapreduce_6_824_lab1_spark.operators.temporal import (
+        SESSION_GAP_MIN,
+        TS_FMT_SPARK,
+    )
+
+    ev = normalize_events(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    closes = {
+        (r["user_id"], r["session_start"]): r["close_ns"]
+        for r in ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias(
+                "sw"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_FMT_SPARK).alias(
+                "session_start"
+            ),
+            (F.unix_micros(F.col("sw.end")) * F.lit(1000)).alias(
+                "close_ns"
+            ),
+        )
         .collect()
     }
-    assert {m[0] for m in missing} <= tail_users, (
-        "a session outside the stream-end horizon failed to fire — "
-        "that would be a timer bug, not the availableNow tail effect"
-    )
+    final_watermark_ns = max_ts - delay_ns
+    for m in missing:
+        close = closes[(m[0], m[1])]
+        assert close > final_watermark_ns, (
+            f"session {m[:2]} closes at {close}, before the final "
+            f"watermark {final_watermark_ns} — its timer should have "
+            "fired; this is a timer bug, not the availableNow tail "
+            "effect"
+        )
 
 
 def test_sink_grain_lint_flags_unsourceable_keys(monkeypatch):
