@@ -12,6 +12,7 @@ DuckDB equivalent → rows-only per the driver contract).
 from __future__ import annotations
 
 import json
+import sys
 from collections.abc import Callable
 from pathlib import Path
 
@@ -131,12 +132,28 @@ _PRIORITY_KEYS = (
 def _changed_keys() -> set[str]:
     """Keys whose source changed since the last manifest snapshot — the
     rotation's CHANGED tier (see manifest.py). Import must never fail
-    the driver over a manifest problem: degrade to the empty set."""
+    the driver over a manifest problem: degrade to the empty set — but
+    LOUDLY (round-9 advice): a blanket silent except would turn any
+    future manifest regression into an invisibly-dead changed tier, so
+    only the expected failure modes are caught and each prints one line
+    to stderr, which the driver log preserves."""
     try:
         from mapreduce_6_824_lab1_spark.manifest import changed_keys
 
         return changed_keys()
-    except Exception:
+    except (ImportError, OSError, ValueError, KeyError, TypeError) as exc:
+        print(
+            f"warning: changed-key tier disabled this run "
+            f"({type(exc).__name__}: {exc})",
+            file=sys.stderr,
+        )
+        return set()
+    except Exception as exc:  # noqa: BLE001 — driver must not fail, but loudly
+        print(
+            f"warning: changed-key tier disabled by UNEXPECTED "
+            f"{type(exc).__name__}: {exc} — investigate manifest.py",
+            file=sys.stderr,
+        )
         return set()
 
 

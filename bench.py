@@ -99,6 +99,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Session load context (round-9 ask #5): the 1-min loadavg at bench
+    # START is the executable form of the "never bench within ~2 min of a
+    # heavy pytest/sim block" rule — after a 32-thread block, load1 decays
+    # e^-t/min, so ~2 min settled corresponds to load1 <= ~4 on this box.
+    # bench_guard.py reads this field and annotates (never fails) sessions
+    # taken in a non-settled window, so floor evidence is self-describing.
+    load_start = os.getloadavg()
+
     spark = get_spark(app_name="mr-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -154,6 +162,7 @@ def main() -> None:
         ext_times[key] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -164,6 +173,10 @@ def main() -> None:
                 "extended": ext_times,
                 "extended_total": round(sum(ext_times.values()), 3),
                 "sf": sf,
+                "load": {
+                    "start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in load_end],
+                },
             }
         )
     )

@@ -30,20 +30,32 @@ rarely only OVER-reports changes (a verified key stays pinned one
 extra round — conservative).
 
 Granularity: the hash covers the key FUNCTION's own source segment, its
-oracle string, AND the source of every same-package callable the
-function invokes by bare name (``ast.Call`` over ``ast.Name``, resolved
-through ``fn.__globals__`` — one level, no recursion). The one-level
-closure is what makes "extract the body into a helper" safe: the
-round-9 self-review found that extracting
-``stream_session_timers_tws``'s body into ``_run_timer_sessions``
-reduced the function-only hash to a one-line wrapper, silently
-reopening the stream_asof_enrich gap this mechanism exists to close.
+oracle string, AND the source of every same-package callable reachable
+through bare-name calls (``ast.Call`` over ``ast.Name``) — walked to a
+FIXPOINT (round-9 verdict ask #6 / advice row 3; r9 shipped one level,
+which made "extract the body into a helper" safe but left helpers'
+helpers invisible — ``_fold_sessions`` edited under an already-hashed
+``_run_session_stream`` was the live example). The fixpoint kills that
+category outright: any same-package function transitively reachable by
+bare name is hashed (measured cost: <1 s over the 269-key registry,
+closures are 2–15 callables). Name resolution uses ``__globals__`` for
+functions, the defining module's namespace for classes (a processor
+class's method-body calls to module helpers are followed), and a
+per-source map of FUNCTION-LOCAL ``from ... import x as y`` aliases —
+without the last, a body-local aliased import (``load_table as _lt``,
+streaming/jobs.py) would silently fall out of the closure.
 Whole-module hashing stays rejected (one-line edits would flag every
-key in the file and displace the stalest-first sweep). Still invisible,
-by accepted limitation: helpers' helpers, methods inherited from an
-edited base class, and attribute-call helpers (``obj.method(...)``) —
-those remain the hand-pin convention's job (``_CHANGED_PIN_KEYS`` in
-``__spark_entry__``).
+key in the file and displace the stalest-first sweep); a fixpoint is
+not whole-module — an edit to a shared leaf (``catalog.configure``)
+flags exactly its dependents, which for shared infra is most of the
+registry, and that is the CONSERVATIVE direction (one round of
+over-re-verification, never an unverified rewrite). Still invisible:
+attribute calls on package class INSTANCES (``obj.method(...)``) and
+methods inherited from an edited base class — statically unresolvable;
+tests/test_manifest.py pins the fixpoint property plus a mutation
+test (editing a depth-3 leaf must change the hash), and
+``_CHANGED_PIN_KEYS`` in ``__spark_entry__`` stays as the escape
+hatch for the instance-method case.
 """
 
 from __future__ import annotations
@@ -76,10 +88,58 @@ def _source_or_token(obj) -> str:
         )
 
 
+def _name_scope(obj) -> Mapping[str, object]:
+    """Namespace bare names inside ``obj``'s source resolve against:
+    ``__globals__`` for functions; the defining module's dict for
+    classes (a class has no ``__globals__``, but its method bodies see
+    module scope — without this, a TWS processor class's calls to
+    module helpers like ``_fold_sessions`` would be unresolvable)."""
+    scope = getattr(obj, "__globals__", None)
+    if scope is not None:
+        return scope
+    mod = inspect.getmodule(obj)
+    return vars(mod) if mod is not None else {}
+
+
+def _local_import_aliases(tree: ast.AST, owner_module: str) -> dict[str, object]:
+    """{local name: imported object} for every ``from ... import x [as y]``
+    statement INSIDE the parsed source — function-body imports bind local
+    names that appear in neither ``__globals__`` nor the module dict, so
+    without this map a body-local ``from ..catalog import load_table as
+    _lt`` would silently fall out of the closure. Relative imports are
+    resolved against the owning module's package; only already-imported
+    modules are consulted (sys.modules — hashing must never trigger an
+    import)."""
+    import sys as _sys  # noqa: PLC0415
+
+    out: dict[str, object] = {}
+    pkg_parts = owner_module.split(".")
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom) or node.module is None:
+            continue
+        if node.level == 0:
+            target = node.module
+        else:
+            # relative: strip `level` trailing components off the owning
+            # module path (level 1 = same package for a module, so drop
+            # the module's own name), then append node.module
+            base = pkg_parts[: len(pkg_parts) - node.level]
+            target = ".".join([*base, node.module])
+        mod = _sys.modules.get(target)
+        if mod is None:
+            continue
+        for alias in node.names:
+            obj = getattr(mod, alias.name, None)
+            if obj is not None:
+                out[alias.asname or alias.name] = obj
+    return out
+
+
 def _called_package_callables(fn: Callable) -> list[tuple[str, object]]:
     """Same-package callables (functions, processor classes) that
     ``fn``'s source invokes by bare name — sorted for hash determinism.
-    One level: the helpers' own callees are not followed."""
+    One level: the helpers' own callees are not followed here; the
+    fixpoint walk lives in :func:`package_call_closure`."""
     try:
         tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, TypeError, SyntaxError):
@@ -94,8 +154,12 @@ def _called_package_callables(fn: Callable) -> list[tuple[str, object]]:
     )
     out = []
     pkg = __name__.split(".", 1)[0]
+    scope = _name_scope(fn)
+    local = _local_import_aliases(tree, getattr(fn, "__module__", "") or "")
     for name in names:
-        obj = getattr(fn, "__globals__", {}).get(name)
+        obj = local.get(name)
+        if obj is None:
+            obj = scope.get(name)
         if obj is None or not callable(obj):
             continue
         mod = getattr(inspect.getmodule(obj), "__name__", "")
@@ -104,15 +168,46 @@ def _called_package_callables(fn: Callable) -> list[tuple[str, object]]:
     return out
 
 
+def package_call_closure(
+    fn: Callable, depth: int | None = None
+) -> list[tuple[str, object]]:
+    """Breadth-first closure of same-package bare-name callees of ``fn``,
+    deduplicated by (name, module.qualname) and sorted for hash
+    determinism. depth=None (the manifest's setting) walks to FIXPOINT —
+    every transitively reachable callee is included; an integer depth
+    bounds the walk (depth=1 reproduces the round-9 one-level behavior;
+    tests use bounded walks to prove the fixpoint property)."""
+    seen: dict[tuple[str, str], object] = {}
+    frontier: list[tuple[object, int]] = [(fn, 0)]
+    visited: set[int] = {id(fn)}
+    while frontier:
+        cur, level = frontier.pop(0)
+        if depth is not None and level >= depth:
+            continue
+        for name, obj in _called_package_callables(cur):
+            ident = (
+                name,
+                f"{getattr(obj, '__module__', '')}."
+                f"{getattr(obj, '__qualname__', '')}",
+            )
+            if ident not in seen:
+                seen[ident] = obj
+            if id(obj) not in visited:
+                visited.add(id(obj))
+                frontier.append((obj, level + 1))
+    return sorted(seen.items(), key=lambda kv: kv[0])
+
+
 def key_source_hash(fn: Callable, oracle: str) -> str:
     """sha256 over the function's source + its oracle SQL + the source
-    of every same-package callable it invokes by bare name (see the
-    module docstring for the granularity rationale)."""
+    of every same-package callable reachable within HASH_DEPTH levels
+    of bare-name calls (see the module docstring for the granularity
+    rationale)."""
     h = hashlib.sha256()
     h.update(_source_or_token(fn).encode())
     h.update(b"\x00")
     h.update((oracle or "").encode())
-    for name, obj in _called_package_callables(fn):
+    for (name, _ident), obj in package_call_closure(fn):
         h.update(b"\x00")
         h.update(name.encode())
         h.update(b"\x00")

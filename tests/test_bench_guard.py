@@ -15,7 +15,15 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 )
 
-from tools.bench_guard import ABS_SLACK, FLOOR_PATH, RATIO, check, load_times
+from tools.bench_guard import (
+    ABS_SLACK,
+    FLOOR_PATH,
+    RATIO,
+    SETTLED_LOAD1,
+    check,
+    load_times,
+    session_context,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -126,3 +134,63 @@ def test_guard_cli_reads_driver_bench_record(tmp_path):
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "clean" in out.stdout
+
+
+def test_session_context_settled_vs_unsettled():
+    """Round-9 ask #5: the settled-session rule is executable, not prose —
+    the guard annotates (never fails on) the record's start-load field."""
+    settled = {"load": {"start": [1.2, 3.0, 5.0], "end": [20.0, 9.0, 6.0]}}
+    assert "settled" in session_context(settled)
+    assert "NOT SETTLED" not in session_context(settled)
+    hot = {"load": {"start": [SETTLED_LOAD1 * 3, 20.0, 10.0], "end": [22.0, 20.0, 11.0]}}
+    assert "NOT SETTLED" in session_context(hot)
+    assert "advisory" in session_context(hot)
+
+
+def test_session_context_unknown_for_pre_r10_records():
+    """Old BENCH_r{N}.json records lack the load field — annotate as
+    unknown rather than guessing either way."""
+    assert "unknown" in session_context({"queries": {"wordcount": 1.0}})
+    assert "unknown" in session_context({"load": {}})
+
+
+def test_unsettled_session_never_fails_the_guard(tmp_path):
+    """Load context is an annotation ONLY: a hot-start record whose times
+    all sit on floor must still exit 0, with the NOT SETTLED line printed."""
+    floor = _floor()
+    rec = {
+        "parsed": {
+            "queries": dict(floor),
+            "extended": {},
+            "load": {"start": [30.0, 25.0, 12.0], "end": [31.0, 27.0, 14.0]},
+        }
+    }
+    p = tmp_path / "hot.json"
+    p.write_text(json.dumps(rec))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_guard.py"), str(p)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "NOT SETTLED" in out.stdout
+    assert "clean" in out.stdout
+
+
+def test_bench_records_load_context():
+    """bench.py must put getloadavg() start/end triples into the JSON —
+    pinned via AST so the field can't silently drop out of the record."""
+    import ast
+
+    src = open(os.path.join(REPO, "bench.py")).read()
+    tree = ast.parse(src)
+    calls = [
+        n
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Attribute)
+        and n.func.attr == "getloadavg"
+    ]
+    assert len(calls) >= 2, "bench.py must sample loadavg at start AND end"
+    assert '"load"' in src and '"start"' in src and '"end"' in src

@@ -268,3 +268,35 @@ def test_r07_transition_surfaces_final_unverified_remainder(monkeypatch):
             "scalar_array_quantifiers",
             "timeseries_decay_sum",
         ]
+
+
+def test_dead_changed_tier_is_loud(monkeypatch, capsys):
+    """Round-9 advice: a manifest regression must not SILENTLY disable the
+    changed-key tier. _changed_keys degrades to the empty set (the driver
+    must never fail over the manifest) but prints one stderr line for
+    expected and unexpected failure modes alike."""
+    from mapreduce_6_824_lab1_spark import manifest
+
+    def boom_expected():
+        raise ValueError("corrupt manifest json")
+
+    monkeypatch.setattr(manifest, "changed_keys", boom_expected)
+    assert entry_mod._changed_keys() == set()
+    err = capsys.readouterr().err
+    assert "changed-key tier disabled" in err and "ValueError" in err
+
+    def boom_unexpected():
+        raise AttributeError("renamed api")
+
+    monkeypatch.setattr(manifest, "changed_keys", boom_unexpected)
+    assert entry_mod._changed_keys() == set()
+    err = capsys.readouterr().err
+    assert "UNEXPECTED" in err and "AttributeError" in err
+
+
+def test_live_changed_tier_prints_nothing(capsys):
+    """The warning fires only on failure — a healthy manifest run stays
+    quiet so driver logs don't cry wolf."""
+    keys = entry_mod._changed_keys()
+    assert isinstance(keys, set)
+    assert "changed-key tier disabled" not in capsys.readouterr().err

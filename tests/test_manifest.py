@@ -1,0 +1,130 @@
+"""Round-10 hardening of the changed-key manifest (round-9 verdict ask #6
+/ advice row 3): the source hash walks the bare-name call graph to a
+FIXPOINT, resolves function-local import aliases, and its sensitivity is
+mutation-tested — an edit to a depth-3 leaf helper must change the hash
+of every key that reaches it, with no hand-pin involved."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import textwrap
+from pathlib import Path
+
+from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
+from mapreduce_6_824_lab1_spark.manifest import (
+    key_source_hash,
+    package_call_closure,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _idents(fn, depth=None) -> set[str]:
+    return {ident for (_n, ident), _obj in dict.fromkeys(package_call_closure(fn, depth)).keys()}
+
+
+def test_closure_reaches_fixpoint_for_every_key():
+    """depth=None must equal a generously-bounded walk for ALL registry
+    keys — if they ever diverge, the fixpoint loop has a traversal bug
+    (e.g. a visited-set cycle break that drops reachable callees)."""
+    for key, fn in QUERIES.items():
+        assert _idents(fn, None) == _idents(fn, 50), key
+
+
+def test_fixpoint_covers_the_depth3_tail():
+    """The exact invisible-surface examples from the round-9 verdict:
+    helpers-of-helpers (``_fold_sessions`` under ``_run_session_stream``)
+    and shared catalog leaves (``configure`` under ``load_table``) must
+    be in the hashed closure now."""
+    timers = _idents(QUERIES["stream_session_timers_tws"])
+    assert any(i.endswith("stateful._fold_sessions") for i in timers)
+    wc = _idents(QUERIES["wordcount"])
+    assert any(i.endswith("catalog.configure") for i in wc), (
+        "configure is reached through normalize_events — a depth-3 leaf"
+    )
+    join = _idents(QUERIES["join_inner_equi"])
+    assert any(i.endswith("catalog.load_table") for i in join)
+    assert any(i.endswith("catalog.configure") for i in join)
+
+
+def test_function_local_import_alias_is_resolved():
+    """``from ...catalog import load_table as _lt`` inside a function
+    body binds a LOCAL name invisible to __globals__ — the live case is
+    stream_update_mode (streaming/jobs.py). The closure must still reach
+    catalog.load_table through the alias."""
+    upd = _idents(QUERIES["stream_update_mode"])
+    assert any(i.endswith("catalog.load_table") for i in upd)
+
+
+def test_processor_class_method_calls_are_followed():
+    """A TWS key that instantiates a processor CLASS by bare name must
+    pull in module helpers called inside the class's METHOD bodies (a
+    class has no __globals__ — resolution falls back to its module)."""
+    boot = _idents(QUERIES["stream_bootstrap_counts_tws"])
+    assert any("_BootstrapTypeCountProcessor" in i for i in boot)
+
+
+def _write_chain_module(tmp_path: Path, leaf_body: str):
+    """A disposable 3-deep module INSIDE the package namespace:
+    key_fn -> _mid -> _leaf. Returns the imported module object."""
+    src = textwrap.dedent(
+        f"""
+        def _leaf(x):
+            {leaf_body}
+
+        def _mid(x):
+            return _leaf(x) + 1
+
+        def key_fn(x):
+            return _mid(x) * 2
+        """
+    )
+    path = tmp_path / "chainmod.py"
+    path.write_text(src)
+    name = "mapreduce_6_824_lab1_spark._test_chainmod"
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        del sys.modules[name]
+        raise
+    return mod
+
+
+def test_mutation_editing_a_leaf_helper_changes_the_hash(tmp_path):
+    """The guard must FIRE: rewriting the body of a helper two calls
+    below the key function — leaving the key function and its direct
+    helper byte-identical — must change key_source_hash. This is the
+    _fold_sessions-under-_run_session_stream scenario, reproduced."""
+    mod = _write_chain_module(tmp_path, "return x + 1")
+    try:
+        before = key_source_hash(mod.key_fn, "SELECT 1")
+        # unchanged source -> unchanged hash (determinism)
+        assert before == key_source_hash(mod.key_fn, "SELECT 1")
+        mod2 = _write_chain_module(tmp_path, "return x + 2")
+        after = key_source_hash(mod2.key_fn, "SELECT 1")
+        assert before != after, (
+            "a depth-2 leaf edit was invisible to the manifest hash"
+        )
+        # oracle text is part of the hash too
+        assert before != key_source_hash(mod.key_fn, "SELECT 2")
+    finally:
+        sys.modules.pop("mapreduce_6_824_lab1_spark._test_chainmod", None)
+
+
+def test_every_key_reaches_some_package_helper():
+    """Sanity floor on closure usefulness: a registry key whose closure
+    is EMPTY would be hashed on its own body only — today every key
+    calls at least one package helper (catalog loaders at minimum). If
+    a legitimately closure-free key ever appears, list it here."""
+    empty = [k for k, fn in QUERIES.items() if not package_call_closure(fn)]
+    assert empty == [], f"keys with empty call closure: {empty}"
+
+
+def test_oracle_registry_alignment_still_holds():
+    """key_source_hash folds ORACLES[key] in — every oracle key must be
+    a registry key (a dangling oracle would hash nothing)."""
+    assert set(ORACLES) <= set(QUERIES)

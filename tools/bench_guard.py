@@ -36,6 +36,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR_PATH = os.path.join(REPO, "BENCH_FLOOR.json")
 RATIO = 2.0
 ABS_SLACK = 0.5  # seconds over floor before the ratio rule can fire
+# 1-min loadavg at bench START above which the session is annotated as
+# NOT settled (round-9 ask #5). Calibration: a 32-thread pytest/sim block
+# leaves load1 ~= 32 * e^(-t_min); the repo's prose rule "never bench
+# within ~2 min of heavy load" corresponds to load1 ~= 4 on this box.
+# Annotation only — the guard never FAILS on load context, because floor
+# ratchets are decided on multi-session MEDIANS, and the annotation tells
+# the median rule which sessions to trust.
+SETTLED_LOAD1 = 4.0
 
 
 def check(
@@ -73,8 +81,9 @@ def check(
     return bad, better
 
 
-def load_times(path: str | None) -> dict[str, float]:
-    """Per-query times from a bench record, merging headline + extended."""
+def load_record(path: str | None) -> dict:
+    """Parsed bench record: run bench.py fresh (path=None) or read a file
+    (driver BENCH_r{N}.json wrapper or raw bench.py stdout JSON)."""
     if path is None:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -90,9 +99,43 @@ def load_times(path: str | None) -> dict[str, float]:
             parsed = json.load(fh)
         if "parsed" in parsed:  # driver BENCH_r{N}.json wrapper
             parsed = parsed["parsed"]
+    return parsed
+
+
+def times_from(parsed: dict) -> dict[str, float]:
+    """Per-query times from a parsed record, merging headline + extended."""
     times = dict(parsed.get("queries", {}))
     times.update(parsed.get("extended", {}))
     return times
+
+
+def load_times(path: str | None) -> dict[str, float]:
+    """Per-query times from a bench record, merging headline + extended."""
+    return times_from(load_record(path))
+
+
+def session_context(parsed: dict) -> str:
+    """One-line settled/unsettled annotation from the record's start load.
+
+    Never a failure: the guard's 2x rule stays load-blind; this line tells
+    the multi-session floor-median rule which sessions were taken in a
+    clean window (the r08f/r09f post-pytest gram-matrix artifact is the
+    recurring case this makes visible instead of tribal knowledge)."""
+    load = parsed.get("load") or {}
+    start = load.get("start")
+    if not start:
+        return "session context: unknown (record predates the load field)"
+    load1 = float(start[0])
+    if load1 <= SETTLED_LOAD1:
+        return (
+            f"session context: settled (load1 {load1:.2f} at start, "
+            f"threshold {SETTLED_LOAD1:g})"
+        )
+    return (
+        f"session context: NOT SETTLED (load1 {load1:.2f} at start > "
+        f"{SETTLED_LOAD1:g}) — a heavy run preceded this bench; treat "
+        "this session's floor evidence as advisory"
+    )
 
 
 def main(argv: list[str]) -> int:
@@ -100,7 +143,9 @@ def main(argv: list[str]) -> int:
         floors = json.load(fh)
     floor = dict(floors["headline"])
     floor.update(floors["extended"])
-    times = load_times(argv[1] if len(argv) > 1 else None)
+    parsed = load_record(argv[1] if len(argv) > 1 else None)
+    times = times_from(parsed)
+    print(session_context(parsed))
     bad, better = check(floor, times)
     for line in better:
         print(f"note: {line}")
