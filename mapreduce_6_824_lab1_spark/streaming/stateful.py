@@ -1092,12 +1092,12 @@ def _run_timer_sessions(
             .option("recursiveFileLookup", "true")
             .parquet(scratch)
             # event-time timers need a watermark column: ts is long ns,
-            # the watermark clock is its µs projection
+            # the watermark clock is its µs projection — exact integer
+            # division (ts is ~1.7e18 > 2^53, so float division can be
+            # off by 1 µs near µs boundaries; `div` stays in longs)
             .withColumn(
                 "ts_ts",
-                F.timestamp_micros(
-                    (F.col("ts") / F.lit(1000)).cast("long")
-                ),
+                F.timestamp_micros(F.expr("ts div 1000")),
             )
             .withWatermark("ts_ts", _TIMER_WM_DELAY)
         )
