@@ -94,6 +94,32 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_stat_sample() -> tuple[int, int] | None:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line, or None off-Linux. Two samples bracketing the session give the
+    steal fraction DURING the run — the hypervisor-contention signal
+    loadavg cannot see (steal only appears under parallel demand)."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+    if len(vals) < 8:
+        return None
+    return sum(vals), vals[7]
+
+
+def _steal_pct(
+    start: tuple[int, int] | None, end: tuple[int, int] | None
+) -> float | None:
+    if start is None or end is None:
+        return None
+    dt, ds = end[0] - start[0], end[1] - start[1]
+    if dt <= 0:
+        return None
+    return round(100.0 * ds / dt, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -105,7 +131,12 @@ def main() -> None:
     # e^-t/min, so ~2 min settled corresponds to load1 <= ~4 on this box.
     # bench_guard.py reads this field and annotates (never fails) sessions
     # taken in a non-settled window, so floor evidence is self-describing.
+    # steal% over the whole session window is the EXTERNAL half of the
+    # story: hypervisor contention slows every query uniformly while
+    # loadavg stays low (the r10a artifact — 2.2x across 45 queries on a
+    # "settled" start; inputs are 17 MB, so cache coldness was immaterial).
     load_start = os.getloadavg()
+    cpu_start = _cpu_stat_sample()
 
     spark = get_spark(app_name="mr-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -176,6 +207,7 @@ def main() -> None:
                 "load": {
                     "start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in load_end],
+                    "steal_pct": _steal_pct(cpu_start, _cpu_stat_sample()),
                 },
             }
         )

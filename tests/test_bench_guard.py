@@ -147,6 +147,34 @@ def test_session_context_settled_vs_unsettled():
     assert "advisory" in session_context(hot)
 
 
+def test_session_context_flags_hypervisor_steal():
+    """The r10a artifact class: a loadavg-settled start with external
+    contention during the run. steal_pct above threshold must annotate
+    NOT SETTLED even when load1 is low; at/below threshold (or absent,
+    for records written off-Linux) it must not."""
+    hot = {"load": {"start": [1.5, 1.0, 1.0], "steal_pct": 12.3}}
+    out = session_context(hot)
+    assert "NOT SETTLED" in out and "steal 12.3%" in out
+    calm = {"load": {"start": [1.5, 1.0, 1.0], "steal_pct": 0.4}}
+    out = session_context(calm)
+    assert "NOT SETTLED" not in out and "steal 0.4%" in out
+    no_steal = {"load": {"start": [1.5, 1.0, 1.0], "steal_pct": None}}
+    assert "NOT SETTLED" not in session_context(no_steal)
+
+
+def test_bench_cpu_stat_sample_and_steal_math():
+    """_cpu_stat_sample parses this Linux box's /proc/stat; _steal_pct
+    turns bracketing samples into a window percentage and degrades to
+    None on missing/zero-width samples."""
+    import bench
+
+    s = bench._cpu_stat_sample()
+    assert s is not None and s[0] > 0 and s[1] >= 0
+    assert bench._steal_pct((1000, 10), (2000, 110)) == 10.0
+    assert bench._steal_pct(None, (2000, 110)) is None
+    assert bench._steal_pct((1000, 10), (1000, 10)) is None
+
+
 def test_session_context_unknown_for_pre_r10_records():
     """Old BENCH_r{N}.json records lack the load field — annotate as
     unknown rather than guessing either way."""

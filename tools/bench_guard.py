@@ -44,6 +44,11 @@ ABS_SLACK = 0.5  # seconds over floor before the ratio rule can fire
 # ratchets are decided on multi-session MEDIANS, and the annotation tells
 # the median rule which sessions to trust.
 SETTLED_LOAD1 = 4.0
+# Hypervisor steal over the session window above which the run is
+# annotated as externally contended (the r10a artifact class: uniform
+# 2.2x slowdown on a loadavg-settled start). Idle boxes measure ~0.1%;
+# a deliberate 32-way burn measured 14.8% on this host.
+SETTLED_STEAL_PCT = 5.0
 
 
 def check(
@@ -126,15 +131,30 @@ def session_context(parsed: dict) -> str:
     if not start:
         return "session context: unknown (record predates the load field)"
     load1 = float(start[0])
-    if load1 <= SETTLED_LOAD1:
-        return (
-            f"session context: settled (load1 {load1:.2f} at start, "
-            f"threshold {SETTLED_LOAD1:g})"
+    steal = load.get("steal_pct")
+    problems = []
+    if load1 > SETTLED_LOAD1:
+        problems.append(
+            f"load1 {load1:.2f} at start > {SETTLED_LOAD1:g} — a heavy "
+            "run preceded this bench"
         )
+    if steal is not None and float(steal) > SETTLED_STEAL_PCT:
+        problems.append(
+            f"hypervisor steal {float(steal):.1f}% during the session > "
+            f"{SETTLED_STEAL_PCT:g}% — external contention"
+        )
+    if problems:
+        return (
+            "session context: NOT SETTLED ("
+            + "; ".join(problems)
+            + ") — treat this session's floor evidence as advisory"
+        )
+    steal_note = (
+        f", steal {float(steal):.1f}%" if steal is not None else ""
+    )
     return (
-        f"session context: NOT SETTLED (load1 {load1:.2f} at start > "
-        f"{SETTLED_LOAD1:g}) — a heavy run preceded this bench; treat "
-        "this session's floor evidence as advisory"
+        f"session context: settled (load1 {load1:.2f} at start, "
+        f"threshold {SETTLED_LOAD1:g}{steal_note})"
     )
 
 
