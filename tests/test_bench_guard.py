@@ -222,3 +222,33 @@ def test_bench_records_load_context():
     ]
     assert len(calls) >= 2, "bench.py must sample loadavg at start AND end"
     assert '"load"' in src and '"start"' in src and '"end"' in src
+
+
+def test_floor_medians_session_filter(tmp_path):
+    """tools/floor_medians.py encodes the ratchet discipline: guard-red
+    and not-settled sessions are excluded from medians; pre-load-field
+    records count as settled (the r08/r09 protocol vetted them by hand)."""
+    from tools.floor_medians import _settled, load_sessions
+
+    assert _settled({"queries": {}})  # pre-field record
+    assert _settled({"load": {"start": [1.0, 1, 1], "steal_pct": 0.1}})
+    assert not _settled({"load": {"start": [9.0, 1, 1]}})
+    assert not _settled({"load": {"start": [1.0, 1, 1], "steal_pct": 9.9}})
+
+    floor = _floor()
+    clean = {"queries": dict(floor), "extended": {},
+             "load": {"start": [1.0, 1, 1], "steal_pct": 0.0}}
+    red = {"queries": {**floor, "wordcount": floor["wordcount"] * 5},
+           "extended": {}, "load": {"start": [1.0, 1, 1]}}
+    hot = {"queries": dict(floor), "extended": {},
+           "load": {"start": [30.0, 9, 9]}}
+    paths = []
+    for name, rec in [("a.json", clean), ("b.json", red), ("c.json", hot)]:
+        p = tmp_path / name
+        p.write_text(json.dumps(rec))
+        paths.append(str(p))
+    used, skipped = load_sessions(paths, floor)
+    assert [os.path.basename(p) for p, _ in used] == ["a.json"]
+    reasons = {os.path.basename(p): why for p, why in skipped}
+    assert "guard-red" in reasons["b.json"]
+    assert reasons["c.json"] == "not settled"

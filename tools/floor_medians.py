@@ -1,0 +1,134 @@
+"""Floor-ratchet evidence: per-query MEDIANS across bench sessions.
+
+The ratchet discipline (rounds 8–9, twice upheld against best-session
+readings): a floor may only move DOWN when the per-query MEDIAN across
+at least MIN_SESSIONS settled, guard-clean sessions sits below
+RATCHET_FRACTION of the committed floor. One quiet session is never
+evidence. This tool makes the rule executable instead of ad hoc:
+
+    python tools/floor_medians.py BENCH_LOCAL_r10*.json
+    python tools/floor_medians.py --all-r 9 10     # r09*+r10* session files
+
+Sessions are EXCLUDED from medians when (a) the guard flags any
+regression in them, or (b) their own load context says NOT SETTLED
+(load1 at start, steal% during the window — records predating the load
+field count as settled, matching how the r08/r09 medians were taken).
+Output: one line per query whose median is notable (below
+RATCHET_FRACTION -> ratchet candidate; above WATCH_RATIO -> drift
+watch), then a summary. Exit code is always 0 — this is evidence, not
+a gate; the GUARD is the gate.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_guard import (  # noqa: E402
+    FLOOR_PATH,
+    SETTLED_LOAD1,
+    SETTLED_STEAL_PCT,
+    check,
+    times_from,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MIN_SESSIONS = 5
+RATCHET_FRACTION = 0.8  # median below this x floor -> ratchet candidate
+WATCH_RATIO = 1.5  # median above this x floor -> drift watch line
+
+
+def _settled(parsed: dict) -> bool:
+    load = parsed.get("load") or {}
+    start = load.get("start")
+    if not start:
+        return True  # pre-field record: the old protocol vetted it by hand
+    if float(start[0]) > SETTLED_LOAD1:
+        return False
+    steal = load.get("steal_pct")
+    return steal is None or float(steal) <= SETTLED_STEAL_PCT
+
+
+def load_sessions(paths: list[str], floor: dict[str, float]):
+    used, skipped = [], []
+    for p in sorted(paths):
+        try:
+            with open(p) as fh:
+                parsed = json.load(fh)
+        except (OSError, ValueError):
+            skipped.append((p, "unreadable"))
+            continue
+        if "parsed" in parsed:
+            parsed = parsed["parsed"]
+        times = times_from(parsed)
+        if not times:
+            skipped.append((p, "no times"))
+            continue
+        bad, _ = check(floor, times)
+        if bad:
+            skipped.append((p, f"guard-red ({len(bad)})"))
+            continue
+        if not _settled(parsed):
+            skipped.append((p, "not settled"))
+            continue
+        used.append((p, times))
+    return used, skipped
+
+
+def main(argv: list[str]) -> int:
+    with open(FLOOR_PATH) as fh:
+        floors = json.load(fh)
+    floor = dict(floors["headline"])
+    floor.update(floors["extended"])
+
+    args = argv[1:]
+    if args[:1] == ["--all-r"]:
+        paths = []
+        for r in args[1:]:
+            paths += glob.glob(
+                os.path.join(REPO, f"BENCH_LOCAL_r{int(r):02d}*.json")
+            )
+    else:
+        paths = args
+    used, skipped = load_sessions(paths, floor)
+    for p, why in skipped:
+        print(f"excluded: {os.path.basename(p)} — {why}")
+    print(f"sessions in medians: {len(used)}"
+          f" ({', '.join(os.path.basename(p) for p, _ in used)})")
+    if len(used) < MIN_SESSIONS:
+        print(
+            f"INSUFFICIENT EVIDENCE: {len(used)} settled guard-clean "
+            f"sessions < {MIN_SESSIONS} — no ratchet may be taken"
+        )
+
+    ratchet, watch = [], []
+    for key, ref in sorted(floor.items()):
+        vals = [t[key] for _, t in used if key in t]
+        if not vals:
+            continue
+        med = statistics.median(vals)
+        if med < RATCHET_FRACTION * ref and len(used) >= MIN_SESSIONS:
+            ratchet.append(
+                f"{key}: median {med:.3f}s < {RATCHET_FRACTION:g}x floor "
+                f"{ref:.3f}s over {len(vals)} sessions — ratchet candidate"
+            )
+        elif med > WATCH_RATIO * ref:
+            watch.append(
+                f"{key}: median {med:.3f}s = {med / ref:.2f}x floor "
+                f"{ref:.3f}s — drift watch"
+            )
+    for line in ratchet:
+        print(f"RATCHET: {line}")
+    for line in watch:
+        print(f"watch: {line}")
+    if not ratchet:
+        print("no ratchet candidates on median evidence")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
