@@ -21,7 +21,7 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _idents(fn, depth=None) -> set[str]:
-    return {ident for (_n, ident), _obj in dict.fromkeys(package_call_closure(fn, depth)).keys()}
+    return {ident for (_name, ident), _obj in package_call_closure(fn, depth)}
 
 
 def test_closure_reaches_fixpoint_for_every_key():
