@@ -120,6 +120,27 @@ def _steal_pct(
     return round(100.0 * ds / dt, 2)
 
 
+def _membw_probe_gbps() -> float | None:
+    """Median-of-3 single-thread memcpy bandwidth (64 MB numpy copy, ~60
+    ms total). Memory-bandwidth contention from a co-tenant VM slows
+    every query uniformly while loadavg AND steal stay clean — the one
+    external signal the other two probes cannot see (r10e: gram-matrix
+    artifact tripped on load1 0.25 / steal 0.9%). Calibration on this
+    box: ~6.9 GB/s idle, ~3.5 GB/s under a deliberate 16-way copy burn."""
+    try:
+        import numpy as np  # noqa: PLC0415
+    except ImportError:
+        return None
+    a = np.zeros(64 << 20, dtype=np.uint8)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a.copy()
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    return round((2 * a.nbytes) / reps[1] / 1e9, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -137,6 +158,7 @@ def main() -> None:
     # "settled" start; inputs are 17 MB, so cache coldness was immaterial).
     load_start = os.getloadavg()
     cpu_start = _cpu_stat_sample()
+    membw_start = _membw_probe_gbps()
 
     spark = get_spark(app_name="mr-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -208,6 +230,7 @@ def main() -> None:
                     "start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in load_end],
                     "steal_pct": _steal_pct(cpu_start, _cpu_stat_sample()),
+                    "membw_gbps": [membw_start, _membw_probe_gbps()],
                 },
             }
         )

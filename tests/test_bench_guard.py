@@ -252,3 +252,31 @@ def test_floor_medians_session_filter(tmp_path):
     reasons = {os.path.basename(p): why for p, why in skipped}
     assert "guard-red" in reasons["b.json"]
     assert reasons["c.json"] == "not settled"
+
+
+def test_session_context_flags_memory_bus_contention():
+    """The r10e lesson: a session can be loadavg-settled AND steal-clean
+    yet externally contended on the memory bus — the membw probe is the
+    only one of the three that sees it. Below threshold (either sample)
+    must annotate; absent/None samples must not."""
+    slow = {"load": {"start": [0.3, 1, 1], "steal_pct": 0.5,
+                     "membw_gbps": [6.8, 3.1]}}
+    out = session_context(slow)
+    assert "NOT SETTLED" in out and "memory-bus" in out
+    ok = {"load": {"start": [0.3, 1, 1], "steal_pct": 0.5,
+                   "membw_gbps": [6.8, 6.5]}}
+    assert "NOT SETTLED" not in session_context(ok)
+    missing = {"load": {"start": [0.3, 1, 1], "membw_gbps": [None, None]}}
+    assert "NOT SETTLED" not in session_context(missing)
+
+    from tools.floor_medians import _settled
+
+    assert not _settled(slow)
+    assert _settled(ok)
+
+
+def test_bench_membw_probe_runs():
+    import bench
+
+    bw = bench._membw_probe_gbps()
+    assert bw is None or bw > 0.1

@@ -49,6 +49,12 @@ SETTLED_LOAD1 = 4.0
 # 2.2x slowdown on a loadavg-settled start). Idle boxes measure ~0.1%;
 # a deliberate 32-way burn measured 14.8% on this host.
 SETTLED_STEAL_PCT = 5.0
+# Single-thread memcpy bandwidth below which the session is annotated as
+# memory-bandwidth contended — the external signal loadavg and steal both
+# miss (a co-tenant saturating the memory bus shows zero steal). Box
+# calibration: ~6.9 GB/s idle, ~3.5 GB/s under a deliberate 16-way burn;
+# 4.5 splits the two modes with margin on both sides.
+SETTLED_MEMBW_GBPS = 4.5
 
 
 def check(
@@ -142,6 +148,14 @@ def session_context(parsed: dict) -> str:
         problems.append(
             f"hypervisor steal {float(steal):.1f}% during the session > "
             f"{SETTLED_STEAL_PCT:g}% — external contention"
+        )
+    membw = [
+        float(x) for x in (load.get("membw_gbps") or []) if x is not None
+    ]
+    if membw and min(membw) < SETTLED_MEMBW_GBPS:
+        problems.append(
+            f"memcpy bandwidth {min(membw):.1f} GB/s < "
+            f"{SETTLED_MEMBW_GBPS:g} — memory-bus contention"
         )
     if problems:
         return (

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_guard import (  # noqa: E402
     FLOOR_PATH,
     SETTLED_LOAD1,
+    SETTLED_MEMBW_GBPS,
     SETTLED_STEAL_PCT,
     check,
     times_from,
@@ -50,7 +51,12 @@ def _settled(parsed: dict) -> bool:
     if float(start[0]) > SETTLED_LOAD1:
         return False
     steal = load.get("steal_pct")
-    return steal is None or float(steal) <= SETTLED_STEAL_PCT
+    if steal is not None and float(steal) > SETTLED_STEAL_PCT:
+        return False
+    membw = [
+        float(x) for x in (load.get("membw_gbps") or []) if x is not None
+    ]
+    return not membw or min(membw) >= SETTLED_MEMBW_GBPS
 
 
 def load_sessions(paths: list[str], floor: dict[str, float]):
