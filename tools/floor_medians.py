@@ -11,8 +11,9 @@ evidence. This tool makes the rule executable instead of ad hoc:
 
 Sessions are EXCLUDED from medians when (a) the guard flags any
 regression in them, or (b) their own load context says NOT SETTLED
-(load1 at start, steal% during the window — records predating the load
-field count as settled, matching how the r08/r09 medians were taken).
+(load1 at start, steal% during the window, memcpy bandwidth below the
+contention threshold — records predating the load field count as
+settled, matching how the r08/r09 medians were taken by hand).
 Output: one line per query whose median is notable (below
 RATCHET_FRACTION -> ratchet candidate; above WATCH_RATIO -> drift
 watch), then a summary. Exit code is always 0 — this is evidence, not
