@@ -202,17 +202,30 @@ def main() -> None:
         nation.select("n_nationkey").mapInPandas(_warm_pandas, "n long")
     )
 
-    times: dict[str, float] = {}
-    for key in HEADLINE:
+    # Per-query steal attribution (round 10, session r10i lesson): the
+    # contention that slows a session is BURSTY — a session-average
+    # dilutes it, and a guard trip on one query can't be attributed
+    # after the fact. Bracketing each query with /proc/stat samples
+    # (~µs each) records which queries ran under external contention,
+    # so a trip ruling can cite the burst instead of guessing.
+    query_steal: dict[str, float] = {}
+
+    def timed(key: str, sink: dict[str, float]) -> None:
+        c0 = _cpu_stat_sample()
         t0 = time.perf_counter()
         materialize(QUERIES[key](spark, sf_dir))
-        times[key] = round(time.perf_counter() - t0, 3)
+        sink[key] = round(time.perf_counter() - t0, 3)
+        s = _steal_pct(c0, _cpu_stat_sample())
+        if s is not None:
+            query_steal[key] = s
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        timed(key, times)
 
     ext_times: dict[str, float] = {}
     for key in EXTENDED:
-        t0 = time.perf_counter()
-        materialize(QUERIES[key](spark, sf_dir))
-        ext_times[key] = round(time.perf_counter() - t0, 3)
+        timed(key, ext_times)
 
     total = round(sum(times.values()), 3)
     load_end = os.getloadavg()
@@ -231,6 +244,7 @@ def main() -> None:
                     "end": [round(x, 2) for x in load_end],
                     "steal_pct": _steal_pct(cpu_start, _cpu_stat_sample()),
                     "membw_gbps": [membw_start, _membw_probe_gbps()],
+                    "query_steal_pct": query_steal,
                 },
             }
         )

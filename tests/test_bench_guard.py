@@ -280,3 +280,46 @@ def test_bench_membw_probe_runs():
 
     bw = bench._membw_probe_gbps()
     assert bw is None or bw > 0.1
+
+
+def test_guard_attributes_trips_to_query_level_steal(tmp_path):
+    """r10i lesson: a guard trip whose query ran under a measured steal
+    burst must carry the attribution on its line (and still FAIL — the
+    annotation informs the median ruling, it never excuses a session)."""
+    floor = _floor()
+    times = dict(floor)
+    times["wordcount"] = floor["wordcount"] * 3 + 1.0
+    times["topk"] = floor["topk"] * 3 + 1.0
+    rec = {
+        "parsed": {
+            "queries": times,
+            "extended": {},
+            "load": {
+                "start": [0.2, 0.5, 0.9],
+                "steal_pct": 0.3,
+                "query_steal_pct": {"wordcount": 11.5, "topk": 0.1},
+            },
+        }
+    }
+    p = tmp_path / "burst.json"
+    p.write_text(json.dumps(rec))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_guard.py"), str(p)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert out.returncode == 1
+    lines = out.stdout.splitlines()
+    wc = next(l for l in lines if l.strip().startswith("wordcount:"))
+    tk = next(l for l in lines if l.strip().startswith("topk:"))
+    assert "steal 11.5% during this query" in wc
+    assert "steal" not in tk
+
+
+def test_bench_records_per_query_steal():
+    """The timed() wrapper must bracket EVERY benched query with cpu
+    samples — pinned on source so the field can't silently drop."""
+    src = open(os.path.join(REPO, "bench.py")).read()
+    assert '"query_steal_pct"' in src
+    assert "def timed(" in src

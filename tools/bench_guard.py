@@ -185,6 +185,22 @@ def main(argv: list[str]) -> int:
     times = times_from(parsed)
     print(session_context(parsed))
     bad, better = check(floor, times)
+    # Per-query steal attribution (r10i lesson): a trip that ran under a
+    # measured contention burst carries that fact on its line. The trip
+    # still FAILS — attribution informs the floor-median ruling, it does
+    # not excuse the session.
+    qsteal = (parsed.get("load") or {}).get("query_steal_pct") or {}
+    bad = [
+        line
+        + (
+            f" [steal {float(qsteal[k]):.1f}% during this query — "
+            "external contention measured]"
+            if (k := line.split(":", 1)[0]) in qsteal
+            and float(qsteal[k]) > SETTLED_STEAL_PCT
+            else ""
+        )
+        for line in bad
+    ]
     for line in better:
         print(f"note: {line}")
     if bad:
