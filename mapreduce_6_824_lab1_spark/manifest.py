@@ -107,29 +107,51 @@ def _local_import_aliases(tree: ast.AST, owner_module: str) -> dict[str, object]
     names that appear in neither ``__globals__`` nor the module dict, so
     without this map a body-local ``from ..catalog import load_table as
     _lt`` would silently fall out of the closure. Relative imports are
-    resolved against the owning module's package; only already-imported
-    modules are consulted (sys.modules — hashing must never trigger an
-    import)."""
+    resolved against the owning module's package. Targets absent from
+    sys.modules are imported via importlib (round-10 advice: hashing runs
+    at registry-import time, when package imports are side-effect-safe —
+    a sys.modules-only lookup made the hash depend on interpreter import
+    state, silently DROPPING a lazily-imported callee from the closure,
+    the under-report direction). ``from . import name`` (node.module is
+    None) and package-``__init__`` owners (level 1 = the package itself,
+    not its parent) are both handled."""
+    import importlib  # noqa: PLC0415
     import sys as _sys  # noqa: PLC0415
 
+    def _module(target: str):
+        mod = _sys.modules.get(target)
+        if mod is not None:
+            return mod
+        try:
+            return importlib.import_module(target)
+        except Exception:  # noqa: BLE001 — a broken target just drops out
+            return None
+
     out: dict[str, object] = {}
-    pkg_parts = owner_module.split(".")
+    pkg_parts = owner_module.split(".") if owner_module else []
+    # a package __init__ resolves level-1 imports against ITSELF — keep
+    # its own name when the owner has a __path__; plain modules strip it
+    is_pkg = hasattr(_sys.modules.get(owner_module), "__path__")
     for node in ast.walk(tree):
-        if not isinstance(node, ast.ImportFrom) or node.module is None:
+        if not isinstance(node, ast.ImportFrom):
             continue
         if node.level == 0:
-            target = node.module
+            target = node.module or ""
         else:
-            # relative: strip `level` trailing components off the owning
-            # module path (level 1 = same package for a module, so drop
-            # the module's own name), then append node.module
-            base = pkg_parts[: len(pkg_parts) - node.level]
-            target = ".".join([*base, node.module])
-        mod = _sys.modules.get(target)
+            strip = node.level - 1 if is_pkg else node.level
+            base = pkg_parts[: len(pkg_parts) - strip]
+            target = ".".join([*base, node.module] if node.module else base)
+        if not target:
+            continue
+        mod = _module(target)
         if mod is None:
             continue
         for alias in node.names:
             obj = getattr(mod, alias.name, None)
+            if obj is None:
+                # `from . import sub` binds a submodule that may not yet
+                # be an attribute of the package object
+                obj = _module(f"{target}.{alias.name}")
             if obj is not None:
                 out[alias.asname or alias.name] = obj
     return out
@@ -200,9 +222,9 @@ def package_call_closure(
 
 def key_source_hash(fn: Callable, oracle: str) -> str:
     """sha256 over the function's source + its oracle SQL + the source
-    of every same-package callable reachable within HASH_DEPTH levels
-    of bare-name calls (see the module docstring for the granularity
-    rationale)."""
+    of every same-package callable reachable at ANY depth of bare-name
+    calls (the fixpoint walk of :func:`package_call_closure`; see the
+    module docstring for the granularity rationale)."""
     h = hashlib.sha256()
     h.update(_source_or_token(fn).encode())
     h.update(b"\x00")

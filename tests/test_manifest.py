@@ -65,9 +65,13 @@ def test_processor_class_method_calls_are_followed():
     assert any("_BootstrapTypeCountProcessor" in i for i in boot)
 
 
-def _write_chain_module(tmp_path: Path, leaf_body: str):
+def _write_chain_module(tmp_path: Path, leaf_body: str, stem: str = "chainmod"):
     """A disposable 3-deep module INSIDE the package namespace:
-    key_fn -> _mid -> _leaf. Returns the imported module object."""
+    key_fn -> _mid -> _leaf. Returns the imported module object.
+    Each variant gets its OWN filename (round-10 advice: linecache
+    invalidates on (size, mtime), so two same-byte-length variants at
+    the same path could return the stale first body on a filesystem
+    with coarse mtime granularity)."""
     src = textwrap.dedent(
         f"""
         def _leaf(x):
@@ -80,9 +84,9 @@ def _write_chain_module(tmp_path: Path, leaf_body: str):
             return _mid(x) * 2
         """
     )
-    path = tmp_path / "chainmod.py"
+    path = tmp_path / f"{stem}.py"
     path.write_text(src)
-    name = "mapreduce_6_824_lab1_spark._test_chainmod"
+    name = f"mapreduce_6_824_lab1_spark._test_{stem}"
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
@@ -99,12 +103,12 @@ def test_mutation_editing_a_leaf_helper_changes_the_hash(tmp_path):
     below the key function — leaving the key function and its direct
     helper byte-identical — must change key_source_hash. This is the
     _fold_sessions-under-_run_session_stream scenario, reproduced."""
-    mod = _write_chain_module(tmp_path, "return x + 1")
+    mod = _write_chain_module(tmp_path, "return x + 1", stem="chainmod_a")
     try:
         before = key_source_hash(mod.key_fn, "SELECT 1")
         # unchanged source -> unchanged hash (determinism)
         assert before == key_source_hash(mod.key_fn, "SELECT 1")
-        mod2 = _write_chain_module(tmp_path, "return x + 2")
+        mod2 = _write_chain_module(tmp_path, "return x + 2", stem="chainmod_b")
         after = key_source_hash(mod2.key_fn, "SELECT 1")
         assert before != after, (
             "a depth-2 leaf edit was invisible to the manifest hash"
@@ -112,7 +116,54 @@ def test_mutation_editing_a_leaf_helper_changes_the_hash(tmp_path):
         # oracle text is part of the hash too
         assert before != key_source_hash(mod.key_fn, "SELECT 2")
     finally:
-        sys.modules.pop("mapreduce_6_824_lab1_spark._test_chainmod", None)
+        sys.modules.pop("mapreduce_6_824_lab1_spark._test_chainmod_a", None)
+        sys.modules.pop("mapreduce_6_824_lab1_spark._test_chainmod_b", None)
+
+
+def test_local_alias_resolves_from_dot_and_lazy_targets():
+    """Round-10 advice: ``from . import sub`` (node.module is None) must
+    bind the submodule, and a target absent from sys.modules must be
+    imported rather than silently dropped (sys.modules-only lookup made
+    the hash depend on interpreter import state)."""
+    import ast
+
+    from mapreduce_6_824_lab1_spark.manifest import _local_import_aliases
+
+    src = (
+        "def f():\n"
+        "    from . import catalog\n"
+        "    from .operators import text as _t\n"
+    )
+    out = _local_import_aliases(
+        ast.parse(src), "mapreduce_6_824_lab1_spark.manifest"
+    )
+    assert "catalog" in out and "_t" in out
+
+    # lazy target: evict a small stdlib module, the resolver must import it
+    evicted = sys.modules.pop("colorsys", None)
+    try:
+        src2 = "def f():\n    from colorsys import rgb_to_hls as _r\n"
+        out2 = _local_import_aliases(ast.parse(src2), "tests.test_manifest")
+        assert "_r" in out2
+    finally:
+        if evicted is not None:
+            sys.modules["colorsys"] = evicted
+
+
+def test_local_alias_package_init_owner_level():
+    """A function defined in a package ``__init__`` resolves ``from .x
+    import y`` against the package ITSELF — the old code stripped one
+    component too many and mis-resolved the target."""
+    import ast
+
+    from mapreduce_6_824_lab1_spark.manifest import _local_import_aliases
+
+    src = "def f():\n    from .manifest import key_source_hash as _k\n"
+    out = _local_import_aliases(ast.parse(src), "mapreduce_6_824_lab1_spark")
+    assert "_k" in out, (
+        "package-__init__ owner: level-1 import must resolve against the "
+        "package, not its parent"
+    )
 
 
 def test_every_key_reaches_some_package_helper():
