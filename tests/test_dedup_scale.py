@@ -63,11 +63,15 @@ def test_connected_components_long_path(spark):
 
 
 def test_connected_components_raises_without_convergence(spark):
+    # a 1000-node path: label coverage grows ~4x/round under the seeded
+    # + pointer-jumped loop, so 2 rounds cannot reach the fixpoint (the
+    # old 12-node path stopped tripping the cap once round-11's
+    # neighbor-min seeding removed a round)
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_rounds=3)
+        connected_components(pairs, max_rounds=2)
 
 
 def test_connected_components_degenerate_inputs(spark):
