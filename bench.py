@@ -229,26 +229,48 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     load_end = os.getloadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "extended": ext_times,
-                "extended_total": round(sum(ext_times.values()), 3),
-                "sf": sf,
-                "load": {
-                    "start": [round(x, 2) for x in load_start],
-                    "end": [round(x, 2) for x in load_end],
-                    "steal_pct": _steal_pct(cpu_start, _cpu_stat_sample()),
-                    "membw_gbps": [membw_start, _membw_probe_gbps()],
-                    "query_steal_pct": query_steal,
-                },
-            }
-        )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "extended": ext_times,
+        "extended_total": round(sum(ext_times.values()), 3),
+        "sf": sf,
+        "load": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in load_end],
+            "steal_pct": _steal_pct(cpu_start, _cpu_stat_sample()),
+            "membw_gbps": [membw_start, _membw_probe_gbps()],
+            "query_steal_pct": query_steal,
+        },
+    }
+    print(json.dumps(record))
+    _append_ledger(record)
+
+
+def _append_ledger(record: dict) -> None:
+    """Append the session record to BENCH_SESSIONS.jsonl (round-10 verdict
+    ask #8: one growing ledger instead of a loose file per session).
+    The stdout contract above is unchanged — the ledger is evidence for
+    tools/floor_medians.py and tools/bench_guard.py, which read it via
+    --ledger; loose BENCH_LOCAL_r*.json files from earlier rounds stay
+    readable by both tools. ``SPARK_GRAFT_SESSION_LABEL`` names the entry
+    (e.g. r11b); otherwise the timestamp identifies it. Best-effort: a
+    read-only checkout must not fail the bench."""
+    entry = dict(record)
+    entry["ts"] = round(time.time(), 1)
+    label = os.environ.get("SPARK_GRAFT_SESSION_LABEL")
+    if label:
+        entry["label"] = label
+    path = os.environ.get("SPARK_GRAFT_BENCH_LEDGER") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SESSIONS.jsonl"
     )
+    try:
+        with open(path, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

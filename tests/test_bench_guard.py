@@ -323,3 +323,45 @@ def test_bench_records_per_query_steal():
     src = open(os.path.join(REPO, "bench.py")).read()
     assert '"query_steal_pct"' in src
     assert "def timed(" in src
+
+
+def test_ledger_append_and_read(tmp_path, monkeypatch):
+    """Round-10 ask #8: bench.py appends each session to
+    BENCH_SESSIONS.jsonl; ledger_records skips torn lines; the guard and
+    floor_medians consume ledger entries."""
+    import bench
+    from tools.bench_guard import ledger_records, load_record
+
+    ledger = tmp_path / "BENCH_SESSIONS.jsonl"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LEDGER", str(ledger))
+    monkeypatch.setenv("SPARK_GRAFT_SESSION_LABEL", "rXXtest")
+    bench._append_ledger({"value": 1.0, "queries": {"wordcount": 1.0}})
+    monkeypatch.delenv("SPARK_GRAFT_SESSION_LABEL")
+    bench._append_ledger({"value": 2.0, "queries": {"wordcount": 2.0}})
+    ledger.write_text(ledger.read_text() + "{torn json\n")
+
+    recs = ledger_records(str(ledger))
+    assert len(recs) == 2, "torn line must be skipped, valid lines kept"
+    assert recs[0]["label"] == "rXXtest" and "ts" in recs[0]
+    assert "label" not in recs[1]
+
+    monkeypatch.setattr("tools.bench_guard.LEDGER_PATH", str(ledger))
+    assert load_record(None, ledger_label="rXXtest")["value"] == 1.0
+    assert load_record(None, ledger_label="")["value"] == 2.0
+    with pytest.raises(SystemExit):
+        load_record(None, ledger_label="no-such-label")
+
+
+def test_floor_medians_accepts_ledger_pairs():
+    """load_sessions must take (name, parsed-record) pairs — the shape
+    the --ledger mode feeds it — alongside file paths."""
+    from tools.floor_medians import load_sessions
+
+    floor = _floor()
+    clean = {"queries": dict(floor), "extended": {},
+             "load": {"start": [1.0, 1, 1], "steal_pct": 0.0}}
+    hot = {"queries": dict(floor), "extended": {},
+           "load": {"start": [30.0, 9, 9]}}
+    used, skipped = load_sessions([("r11x", clean), ("r11y", hot)], floor)
+    assert [n for n, _ in used] == ["r11x"]
+    assert [n for n, _ in skipped] == ["r11y"]

@@ -8,6 +8,8 @@ round driver (or a human) can run:
     python tools/bench_guard.py                  # run bench.py fresh, check
     python tools/bench_guard.py BENCH_r05.json   # check an existing record
     python tools/bench_guard.py bench_out.json   # raw bench.py stdout JSON
+    python tools/bench_guard.py --ledger         # newest BENCH_SESSIONS.jsonl entry
+    python tools/bench_guard.py --ledger r11b    # newest entry with that label
 
 Accepted input shapes: the driver's BENCH_r{N}.json (with a "parsed"
 object), or bench.py's own one-line JSON. Exit 0 = no regression; exit 1
@@ -96,9 +98,47 @@ def check(
     return bad, better
 
 
-def load_record(path: str | None) -> dict:
-    """Parsed bench record: run bench.py fresh (path=None) or read a file
-    (driver BENCH_r{N}.json wrapper or raw bench.py stdout JSON)."""
+LEDGER_PATH = os.path.join(REPO, "BENCH_SESSIONS.jsonl")
+
+
+def ledger_records(path: str | None = None) -> list[dict]:
+    """All parseable entries of the session ledger, in append order.
+    Unparseable lines are skipped (a torn write must not hide the rest
+    of the history). ``path`` defaults to LEDGER_PATH at CALL time so
+    tests can repoint the module attribute."""
+    out: list[dict] = []
+    try:
+        with open(path or LEDGER_PATH) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict):
+                    out.append(rec)
+    except OSError:
+        pass
+    return out
+
+
+def load_record(path: str | None, ledger_label: str | None = None) -> dict:
+    """Parsed bench record: run bench.py fresh (path=None), read a file
+    (driver BENCH_r{N}.json wrapper or raw bench.py stdout JSON), or —
+    when ``ledger_label`` is given — the newest BENCH_SESSIONS.jsonl
+    entry (label match, or the last entry for the empty string)."""
+    if ledger_label is not None:
+        recs = ledger_records()
+        if ledger_label:
+            recs = [r for r in recs if r.get("label") == ledger_label]
+        if not recs:
+            raise SystemExit(
+                f"no ledger entry matching label {ledger_label!r} in "
+                f"{LEDGER_PATH}"
+            )
+        return recs[-1]
     if path is None:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -181,7 +221,12 @@ def main(argv: list[str]) -> int:
         floors = json.load(fh)
     floor = dict(floors["headline"])
     floor.update(floors["extended"])
-    parsed = load_record(argv[1] if len(argv) > 1 else None)
+    if argv[1:2] == ["--ledger"]:
+        # `--ledger` = newest ledger entry; `--ledger r11b` = that label's
+        # newest entry (labels are set via SPARK_GRAFT_SESSION_LABEL)
+        parsed = load_record(None, ledger_label=argv[2] if len(argv) > 2 else "")
+    else:
+        parsed = load_record(argv[1] if len(argv) > 1 else None)
     times = times_from(parsed)
     print(session_context(parsed))
     bad, better = check(floor, times)

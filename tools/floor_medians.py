@@ -8,6 +8,9 @@ evidence. This tool makes the rule executable instead of ad hoc:
 
     python tools/floor_medians.py BENCH_LOCAL_r10*.json
     python tools/floor_medians.py --all-r 9 10     # r09*+r10* session files
+    python tools/floor_medians.py --ledger r11     # ledger entries whose
+                                                   # label starts with r11
+    python tools/floor_medians.py --ledger         # every ledger entry
 
 Sessions are EXCLUDED from medians when (a) the guard flags any
 regression in them, or (b) their own load context says NOT SETTLED
@@ -35,6 +38,7 @@ from bench_guard import (  # noqa: E402
     SETTLED_MEMBW_GBPS,
     SETTLED_STEAL_PCT,
     check,
+    ledger_records,
     times_from,
 )
 
@@ -61,12 +65,21 @@ def _settled(parsed: dict) -> bool:
 
 
 def load_sessions(paths: list[str], floor: dict[str, float]):
-    used, skipped = [], []
-    for p in sorted(paths):
+    """Filter sessions to settled + guard-clean. ``paths`` entries are
+    file paths, or (name, parsed-record) pairs for ledger entries."""
+    named: list[tuple[str, dict]] = []
+    for p in paths:
+        if isinstance(p, tuple):
+            named.append(p)
+            continue
         try:
             with open(p) as fh:
-                parsed = json.load(fh)
+                named.append((p, json.load(fh)))
         except (OSError, ValueError):
+            named.append((p, {"__unreadable__": True}))
+    used, skipped = [], []
+    for p, parsed in sorted(named, key=lambda np: np[0]):
+        if parsed.get("__unreadable__"):
             skipped.append((p, "unreadable"))
             continue
         if "parsed" in parsed:
@@ -99,6 +112,15 @@ def main(argv: list[str]) -> int:
             paths += glob.glob(
                 os.path.join(REPO, f"BENCH_LOCAL_r{int(r):02d}*.json")
             )
+    elif args[:1] == ["--ledger"]:
+        prefix = args[1] if len(args) > 1 else ""
+        paths = [
+            (rec.get("label") or f"ts{rec.get('ts', i)}", rec)
+            for i, rec in enumerate(ledger_records())
+            if (rec.get("label") or "").startswith(prefix)
+        ]
+        # remaining args after the prefix are extra loose files to mix in
+        paths += args[2:]
     else:
         paths = args
     used, skipped = load_sessions(paths, floor)
