@@ -220,6 +220,100 @@ def package_call_closure(
     return sorted(seen.items(), key=lambda kv: kv[0])
 
 
+def attr_call_blind_spots(fn: Callable) -> list[tuple[str, str, str]]:
+    """Attribute-call sites in ``fn``'s source that the manifest hash
+    CANNOT see (round-10 verdict ask #6 — make the blind spot enumerable
+    instead of conventional). The closure walk follows bare-name calls
+    only, so a call spelled ``base.attr(...)`` reaches package code
+    invisibly when ``base`` is:
+
+    - a package MODULE (``catalog.load_table(...)`` as an attribute
+      call — the repo convention is ``from ... import name``, so this
+      set should stay empty);
+    - a module-level package-class INSTANCE (a singleton's methods are
+      package code, but only the CLASS source is hashable and nothing
+      links the name to it);
+    - a local variable returned by a package helper whose return
+      annotation is a package class or missing (``proc =
+      make_processor(); proc.run()`` — the instance's class never
+      appears as a bare-name call). Helpers annotated with EXTERNAL
+      returns (DataFrame, Column, ...) are excluded: their methods are
+      engine code, not package code — this is what keeps the everyday
+      ``df = load_table(...); df.select(...)`` pattern out of the set.
+
+    A local constructed by a bare-name package-class call is NOT a
+    blind spot (the constructor call puts the class — hence every
+    method body — into the closure), and chained bases
+    (``x.a().b()``) are skipped: their object type is statically
+    unknowable, and the repo's lint keeps key plumbing out of that
+    shape. Returns sorted (kind, base, attr) triples;
+    tests/test_manifest.py pins the registry-wide union so any new
+    site must be explicitly acknowledged (hand-pin the key in
+    __spark_entry__._CHANGED_PIN_KEYS or restructure the call)."""
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    pkg = __name__.split(".", 1)[0]
+    scope = _name_scope(fn)
+    local = _local_import_aliases(tree, getattr(fn, "__module__", "") or "")
+
+    def _resolve(name: str):
+        obj = local.get(name)
+        return obj if obj is not None else scope.get(name)
+
+    assigned_from: dict[str, object] = {}
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and isinstance(node.value, ast.Call)
+            and isinstance(node.value.func, ast.Name)
+        ):
+            callee = _resolve(node.value.func.id)
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    assigned_from[tgt.id] = callee
+
+    sites: set[tuple[str, str, str]] = set()
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+        ):
+            continue
+        base, attr = node.func.value.id, node.func.attr
+        obj = _resolve(base)
+        if obj is not None:
+            if inspect.ismodule(obj) and getattr(
+                obj, "__name__", ""
+            ).startswith(pkg):
+                sites.add(("module-attr", base, attr))
+            elif not callable(obj) and type(obj).__module__.startswith(pkg):
+                sites.add(("singleton-instance", base, attr))
+            continue
+        callee = assigned_from.get(base)
+        if callee is None or not inspect.isfunction(callee):
+            continue
+        cmod = getattr(inspect.getmodule(callee), "__name__", "")
+        if not cmod.startswith(pkg):
+            continue
+        ret = getattr(callee, "__annotations__", {}).get("return")
+        if isinstance(ret, str):
+            # from __future__ import annotations: resolve against the
+            # callee's own globals; unresolvable -> treat as unknown
+            ret = getattr(callee, "__globals__", {}).get(ret, ret)
+        if inspect.isclass(ret) and not ret.__module__.startswith(pkg):
+            continue  # external return (DataFrame, Column, ...) — engine code
+        kind = (
+            "helper-returned-pkg-instance"
+            if inspect.isclass(ret)
+            else "helper-unknown-return"
+        )
+        sites.add((kind, base, attr))
+    return sorted(sites)
+
+
 def key_source_hash(fn: Callable, oracle: str) -> str:
     """sha256 over the function's source + its oracle SQL + the source
     of every same-package callable reachable at ANY depth of bare-name
