@@ -1,0 +1,204 @@
+"""sf1 oracle-parity pass (round-10 verdict ask #4).
+
+Every registry key is driver-verified at sf0.01 (~6k documents / 600k
+lineitem); this tool re-runs the HEAVIEST join/window/dedup/ANN keys
+against their own DuckDB oracles on the 10x replicas in
+``scaled_data/sf1`` — the drift classes invisible at fixture scale are
+float accumulation order (10x more addends per group), integer headroom
+(sums 10x larger), and candidate-generation cutoffs (DF caps, LSH bit
+ladders) that bind differently at bigger N. The compare is
+driver_sim.compare_frames — the same strict dtype-aware comparator the
+round gate uses.
+
+    python tools/parity_sf1.py            # the pinned 20-key list
+    python tools/parity_sf1.py key1 key2  # ad-hoc subset
+
+Writes PARITY_SF1.md (human record) and prints one status line per key.
+Exit 0 = all compared keys hash-green.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+
+from driver_sim import TABLES, compare_frames  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(REPO, "scaled_data", "sf1")
+RECORD = os.path.join(REPO, "PARITY_SF1.md")
+
+# The 20 heaviest oracle-bearing keys by bench cost, spanning the
+# families the verdict named: fuzzy dedup (posting lists, LSH bands,
+# substring grams, embedding buckets), ANN (graph build + CC), star
+# joins/multi-agg, windows (median/corr over big frames), interval and
+# path analytics, text ranking (tf-idf/BM25 integer micro-units).
+KEYS = [
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_substring_ngrams",
+    "dedup_embedding",
+    "dedup_exact_fulltext",
+    "similarity_topk",
+    "similarity_join",
+    "similarity_knn_graph",
+    "similarity_knn_clusters",
+    "basket_pair_support",
+    "supplier_scorecard",
+    "customer_rfm",
+    "cohort_revenue_ltv",
+    "window_sliding_median",
+    "window_rolling_corr",
+    "interval_union_length",
+    "events_path_topk",
+    "events_max_concurrency",
+    "text_tfidf",
+    "text_bm25_ranking",
+]
+
+
+def _union_find_labels(edges) -> dict[int, int]:
+    """Min-id connected components over (a, b) edge rows — the sf1-scale
+    oracle for the CC keys. The registry oracles replay CC with a
+    recursive reachability CTE, which materializes Σ|component|² rows:
+    fine at driver scale, intractable once components grow (measured:
+    >13 min and climbing on the sf1 kNN graph). Union-find over the
+    SAME DuckDB-produced edge list is still an independent check of the
+    Spark loop — the edges themselves are hash-verified against Spark by
+    the upstream graph key — at O(E α(N))."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+# CC keys: oracle = union-find over the upstream graph's oracle edges
+# (recursive CTE blows up at sf1 — see _union_find_labels). Maps key ->
+# (edge SQL producing columns (a, b), output columns).
+def _cc_oracle_frame(duck, key):
+    import pandas as pd  # noqa: PLC0415
+
+    from mapreduce_6_824_lab1_spark.operators.dedup import (  # noqa: PLC0415
+        NGRAM_ORACLE,
+    )
+    from mapreduce_6_824_lab1_spark.operators.similarity import (  # noqa: PLC0415
+        KNN_GRAPH_ORACLE,
+    )
+
+    edge_sql, a_col, b_col, id_col = {
+        "similarity_knn_clusters": (
+            KNN_GRAPH_ORACLE, "vec_id", "neighbor_id", "vec_id"
+        ),
+        "dedup_clusters": (NGRAM_ORACLE, "doc_a", "doc_b", "doc_id"),
+    }[key]
+    edges = duck.execute(edge_sql).fetchdf()[[a_col, b_col]].values
+    labels = _union_find_labels(edges)
+    return pd.DataFrame(
+        {
+            id_col: list(labels),
+            "cluster_rep": [labels[n] for n in labels],
+        }
+    ).astype("int64")
+
+
+def main() -> None:
+    only = sys.argv[1:]
+    keys = only or KEYS
+
+    from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
+    from mapreduce_6_824_lab1_spark.session import get_spark
+
+    spark = get_spark(app_name="parity-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF1}/{t}.parquet'"
+        )
+
+    lines, fails = [], []
+    for i, k in enumerate(keys):
+        t0 = time.time()
+        try:
+            sdf = QUERIES[k](spark, SF1).toPandas()
+        except Exception as ex:  # noqa: BLE001 — recorded, not raised
+            fails.append(k)
+            lines.append(f"| {k} | SPARK ERROR | — | {ex} |")
+            print(f"[{i + 1}/{len(keys)}] {k}: SPARK ERROR {ex}", flush=True)
+            continue
+        t_spark = time.time() - t0
+        is_cc = k in ("similarity_knn_clusters", "dedup_clusters")
+        if k not in ORACLES and not is_cc:
+            lines.append(
+                f"| {k} | rows-only | {len(sdf)} rows | no oracle |"
+            )
+            print(f"[{i + 1}/{len(keys)}] {k}: rows-only {len(sdf)}", flush=True)
+            continue
+        t0 = time.time()
+        if is_cc:
+            odf = _cc_oracle_frame(duck, k)
+        else:
+            odf = duck.execute(ORACLES[k]).fetchdf()
+        t_duck = time.time() - t0
+        msg = compare_frames(sdf, odf)
+        if msg:
+            fails.append(k)
+            lines.append(f"| {k} | **FAIL** | {len(sdf)} rows | {msg} |")
+            print(f"[{i + 1}/{len(keys)}] {k}: FAIL {msg}", flush=True)
+        else:
+            lines.append(
+                f"| {k} | pass | {len(sdf)} rows | spark "
+                f"{t_spark:.1f}s / duckdb {t_duck:.1f}s |"
+            )
+            print(
+                f"[{i + 1}/{len(keys)}] {k}: ok {len(sdf)} rows "
+                f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)",
+                flush=True,
+            )
+
+    if not only:  # ad-hoc subsets don't overwrite the committed record
+        with open(RECORD, "w") as fh:
+            fh.write(
+                "# PARITY_SF1 — oracle parity at 10x driver scale\n\n"
+                "Generated by `python tools/parity_sf1.py` over "
+                f"`scaled_data/sf1` (6M lineitem / 60k documents / 20k "
+                f"embeddings). Comparator: driver_sim.compare_frames "
+                "(dtype-aware, order-insensitive, float atol 1e-6).\n\n"
+                f"Result: **{len(keys) - len(fails)}/{len(keys)} "
+                "hash-green**"
+                + (f" — failures: {', '.join(fails)}" if fails else "")
+                + "\n\n| key | status | size | detail |\n|---|---|---|---|\n"
+                + "\n".join(lines)
+                + "\n"
+            )
+        print(f"wrote {RECORD}")
+    print(
+        json.dumps(
+            {"parity_sf1": f"{len(keys) - len(fails)}/{len(keys)}",
+             "fails": fails}
+        )
+    )
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
