@@ -10,11 +10,13 @@ ladders) that bind differently at bigger N. The compare is
 driver_sim.compare_frames — the same strict dtype-aware comparator the
 round gate uses.
 
-    python tools/parity_sf1.py            # the pinned 20-key list
-    python tools/parity_sf1.py key1 key2  # ad-hoc subset
+    python tools/parity_sf1.py            # the pinned 20-key list at sf1
+    python tools/parity_sf1.py key1 key2  # ad-hoc subset at sf1
+    python tools/parity_sf1.py --sf10     # 12-key spot-check at sf10
+                                          # (100x driver scale)
 
-Writes PARITY_SF1.md (human record) and prints one status line per key.
-Exit 0 = all compared keys hash-green.
+Writes PARITY_SF1.md / PARITY_SF10.md (human record) and prints one
+status line per key. Exit 0 = all compared keys hash-green.
 """
 
 from __future__ import annotations
@@ -34,6 +36,28 @@ from driver_sim import TABLES, compare_frames  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, "scaled_data", "sf1")
 RECORD = os.path.join(REPO, "PARITY_SF1.md")
+SF10 = os.path.join(REPO, "scaled_data", "sf10")
+RECORD10 = os.path.join(REPO, "PARITY_SF10.md")
+
+# sf10 spot-check: the subset whose ORACLES stay tractable in DuckDB at
+# 60M lineitem / 20M events / 600k documents / 200k embeddings — the
+# all-pairs-flavored oracles (similarity_join, ngram Jaccard, substring
+# grams) are quadratic-in-candidates on the oracle side and stop here;
+# their engine plans are separately swept to sf10 by scaling_sweep.
+SF10_KEYS = [
+    "supplier_scorecard",
+    "customer_rfm",
+    "cohort_revenue_ltv",
+    "basket_pair_support",
+    "window_sliding_median",
+    "window_rolling_corr",
+    "interval_union_length",
+    "events_path_topk",
+    "events_max_concurrency",
+    "text_tfidf",
+    "text_bm25_ranking",
+    "similarity_knn_graph",
+]
 
 # The 20 heaviest oracle-bearing keys by bench cost, spanning the
 # families the verdict named: fuzzy dedup (posting lists, LSH bands,
@@ -120,8 +144,12 @@ def _cc_oracle_frame(duck, key):
 
 
 def main() -> None:
-    only = sys.argv[1:]
-    keys = only or KEYS
+    args = sys.argv[1:]
+    sf10 = args[:1] == ["--sf10"]
+    only = args[1:] if sf10 else args
+    keys = only or (SF10_KEYS if sf10 else KEYS)
+    sf_dir = SF10 if sf10 else SF1
+    record = RECORD10 if sf10 else RECORD
 
     from mapreduce_6_824_lab1_spark import ORACLES, QUERIES
     from mapreduce_6_824_lab1_spark.session import get_spark
@@ -132,14 +160,14 @@ def main() -> None:
     duck = duckdb.connect()
     for t in TABLES:
         duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF1}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
     lines, fails = [], []
     for i, k in enumerate(keys):
         t0 = time.time()
         try:
-            sdf = QUERIES[k](spark, SF1).toPandas()
+            sdf = QUERIES[k](spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001 — recorded, not raised
             fails.append(k)
             lines.append(f"| {k} | SPARK ERROR | — | {ex} |")
@@ -176,12 +204,20 @@ def main() -> None:
             )
 
     if not only:  # ad-hoc subsets don't overwrite the committed record
-        with open(RECORD, "w") as fh:
+        scale = (
+            "100x driver scale (60M lineitem / 600k documents / 200k "
+            "embeddings; oracle-tractable subset — see SF10_KEYS)"
+            if sf10
+            else "10x driver scale (6M lineitem / 60k documents / 20k "
+            "embeddings)"
+        )
+        name = "PARITY_SF10" if sf10 else "PARITY_SF1"
+        cmd = "python tools/parity_sf1.py" + (" --sf10" if sf10 else "")
+        with open(record, "w") as fh:
             fh.write(
-                "# PARITY_SF1 — oracle parity at 10x driver scale\n\n"
-                "Generated by `python tools/parity_sf1.py` over "
-                f"`scaled_data/sf1` (6M lineitem / 60k documents / 20k "
-                f"embeddings). Comparator: driver_sim.compare_frames "
+                f"# {name} — oracle parity at {scale}\n\n"
+                f"Generated by `{cmd}`. Comparator: "
+                "driver_sim.compare_frames "
                 "(dtype-aware, order-insensitive, float atol 1e-6).\n\n"
                 f"Result: **{len(keys) - len(fails)}/{len(keys)} "
                 "hash-green**"
@@ -190,10 +226,11 @@ def main() -> None:
                 + "\n".join(lines)
                 + "\n"
             )
-        print(f"wrote {RECORD}")
+        print(f"wrote {record}")
     print(
         json.dumps(
-            {"parity_sf1": f"{len(keys) - len(fails)}/{len(keys)}",
+            {f"parity_{'sf10' if sf10 else 'sf1'}":
+                 f"{len(keys) - len(fails)}/{len(keys)}",
              "fails": fails}
         )
     )
