@@ -74,6 +74,19 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(pairs, max_rounds=2)
 
 
+def test_connected_components_round_count_pinned(spark):
+    """Guard the round-11 seeding win: a 64-node path (worst case per
+    node count — one long chain) must converge within 6 rounds under
+    neighbor-min seeds + init jump + per-round pointer jump (measured:
+    6 converges, 5 does not). A regression that silently drops the
+    seeding or a jump re-adds rounds and trips the cap here."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs, max_rounds=6)
+    assert all(r.cluster_rep == 0 for r in out.collect())
+
+
 def test_connected_components_degenerate_inputs(spark):
     # empty pair list: the sum-of-labels fingerprint is NULL on both
     # sides of the round-1 compare (sum over an empty frame), which must
