@@ -82,3 +82,27 @@ def test_driver_sim_compare_detects_each_divergence_class():
     assert "columns" in compare(base, renamed)
     # dropped row
     assert "rowcount" in compare(base, base.iloc[:1])
+
+
+def test_parity_union_find_oracle_matches_reference():
+    """tools/parity_sf1._union_find_labels is part of the sf1/sf10
+    verification chain (it replaces the recursive-CTE oracle for the CC
+    keys at scale) — pin it against the independent min-label union-find
+    reference in test_dedup_scale on seeded random multigraphs, plus the
+    degenerate shapes (self-loop, parallel edges)."""
+    import random
+
+    from tests.test_dedup_scale import _union_find_min_labels
+    from tools.parity_sf1 import _union_find_labels
+
+    assert _union_find_labels([(7, 7)]) == {7: 7}
+    assert _union_find_labels([(1, 2), (2, 1), (1, 2)]) == {1: 1, 2: 1}
+
+    rng = random.Random(11)
+    for _ in range(50):
+        n = rng.randint(2, 30)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 50))
+        ]
+        assert _union_find_labels(edges) == _union_find_min_labels(edges)
