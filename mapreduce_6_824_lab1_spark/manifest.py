@@ -124,14 +124,33 @@ def _local_import_aliases(tree: ast.AST, owner_module: str) -> dict[str, object]
             return mod
         try:
             return importlib.import_module(target)
-        except Exception:  # noqa: BLE001 — a broken target just drops out
+        except Exception as exc:  # noqa: BLE001 — but never silently
+            # for PACKAGE targets: a same-package target that fails to
+            # import drops its aliases out of the hash closure (the
+            # under-report direction) — surface it. Foreign targets
+            # (optional third-party deps inside engine source) can never
+            # join the closure (callees are filtered to this package),
+            # so their import failures are environmental noise.
+            if target.startswith(__name__.split(".", 1)[0]):
+                import warnings  # noqa: PLC0415
+
+                warnings.warn(
+                    f"manifest: import of closure target {target!r} "
+                    f"failed ({type(exc).__name__}: {exc}) — its aliases "
+                    "are dropped from the source-hash closure",
+                    stacklevel=2,
+                )
             return None
 
     out: dict[str, object] = {}
     pkg_parts = owner_module.split(".") if owner_module else []
     # a package __init__ resolves level-1 imports against ITSELF — keep
-    # its own name when the owner has a __path__; plain modules strip it
-    is_pkg = hasattr(_sys.modules.get(owner_module), "__path__")
+    # its own name when the owner has a __path__; plain modules strip it.
+    # Resolve the owner through _module (imports it if absent): a
+    # sys.modules-only peek misdetects a not-yet-registered package
+    # __init__ as a plain module, strips one component too many, and the
+    # bogus target's import failure silently drops the alias.
+    is_pkg = hasattr(_module(owner_module) if owner_module else None, "__path__")
     for node in ast.walk(tree):
         if not isinstance(node, ast.ImportFrom):
             continue
@@ -139,6 +158,12 @@ def _local_import_aliases(tree: ast.AST, owner_module: str) -> dict[str, object]
             target = node.module or ""
         else:
             strip = node.level - 1 if is_pkg else node.level
+            if strip > len(pkg_parts):
+                # a relative level deeper than the owner's package depth
+                # would slice with a negative stop and mis-resolve (e.g.
+                # owner 'pkg.mod', level 3 -> 'pkg.x'); such an import is
+                # broken at runtime anyway — skip, don't feed importlib
+                continue
             base = pkg_parts[: len(pkg_parts) - strip]
             target = ".".join([*base, node.module] if node.module else base)
         if not target:
@@ -289,7 +314,16 @@ def attr_call_blind_spots(fn: Callable) -> list[tuple[str, str, str]]:
                 obj, "__name__", ""
             ).startswith(pkg):
                 sites.add(("module-attr", base, attr))
-            elif not callable(obj) and type(obj).__module__.startswith(pkg):
+            elif (
+                not inspect.isfunction(obj)
+                and not inspect.isclass(obj)
+                and not inspect.ismodule(obj)
+                # explicit kind check, NOT callable(): a package-class
+                # singleton whose class defines __call__ is callable yet
+                # its method calls are exactly the invisible-instance
+                # blind spot this set exists to enumerate
+                and type(obj).__module__.startswith(pkg)
+            ):
                 sites.add(("singleton-instance", base, attr))
             continue
         callee = assigned_from.get(base)

@@ -66,12 +66,15 @@ def test_connected_components_raises_without_convergence(spark):
     # a 1000-node path: label coverage grows ~4x/round under the seeded
     # + pointer-jumped loop, so 2 rounds cannot reach the fixpoint (the
     # old 12-node path stopped tripping the cap once round-11's
-    # neighbor-min seeding removed a round)
+    # neighbor-min seeding removed a round). Contraction is disabled:
+    # the round-12 partition-local union-find flattens each partition's
+    # chain segment to a star, and THIS test exists to cover the loop's
+    # round-cap RAISE path, which is contraction-independent.
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_rounds=2)
+        connected_components(pairs, max_rounds=2, local_contraction=False)
 
 
 def test_connected_components_round_count_pinned(spark):
@@ -85,6 +88,46 @@ def test_connected_components_round_count_pinned(spark):
     )
     out = connected_components(pairs, max_rounds=6)
     assert all(r.cluster_rep == 0 for r in out.collect())
+
+
+def test_contract_partitions_invariants(spark):
+    """The round-12 partition-local union-find pre-pass
+    (dedup._contract_partitions) must preserve the node set and the
+    component structure of the input pair list — on a MULTI-partition
+    layout where no single partition sees a whole component — and emit
+    star edges whose targets are same-component ids (the label
+    invariant the CC loop's min-propagation relies on)."""
+    from mapreduce_6_824_lab1_spark.operators.dedup import (
+        _contract_partitions,
+    )
+
+    # two components interleaved row-wise across 4 partitions, plus a
+    # self-loop-only node
+    edges = [(i, i + 1) for i in range(10)]  # component min 0
+    edges += [(100 + i, 100 + i + 1) for i in range(10)]  # min 100
+    edges += [(555, 555)]
+    pairs = spark.createDataFrame(
+        edges, "doc_a long, doc_b long"
+    ).repartition(4)
+    out = _contract_partitions(pairs)
+    assert out.columns == ["doc_a", "doc_b"]
+    rows = [(r.doc_a, r.doc_b) for r in out.collect()]
+    comp = {n: (0 if n < 100 else 100) if n != 555 else 555
+            for n in {x for e in edges for x in e}}
+    # label invariant: every star edge joins two same-component nodes
+    assert all(comp[a] == comp[b] for a, b in rows)
+    # node set preserved (self-loop node included via its self-edge)
+    assert {x for e in rows for x in e} == set(comp)
+    # per partition: one star edge per LOCAL node (a node spanning p
+    # partitions emits p rows), so the global bound is 2·edges — never
+    # larger than the symmetrized list the loop would otherwise ingest
+    assert len(rows) <= 2 * len(edges)
+    # and CC over the contracted edges equals CC over the originals
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(pairs).collect()
+    }
+    assert got == comp
 
 
 def test_connected_components_degenerate_inputs(spark):

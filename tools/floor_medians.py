@@ -109,16 +109,30 @@ def main(argv: list[str]) -> int:
     if args[:1] == ["--all-r"]:
         paths = []
         for r in args[1:]:
-            paths += glob.glob(
-                os.path.join(REPO, f"BENCH_LOCAL_r{int(r):02d}*.json")
+            pat = f"BENCH_LOCAL_r{int(r):02d}*.json"
+            # pre-ledger rounds live under evidence/archive/ (r12 hygiene)
+            paths += glob.glob(os.path.join(REPO, pat)) + glob.glob(
+                os.path.join(REPO, "evidence", "archive", pat)
             )
     elif args[:1] == ["--ledger"]:
         prefix = args[1] if len(args) > 1 else ""
+        records = list(ledger_records())
         paths = [
             (rec.get("label") or f"ts{rec.get('ts', i)}", rec)
-            for i, rec in enumerate(ledger_records())
+            for i, rec in enumerate(records)
             if (rec.get("label") or "").startswith(prefix)
         ]
+        # a non-empty prefix silently drops sessions benched without
+        # SPARK_GRAFT_SESSION_LABEL — surface the coverage cap like the
+        # other skipped-session lines instead of hiding it
+        if prefix:
+            unlabeled = [rec for rec in records if not rec.get("label")]
+            if unlabeled:
+                print(
+                    f"note: {len(unlabeled)} unlabeled ledger entr"
+                    f"{'y' if len(unlabeled) == 1 else 'ies'} excluded by "
+                    f"prefix {prefix!r} (e.g. ts {unlabeled[0].get('ts')})"
+                )
         # remaining args after the prefix are extra loose files to mix in
         paths += args[2:]
     else:

@@ -40,10 +40,18 @@ SF10 = os.path.join(REPO, "scaled_data", "sf10")
 RECORD10 = os.path.join(REPO, "PARITY_SF10.md")
 
 # sf10 spot-check: the subset whose ORACLES stay tractable in DuckDB at
-# 60M lineitem / 20M events / 600k documents / 200k embeddings — the
-# all-pairs-flavored oracles (similarity_join, ngram Jaccard, substring
-# grams) are quadratic-in-candidates on the oracle side and stop here;
-# their engine plans are separately swept to sf10 by scaling_sweep.
+# 60M lineitem / 20M events / 600k documents / 200k embeddings.
+# Round-12 extensions (r11 verdict ask #4): the ngram-Jaccard posting
+# lists stay DF-capped so its oracle IS tractable at 600k docs
+# (measured 113 s, 25.6k pairs) — dedup_ngram_jaccard joins the full
+# list, and both CC keys join via the union-find oracle over the same
+# DuckDB edge SQL (_cc_oracle_frame; the recursive CTE stays
+# intractable). similarity_join is handled separately: its ENGINE cost
+# is quadratic per label by spec (all-pairs within label), so the sf10
+# check runs on a deterministic 20% vec_id stratum of the sf10
+# embeddings (vec_id % 5 == 0 → 40k vectors, 2x the sf1 pair work,
+# drawn from the 100-replica rotated distribution) — stated openly in
+# the record as a stratum, not full-output, check.
 SF10_KEYS = [
     "supplier_scorecard",
     "customer_rfm",
@@ -57,7 +65,37 @@ SF10_KEYS = [
     "text_tfidf",
     "text_bm25_ranking",
     "similarity_knn_graph",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "similarity_knn_clusters",
+    "similarity_join",
 ]
+
+# keys whose sf10 check runs on the deterministic embeddings stratum
+STRATUM_KEYS = {"similarity_join"}
+STRATUM_MOD = 5  # keep vec_id % 5 == 0 → 20% of the sf10 vectors
+
+
+def _stratum_dir() -> str:
+    """Materialize scaled_data/sf10_strat: embeddings filtered to the
+    deterministic 20% vec_id stratum, every other table symlinked to its
+    sf10 original. Idempotent."""
+    out = SF10 + "_strat"
+    os.makedirs(out, exist_ok=True)
+    emb = os.path.join(out, "embeddings.parquet")
+    if not os.path.exists(emb):
+        duckdb.connect().execute(
+            f"COPY (SELECT * FROM '{SF10}/embeddings.parquet' "
+            f"WHERE vec_id % {STRATUM_MOD} = 0) TO '{emb}' "
+            "(FORMAT PARQUET)"
+        )
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        link = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SF10, f"{t}.parquet"), link)
+    return out
 
 # The 20 heaviest oracle-bearing keys by bench cost, spanning the
 # families the verdict named: fuzzy dedup (posting lists, LSH bands,
@@ -165,9 +203,25 @@ def main() -> None:
 
     lines, fails = [], []
     for i, k in enumerate(keys):
+        # stratum keys (sf10 only): both engines run the FULL key on the
+        # deterministic 20% embeddings stratum — the engine cost is
+        # quadratic per label by spec, so full-output sf10 parity is
+        # genuinely intractable on BOTH sides; the stratum is an exact,
+        # openly-partial check at sf10 content
+        strat = sf10 and k in STRATUM_KEYS
+        k_dir, k_duck, note = sf_dir, duck, ""
+        if strat:
+            k_dir = _stratum_dir()
+            k_duck = duckdb.connect()
+            for t in TABLES:
+                k_duck.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{k_dir}/{t}.parquet'"
+                )
+            note = f" (vec_id%{STRATUM_MOD}==0 stratum)"
         t0 = time.time()
         try:
-            sdf = QUERIES[k](spark, sf_dir).toPandas()
+            sdf = QUERIES[k](spark, k_dir).toPandas()
         except Exception as ex:  # noqa: BLE001 — recorded, not raised
             fails.append(k)
             lines.append(f"| {k} | SPARK ERROR | — | {ex} |")
@@ -183,22 +237,22 @@ def main() -> None:
             continue
         t0 = time.time()
         if is_cc:
-            odf = _cc_oracle_frame(duck, k)
+            odf = _cc_oracle_frame(k_duck, k)
         else:
-            odf = duck.execute(ORACLES[k]).fetchdf()
+            odf = k_duck.execute(ORACLES[k]).fetchdf()
         t_duck = time.time() - t0
         msg = compare_frames(sdf, odf)
         if msg:
             fails.append(k)
-            lines.append(f"| {k} | **FAIL** | {len(sdf)} rows | {msg} |")
+            lines.append(f"| {k} | **FAIL**{note} | {len(sdf)} rows | {msg} |")
             print(f"[{i + 1}/{len(keys)}] {k}: FAIL {msg}", flush=True)
         else:
             lines.append(
-                f"| {k} | pass | {len(sdf)} rows | spark "
+                f"| {k} | pass{note} | {len(sdf)} rows | spark "
                 f"{t_spark:.1f}s / duckdb {t_duck:.1f}s |"
             )
             print(
-                f"[{i + 1}/{len(keys)}] {k}: ok {len(sdf)} rows "
+                f"[{i + 1}/{len(keys)}] {k}: ok{note} {len(sdf)} rows "
                 f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)",
                 flush=True,
             )
