@@ -189,20 +189,27 @@ def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(spark, sf_dir, Q8_SQL)
 
 
+# revenue is summed in exact integer CENTS (per-row cent quantization,
+# BIGINT sum — the sql_tpch_q11 pattern): the WHERE binds the argmax SET,
+# and double revenue sums make the max a fold-order lottery — at the
+# round-12 sf10 parity run the replicated suppliers' mathematically-equal
+# revenues tied differently per engine (Spark 92 rows, DuckDB 50, true
+# tie set larger still). Exact cents make the tie set well-defined and
+# identical on any engine.
 Q15_SQL = """
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
     GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name,
-       floor(total_revenue * 100 + 0.5) / 100 AS total_revenue
+       CAST(revenue_cents AS DOUBLE) / 100 AS total_revenue
 FROM supplier
 JOIN revenue ON s_suppkey = supplier_no
-WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+WHERE revenue_cents = (SELECT max(revenue_cents) FROM revenue)
 """
 
 
@@ -244,14 +251,27 @@ def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (EXISTS → semi join, NOT EXISTS → anti join, OR-of-ANDs pushdown, …).
 # ---------------------------------------------------------------------------
 
+# Money sums use per-row CENT quantization summed as exact BIGINT (the
+# sql_tpch_q11 integer-cents pattern). A raw double sum over 15M
+# rows/group (sf10) carries fold-order noise right at the cent-rounding
+# digit (~5e11 values; 1 ulp = 6e-5), so Spark and DuckDB flip the floor
+# differently — measured at the round-12 sf10 parity run (sum_base_price
+# flipped by exactly one cent in 3 of 6 groups). floor(x*100+0.5) per row
+# is bit-identical across engines (same IEEE product), the BIGINT sum is
+# exact, and every later double op derives from the same integer
+# (< 2^53), so the result is engine-deterministic. For sum_base_price
+# (2dp-exact prices) this is semantically lossless; for
+# disc_price/charge (4dp/6dp true values) the stated semantic is "sum of
+# per-row cent-rounded amounts", within 0.005*rows of the unquantized
+# TPC-H value. avg_price derives from the same exact cent sum.
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
-       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_charge,
        floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
-       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+       floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*) * 10000 + 0.5) / 10000 AS avg_price,
        floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
        count(*) AS count_order
 FROM lineitem

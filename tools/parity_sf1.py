@@ -69,6 +69,11 @@ SF10_KEYS = [
     "dedup_clusters",
     "similarity_knn_clusters",
     "similarity_join",
+    # the full TPC-H suite (round-12): 60M lineitem IS TPC-H sf10 — the
+    # first ad-hoc pass caught two real at-scale drift bugs (q1 money
+    # sums cent-flipping on fold order, q15's argmax tie set differing
+    # per engine), both fixed with exact integer-cents sums
+    *[f"sql_tpch_q{i}" for i in range(1, 23)],
 ]
 
 # keys whose sf10 check runs on the deterministic embeddings stratum
