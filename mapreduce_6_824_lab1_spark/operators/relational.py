@@ -20,7 +20,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from mapreduce_6_824_lab1_spark.catalog import load_table, load_tables
-from mapreduce_6_824_lab1_spark.functions.numeric import hround
+from mapreduce_6_824_lab1_spark.functions.numeric import cents_sum, hround
 from mapreduce_6_824_lab1_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -76,8 +76,8 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        floor((sum(l_quantity)) * 100 + 0.5) / 100      AS sum_qty,
-       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+       CAST(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
        floor((avg(l_quantity)) * 100 + 0.5) / 100      AS avg_qty,
        floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
        floor((avg(l_discount)) * 10000 + 0.5) / 10000      AS avg_disc,
@@ -99,9 +99,14 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             hround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            hround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            hround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # money sums via exact integer cents (functions/numeric.py
+            # cents_sum): corpus-grain groups put double fold noise at
+            # the cent digit — the round-12 sf10 finding on TPC-H q1.
+            # sum_qty stays a double sum: integer-valued quantities sum
+            # exactly below 2^53.
+            cents_sum("l_extendedprice").alias("sum_base_price"),
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
             hround(F.avg("l_quantity"), 2).alias("avg_qty"),
             hround(F.avg("l_extendedprice"), 2).alias("avg_price"),
@@ -182,7 +187,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r_name, n_name,
        count(*) AS n_orders,
-       floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+       CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -206,7 +211,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            hround(F.sum("o_totalprice"), 2).alias("revenue"),
+            cents_sum("o_totalprice").alias("revenue"),
         )
     )
 

@@ -22,7 +22,7 @@ from mapreduce_6_824_lab1_spark.registry import query
 
 Q3_SQL = """
 SELECT o_orderkey,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
        o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -37,7 +37,7 @@ LIMIT 10
 
 Q5_SQL = """
 SELECT n_name,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -52,7 +52,7 @@ GROUP BY n_name
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -126,7 +126,7 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       floor((sum(volume)) * 100 + 0.5) / 100 AS revenue
+       CAST(sum(CAST(floor(volume * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM (
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
@@ -158,8 +158,11 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT o_year,
-       floor((sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END)
-             / sum(volume)) * 1000000 + 0.5) / 1000000 AS mkt_share
+       floor((CAST(sum(CASE WHEN nation = 'NATION_9'
+                            THEN CAST(floor(volume * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(volume * 100 + 0.5) AS BIGINT)) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS mkt_share
 FROM (
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
            l_extendedprice * (1 - l_discount) AS volume,
@@ -222,7 +225,7 @@ def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q17_SQL = """
-SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+SELECT floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 7.0 + 0.5) / 100 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
@@ -311,7 +314,7 @@ def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -352,10 +355,11 @@ def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT floor((100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
+SELECT floor((100.00 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                                     ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE))
+             * 100 + 0.5) / 100
            AS promo_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -373,7 +377,7 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_SQL = """
-SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -396,15 +400,23 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(spark, sf_dir, Q19_SQL)
 
 
+# The avg-balance threshold is an exact integer CROSS-MULTIPLY
+# (cents * n > sum_cents  ⇔  cents > avg_cents): a predicate bound to a
+# double avg() includes/excludes boundary customers on fold-order noise,
+# changing numcust per engine at scale — the same class as q15's argmax.
+# Cent-rounded comparison semantics are stated; both engines share them.
 Q22_SQL = """
 SELECT cntrycode, count(*) AS numcust,
-       floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS totacctbal
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS totacctbal
 FROM (
     SELECT c_nationkey AS cntrycode, c_acctbal, c_custkey
     FROM customer
     WHERE c_nationkey IN (1, 3, 5, 7, 9)
-      AND c_acctbal > (
-        SELECT avg(c_acctbal) FROM customer
+      AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * (
+        SELECT count(*) FROM customer
+        WHERE c_acctbal > 0.00 AND c_nationkey IN (1, 3, 5, 7, 9)
+      ) > (
+        SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) FROM customer
         WHERE c_acctbal > 0.00 AND c_nationkey IN (1, 3, 5, 7, 9)
       )
       AND NOT EXISTS (
@@ -511,7 +523,7 @@ Q9_SQL = (
     _PARTSUPP_CTE
     + """
 SELECT nation, o_year,
-       floor((sum(amount)) * 100 + 0.5) / 100 AS sum_profit
+       CAST(sum(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_profit
 FROM (
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark.catalog import load_table, load_tables
-from mapreduce_6_824_lab1_spark.functions.numeric import hround, sql_hround
+from mapreduce_6_824_lab1_spark.functions.numeric import cents_sum, hround, sql_hround
 from mapreduce_6_824_lab1_spark.registry import ORACLES, query
 
 N_BUCKETS = 8
@@ -299,7 +299,7 @@ DPP_YEARS = ((1996, "focus"), (1998, "focus"), (2000, "other"))
     oracle="""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        count(*) AS n_orders,
-       floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+       CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM orders
 WHERE year(o_orderdate) IN (1996, 1998)
 GROUP BY 1
@@ -334,7 +334,7 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("o_year").cast("long").alias("o_year"))
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                hround(F.sum("o_totalprice"), 2).alias("revenue"),
+                cents_sum("o_totalprice").alias("revenue"),
             )
         )
         return spark.createDataFrame(out.collect(), out.schema)

@@ -74,6 +74,11 @@ SF10_KEYS = [
     # sums cent-flipping on fold order, q15's argmax tie set differing
     # per engine), both fixed with exact integer-cents sums
     *[f"sql_tpch_q{i}" for i in range(1, 23)],
+    # corpus-grain money-sum DataFrame keys, moved to cents_sum in the
+    # round-12 sweep of the same drift class
+    "agg_hash",
+    "join_inner_equi",
+    "join_partition_pruned",
 ]
 
 # keys whose sf10 check runs on the deterministic embeddings stratum
