@@ -205,6 +205,59 @@ def test_hround_identical_across_spark_duckdb_python(spark, duck):
         assert got_duck == py, f"duckdb != python at n={n}"
 
 
+def test_cents_sum_identical_across_spark_duckdb_python(spark, duck):
+    """cents_sum / sql_cents_sum (the round-12 exact money-sum twins) must
+    produce the bit-identical double in Spark, DuckDB, and Python — per
+    group, including groups engineered so a raw double sum sits ON a cent
+    boundary (the q1 failure mode: fold-order noise flips the floor).
+    The per-row quantization makes the group sum an exact integer, so
+    the result is independent of fold order by construction."""
+    import math
+    import random
+
+    from mapreduce_6_824_lab1_spark.functions.numeric import (
+        cents_sum,
+        sql_cents_sum,
+    )
+
+    rng = random.Random(7)
+    # group 0: many .xx5 half-cent boundary values (binary-inexact);
+    # group 1: large mixed-sign values (cancellation); group 2: random
+    vals = (
+        [(0, round(rng.randint(1, 99999) / 100 + 0.005, 3)) for _ in range(5000)]
+        + [(1, rng.uniform(-1e6, 1e6)) for _ in range(5000)]
+        + [(2, rng.uniform(0, 1e4)) for _ in range(5000)]
+    )
+    py = {}
+    for g, v in vals:
+        py[g] = py.get(g, 0) + math.floor(v * 100 + 0.5)
+    py = {g: c / 100 for g, c in py.items()}
+
+    rows = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(vals)],
+        "i long, g long, v double",
+    )
+    got_spark = {
+        r.g: r.s
+        for r in rows.groupBy("g").agg(cents_sum("v").alias("s")).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE TABLE _cs AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({g}, CAST({v!r} AS DOUBLE))" for g, v in vals
+        )
+        + ") t(g, v)"
+    )
+    got_duck = {
+        r[0]: r[1]
+        for r in duck.execute(
+            f"SELECT g, {sql_cents_sum('v')} FROM _cs GROUP BY g"
+        ).fetchall()
+    }
+    assert got_spark == py, "spark != python"
+    assert got_duck == py, "duckdb != python"
+
+
 def test_knuth_hash_identical_across_spark_duckdb_python(spark, duck):
     """(key·2654435761) mod 2³² drives every deterministic sampler/mixer
     (sample_split, sample_weighted, mix_sources_*, shard_assign). Pin the
