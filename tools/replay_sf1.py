@@ -19,7 +19,13 @@ at any scale it runs:
 
 Appends the result to PARITY_SF1.md. Exit 0 = all three agree.
 
-    python tools/replay_sf1.py
+    python tools/replay_sf1.py           # sf1 (10x driver scale)
+    python tools/replay_sf1.py --sf10    # sf10 (100x; appends to
+                                         # PARITY_SF10.md instead)
+
+At sf10 the numpy Lloyd's replay streams the 200k x d distance
+computation in row blocks (the full 200k x k x d tensor would be
+~0.8 GB per iteration); the replay arithmetic is unchanged.
 """
 
 from __future__ import annotations
@@ -38,7 +44,9 @@ import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, "scaled_data", "sf1")
+SF10 = os.path.join(REPO, "scaled_data", "sf10")
 RECORD = os.path.join(REPO, "PARITY_SF1.md")
+RECORD10 = os.path.join(REPO, "PARITY_SF10.md")
 
 
 def _numpy_kmeans(sf_dir: str, k: int, iterations: int):
@@ -50,17 +58,25 @@ def _numpy_kmeans(sf_dir: str, k: int, iterations: int):
     X = X[order]
     vec_ids = vec_ids[order]
     cents = X[vec_ids < k].copy()
+
+    def _assign(cents):
+        # row-blocked distances: identical argmin, bounded memory at sf10
+        out = np.empty(len(X), dtype=np.int64)
+        for lo in range(0, len(X), 20000):
+            blk = X[lo : lo + 20000]
+            d = ((blk[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out[lo : lo + 20000] = d.argmin(axis=1)
+        return out
+
     for _ in range(iterations):
-        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        cid = d.argmin(axis=1)
+        cid = _assign(cents)
         cents = np.array(
             [
                 X[cid == c].mean(axis=0) if (cid == c).any() else cents[c]
                 for c in range(k)
             ]
         )
-    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    cid = d.argmin(axis=1)
+    cid = _assign(cents)
     counts = {c: int((cid == c).sum()) for c in range(k) if (cid == c).any()}
     norms = {c: float(np.sqrt((cents[c] ** 2).sum())) for c in counts}
     return counts, norms
@@ -105,6 +121,11 @@ def main() -> None:
     from mapreduce_6_824_lab1_spark.operators.kmeans import ITERATIONS, K
     from mapreduce_6_824_lab1_spark.session import get_spark
 
+    sf10 = sys.argv[1:2] == ["--sf10"]
+    sf_dir = SF10 if sf10 else SF1
+    record = RECORD10 if sf10 else RECORD
+    scale = "sf10 (100x)" if sf10 else "sf1"
+
     spark = get_spark(app_name="replay-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     lines, fails = [], []
@@ -113,11 +134,11 @@ def main() -> None:
     t0 = time.time()
     exact = {
         (r.doc_a, r.doc_b)
-        for r in QUERIES["dedup_ngram_jaccard"](spark, SF1).collect()
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
     }
     approx = {
         (r.doc_a, r.doc_b)
-        for r in QUERIES["dedup_minhash_lsh"](spark, SF1).collect()
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
     }
     fp = approx - exact
     recall = len(approx & exact) / max(1, len(exact))
@@ -133,8 +154,8 @@ def main() -> None:
 
     # 2. kmeans vs numpy Lloyd's
     t0 = time.time()
-    rows = QUERIES["kmeans_embeddings"](spark, SF1).collect()
-    counts, norms = _numpy_kmeans(SF1, K, ITERATIONS)
+    rows = QUERIES["kmeans_embeddings"](spark, sf_dir).collect()
+    counts, norms = _numpy_kmeans(sf_dir, K, ITERATIONS)
     got_counts = {r.cid: r.n_members for r in rows}
     bad_norm = [
         r.cid for r in rows if abs(r.centroid_norm - norms[r.cid]) >= 1e-3
@@ -153,11 +174,11 @@ def main() -> None:
     # 3. BPE merges vs pure-Python replay
     t0 = time.time()
     got = (
-        QUERIES["tokenizer_bpe_train"](spark, SF1)
+        QUERIES["tokenizer_bpe_train"](spark, sf_dir)
         .toPandas()
         .sort_values("step", ignore_index=True)
     )
-    docs = pd.read_parquet(f"{SF1}/documents.parquet")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     ref = _python_bpe(
         [t.split(" ") for t in docs["text"]], BPE_MERGES, BPE_JOIN
     )
@@ -181,20 +202,23 @@ def main() -> None:
     )
     print(lines[-1], flush=True)
 
-    with open(RECORD, "a") as fh:
+    with open(record, "a") as fh:
         fh.write(
-            "\n## Appendix — rows-only replay checks at sf1 "
-            "(round-12; `python tools/replay_sf1.py`)\n\n"
+            f"\n## Appendix — rows-only replay checks at {scale} "
+            "(round-12; `python tools/replay_sf1.py"
+            + (" --sf10" if sf10 else "")
+            + "`)\n\n"
             "The three heaviest rows-only keys re-verified against their "
             "EXACT independent replay oracles (the same replays "
-            "tests/test_rows_only.py pins at sf0.01) at 10x driver "
+            "tests/test_rows_only.py pins at sf0.01) at "
+            f"{'100x' if sf10 else '10x'} driver "
             f"scale: **{3 - len(fails)}/3**"
             + (f" — failures: {', '.join(fails)}" if fails else "")
             + "\n\n| key | status | size | detail |\n|---|---|---|---|\n"
             + "\n".join(lines)
             + "\n"
         )
-    print(json.dumps({"replay_sf1": f"{3 - len(fails)}/3", "fails": fails}))
+    print(json.dumps({f"replay_{'sf10' if sf10 else 'sf1'}": f"{3 - len(fails)}/3", "fails": fails}))
     sys.exit(1 if fails else 0)
 
 
