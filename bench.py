@@ -120,6 +120,79 @@ def _steal_pct(
     return round(100.0 * ds / dt, 2)
 
 
+def _worker_census() -> dict[tuple[int, int], dict] | None:
+    """Snapshot the Python worker pool: ``{(pid, starttime): {"ppid",
+    "cpu_s", "rss_mb"}}`` for every live ``pyspark.daemon`` process (the
+    daemon plus its forked workers — both carry ``python -m
+    pyspark.daemon`` in cmdline; the daemon is the one whose parent is
+    the JVM, workers are its children). Keyed by (pid, starttime) so PID
+    reuse can't alias a respawned worker to a dead one. Returns None
+    off-Linux. ~2 ms per scan — bracketing every query is free relative
+    to the queries.
+
+    Purpose (SCALING_r12 watch): the residual isolated-vs-full-session
+    gap on the Arrow-lane heavies was narrowed to "JVM code-cache or
+    worker-pool COMPOSITION state". Per-query spawn/death counts across
+    a full bench either confirm pool churn as the mechanism (respawns
+    line up with the slow keys) or eliminate it (stable pool, gap must
+    be JVM-side)."""
+    import glob  # noqa: PLC0415
+
+    pool: dict[tuple[int, int], dict] = {}
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        page_mb = os.sysconf("SC_PAGE_SIZE") / (1 << 20)
+    except (AttributeError, ValueError, OSError):
+        return None
+    for path in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(path, "rb") as fh:
+                if b"pyspark.daemon" not in fh.read():
+                    continue
+            pid = int(path.split("/")[2])
+            with open(f"/proc/{pid}/stat") as fh:
+                stat = fh.read()
+            with open(f"/proc/{pid}/statm") as fh:
+                rss_pages = int(fh.read().split()[1])
+        except (OSError, ValueError, IndexError):
+            continue  # process died mid-scan — it shows up as "died"
+        # comm (field 2) may embed spaces/parens: parse after last ')'
+        after = stat.rsplit(")", 1)[1].split()
+        pool[(pid, int(after[19]))] = {
+            "ppid": int(after[1]),
+            "cpu_s": round((int(after[11]) + int(after[12])) / hz, 2),
+            "rss_mb": round(rss_pages * page_mb, 1),
+        }
+    return pool
+
+
+def _census_delta(
+    key: str,
+    sec: float,
+    w0: dict[tuple[int, int], dict] | None,
+    w1: dict[tuple[int, int], dict] | None,
+) -> dict | None:
+    """Per-query pool-composition delta from two census snapshots."""
+    if w0 is None or w1 is None:
+        return None
+    spawned = [k for k in w1 if k not in w0]
+    died = [k for k in w0 if k not in w1]
+    survivors = [k for k in w1 if k in w0]
+    cpu_deltas = [w1[k]["cpu_s"] - w0[k]["cpu_s"] for k in survivors]
+    return {
+        "key": key,
+        "sec": sec,
+        "n_before": len(w0),
+        "n_after": len(w1),
+        "spawned": len(spawned),
+        "died": len(died),
+        "pool_cpu_s": round(sum(cpu_deltas) + sum(w1[k]["cpu_s"] for k in spawned), 2),
+        "cpu_max_s": round(max(cpu_deltas, default=0.0), 2),
+        "rss_max_mb": round(max((w1[k]["rss_mb"] for k in w1), default=0.0), 1),
+        "oldest_start": min((k[1] for k in w1), default=0),
+    }
+
+
 def _membw_probe_gbps() -> float | None:
     """Median-of-3 single-thread memcpy bandwidth (64 MB numpy copy, ~60
     ms total). Memory-bandwidth contention from a co-tenant VM slows
@@ -209,8 +282,11 @@ def main() -> None:
     # (~µs each) records which queries ran under external contention,
     # so a trip ruling can cite the burst instead of guessing.
     query_steal: dict[str, float] = {}
+    census_on = bool(os.environ.get("SPARK_GRAFT_WORKER_CENSUS"))
+    census_rows: list[dict] = []
 
     def timed(key: str, sink: dict[str, float]) -> None:
+        w0 = _worker_census() if census_on else None
         c0 = _cpu_stat_sample()
         t0 = time.perf_counter()
         materialize(QUERIES[key](spark, sf_dir))
@@ -218,6 +294,10 @@ def main() -> None:
         s = _steal_pct(c0, _cpu_stat_sample())
         if s is not None:
             query_steal[key] = s
+        if census_on:
+            row = _census_delta(key, sink[key], w0, _worker_census())
+            if row is not None:
+                census_rows.append(row)
 
     times: dict[str, float] = {}
     for key in HEADLINE:
@@ -247,6 +327,31 @@ def main() -> None:
     }
     print(json.dumps(record))
     _append_ledger(record)
+    if census_on and census_rows:
+        _append_census(record, census_rows)
+
+
+def _append_census(record: dict, rows: list[dict]) -> None:
+    """Sidecar evidence for SPARK_GRAFT_WORKER_CENSUS=1 sessions: one
+    JSON line per session holding the per-query pool deltas. Separate
+    file (default WORKER_CENSUS.jsonl beside bench.py, override via
+    SPARK_GRAFT_CENSUS_OUT) so the BENCH_SESSIONS.jsonl schema the floor
+    tools read stays exactly as documented. Best-effort like the ledger."""
+    entry = {
+        "ts": round(time.time(), 1),
+        "label": os.environ.get("SPARK_GRAFT_SESSION_LABEL"),
+        "headline_total": record["value"],
+        "steal_pct": record["load"]["steal_pct"],
+        "queries": rows,
+    }
+    path = os.environ.get("SPARK_GRAFT_CENSUS_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "WORKER_CENSUS.jsonl"
+    )
+    try:
+        with open(path, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass
 
 
 def _append_ledger(record: dict) -> None:
