@@ -147,8 +147,14 @@ def _worker_census() -> dict[tuple[int, int], dict] | None:
     for path in glob.glob("/proc/[0-9]*/cmdline"):
         try:
             with open(path, "rb") as fh:
-                if b"pyspark.daemon" not in fh.read():
-                    continue
+                cmdline = fh.read()
+            # stock daemon: `python -m pyspark.daemon pyspark.worker`;
+            # the engine's preload daemon replaces the module but keeps
+            # the worker-module argument, so match EITHER token — a
+            # daemon-module-only match silently censuses nothing under
+            # the custom daemon (found the hard way in the first A/B).
+            if b"pyspark.daemon" not in cmdline and b"pyspark.worker" not in cmdline:
+                continue
             pid = int(path.split("/")[2])
             with open(f"/proc/{pid}/stat") as fh:
                 stat = fh.read()
@@ -162,6 +168,9 @@ def _worker_census() -> dict[tuple[int, int], dict] | None:
             "ppid": int(after[1]),
             "cpu_s": round((int(after[11]) + int(after[12])) / hz, 2),
             "rss_mb": round(rss_pages * page_mb, 1),
+            # thread count exposes BLAS-pool storms: this box's numpy
+            # spawns 32 OpenBLAS threads at import unless capped
+            "threads": int(after[17]),
         }
     return pool
 
@@ -189,6 +198,7 @@ def _census_delta(
         "pool_cpu_s": round(sum(cpu_deltas) + sum(w1[k]["cpu_s"] for k in spawned), 2),
         "cpu_max_s": round(max(cpu_deltas, default=0.0), 2),
         "rss_max_mb": round(max((w1[k]["rss_mb"] for k in w1), default=0.0), 1),
+        "threads_max": max((w1[k].get("threads", 0) for k in w1), default=0),
         "oldest_start": min((k[1] for k in w1), default=0),
     }
 

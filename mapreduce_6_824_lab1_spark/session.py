@@ -53,6 +53,29 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if not os.environ.get("SPARK_GRAFT_NO_PRELOAD_DAEMON"):
+        # the daemon resolves the module via PYTHONPATH/cwd, not the
+        # driver's sys.path — pin the repo root into the env the JVM
+        # (and thus the daemon) inherits, so tuned sessions work from
+        # any cwd. No-op if the JVM is already up (getOrCreate reuse).
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + pp if pp else "")
+            )
+        # Fork-warm the Python worker pool: Spark's idle reaper kills
+        # pooled workers after a hard-coded 1 minute, so every Arrow
+        # stage after a JVM-only gap rebuilds the pool; a daemon that
+        # pre-imports numpy/pandas/pyarrow makes each rebuild a bare
+        # fork() instead of N full library imports (see preload_daemon).
+        # The daemon process inherits this driver's environment in
+        # local mode; on a cluster, ship the package and PYTHONPATH via
+        # the usual executorEnv/archives channel.
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "mapreduce_6_824_lab1_spark.preload_daemon",
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

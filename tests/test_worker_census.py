@@ -62,4 +62,4 @@ def test_live_scan_shape():
         return
     for (pid, start), info in pool.items():
         assert isinstance(pid, int) and isinstance(start, int)
-        assert set(info) == {"ppid", "cpu_s", "rss_mb"}
+        assert set(info) == {"ppid", "cpu_s", "rss_mb", "threads"}
