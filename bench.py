@@ -295,8 +295,39 @@ def main() -> None:
     census_on = bool(os.environ.get("SPARK_GRAFT_WORKER_CENSUS"))
     census_rows: list[dict] = []
 
+    def _jvm_metrics() -> tuple[int, int, int, int] | None:
+        """(total JIT ms, total GC ms, code-heap used, code-heap max)
+        from the driver JVM's management beans — in local mode the driver
+        IS the executor, so these cover the whole engine. Per-query
+        deltas separate 'the plan is slow' from 'the JVM was
+        compiling/collecting under this query' (the similarity_join
+        session-excursion watch: a first-execution JIT storm looks
+        identical to a slow plan in wall time)."""
+        try:
+            mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            jit = mf.getCompilationMXBean().getTotalCompilationTime()
+            gc = sum(
+                b.getCollectionTime()
+                for b in mf.getGarbageCollectorMXBeans()
+            )
+            # CodeHeap fill ratio: a full code cache disables the JIT
+            # ("CodeCache is full. Compiler has been disabled.") and hot
+            # codegen loops silently run interpreted — the candidate
+            # mechanism for compute-dense keys slowing ONLY late in a
+            # 45-query session (similarity_join watch)
+            code_used = code_max = 0
+            for p in mf.getMemoryPoolMXBeans():
+                if "CodeHeap" in p.getName() or "Code Cache" in p.getName():
+                    u = p.getUsage()
+                    code_used += u.getUsed()
+                    code_max += u.getMax()
+            return int(jit), int(gc), int(code_used), int(code_max)
+        except Exception:  # noqa: BLE001 — diagnostics must never fail the bench
+            return None
+
     def timed(key: str, sink: dict[str, float]) -> None:
         w0 = _worker_census() if census_on else None
+        j0 = _jvm_metrics() if census_on else None
         c0 = _cpu_stat_sample()
         t0 = time.perf_counter()
         materialize(QUERIES[key](spark, sf_dir))
@@ -307,6 +338,12 @@ def main() -> None:
         if census_on:
             row = _census_delta(key, sink[key], w0, _worker_census())
             if row is not None:
+                j1 = _jvm_metrics()
+                if j0 is not None and j1 is not None:
+                    row["jit_ms"] = j1[0] - j0[0]
+                    row["gc_ms"] = j1[1] - j0[1]
+                    row["codeheap_used_mb"] = round(j1[2] / (1 << 20), 1)
+                    row["codeheap_max_mb"] = round(j1[3] / (1 << 20), 1)
                 census_rows.append(row)
 
     times: dict[str, float] = {}
