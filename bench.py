@@ -325,9 +325,27 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — diagnostics must never fail the bench
             return None
 
+    def _membw_spot_gbps() -> float | None:
+        """One 16 MB copy between queries (~4 ms) — a spot membw reading
+        per census bracket. Session-grain probes under-resolve the
+        bursty co-tenant interference that makes per-key excursions ROAM
+        between sessions (the similarity_join trip-#1 attribution); a
+        bracket-grain reading lets a trip ruling see whether THE SLOW
+        QUERY ran inside a bandwidth dip. Census-only: never taken
+        during a query, so it cannot perturb the timings."""
+        try:
+            import numpy as np  # noqa: PLC0415
+        except ImportError:
+            return None
+        a = np.zeros(16 << 20, dtype=np.uint8)
+        t0 = time.perf_counter()
+        a.copy()
+        return round((2 * a.nbytes) / (time.perf_counter() - t0) / 1e9, 2)
+
     def timed(key: str, sink: dict[str, float]) -> None:
         w0 = _worker_census() if census_on else None
         j0 = _jvm_metrics() if census_on else None
+        m0 = _membw_spot_gbps() if census_on else None
         c0 = _cpu_stat_sample()
         t0 = time.perf_counter()
         materialize(QUERIES[key](spark, sf_dir))
@@ -344,6 +362,11 @@ def main() -> None:
                     row["gc_ms"] = j1[1] - j0[1]
                     row["codeheap_used_mb"] = round(j1[2] / (1 << 20), 1)
                     row["codeheap_max_mb"] = round(j1[3] / (1 << 20), 1)
+                if m0 is not None:
+                    row["membw_before_gbps"] = m0
+                    m1 = _membw_spot_gbps()
+                    if m1 is not None:
+                        row["membw_after_gbps"] = m1
                 census_rows.append(row)
 
     times: dict[str, float] = {}

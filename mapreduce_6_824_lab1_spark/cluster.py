@@ -43,6 +43,15 @@ STATIC_CLUSTER_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "16000",  # ~2x cores for 1000×8 cluster
     "spark.shuffle.service.enabled": "true",
     "spark.dynamicAllocation.enabled": "true",
+    # Fork-warmed Python workers (see preload_daemon.py): Spark's
+    # hard-coded 1-minute idle reap empties every executor's worker pool
+    # during JVM-only stages, so on a 1000-executor pipeline every Arrow
+    # stage after a shuffle-heavy gap pays 8×(interpreter+numpy/pandas/
+    # pyarrow import) PER EXECUTOR. The preload daemon makes respawn a
+    # bare fork and pins one BLAS thread per worker (8 workers × N BLAS
+    # threads oversubscribes the executor). Ship the package via
+    # --py-files/archives; PYTHONPATH must reach it in the executor env.
+    "spark.python.daemon.module": "mapreduce_6_824_lab1_spark.preload_daemon",
 }
 
 #: runtime-settable conf (spark.conf.set on a live session)
