@@ -294,6 +294,7 @@ def main() -> None:
     query_steal: dict[str, float] = {}
     census_on = bool(os.environ.get("SPARK_GRAFT_WORKER_CENSUS"))
     census_rows: list[dict] = []
+    _spot_buf: dict = {}  # persistent membw-spot buffer (see below)
 
     def _jvm_metrics() -> tuple[int, int, int, int] | None:
         """(total JIT ms, total GC ms, code-heap used, code-heap max)
@@ -326,18 +327,30 @@ def main() -> None:
             return None
 
     def _membw_spot_gbps() -> float | None:
-        """One 16 MB copy between queries (~4 ms) — a spot membw reading
+        """One 64 MB copy between queries (~15 ms) — a spot membw reading
         per census bracket. Session-grain probes under-resolve the
         bursty co-tenant interference that makes per-key excursions ROAM
         between sessions (the similarity_join trip-#1 attribution); a
         bracket-grain reading lets a trip ruling see whether THE SLOW
         QUERY ran inside a bandwidth dip. Census-only: never taken
-        during a query, so it cannot perturb the timings."""
+        during a query, so it cannot perturb the timings.
+
+        Calibration (two lessons, one per session): 64 MB matches
+        _membw_probe_gbps's buffer — the first cut's 16 MB read a
+        different, partly-L3-resident regime (~4 GB/s where the probe
+        read 9). And the buffer must be allocated ONCE — np.zeros is
+        lazily zeroed, so a fresh buffer per spot pays first-touch page
+        faults inside the timed copy (r12z still peaked at 4.35 on a
+        9-10 GB/s host). Spot values from r12x–r12z are comparable only
+        within-session."""
         try:
             import numpy as np  # noqa: PLC0415
         except ImportError:
             return None
-        a = np.zeros(16 << 20, dtype=np.uint8)
+        a = _spot_buf.get("a")
+        if a is None:
+            a = _spot_buf["a"] = np.zeros(64 << 20, dtype=np.uint8)
+            a.copy()  # fault pages in OUTSIDE the timed window
         t0 = time.perf_counter()
         a.copy()
         return round((2 * a.nbytes) / (time.perf_counter() - t0) / 1e9, 2)
