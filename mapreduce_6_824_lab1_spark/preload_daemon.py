@@ -67,6 +67,13 @@ for _mod in ("numpy", "pandas", "pyarrow", "pyarrow.parquet"):
     except ImportError:  # environment without the lib: fork cold, as before
         pass
 
+# ORDER CONTRACT: this import must stay AFTER the env pins (numpy reads
+# OPENBLAS_NUM_THREADS at load, and pyspark.daemon may transitively load
+# it) and must see sys.argv UNTOUCHED — pyspark/daemon.py resolves the
+# worker module from sys.argv[1] at MODULE IMPORT time (`python -m
+# <daemonModule> <workerModule>` is the factory's launch shape), so the
+# pass-through works for any `pyspark.*` worker module Spark chooses,
+# not just pyspark.worker.
 from pyspark.daemon import manager  # noqa: E402
 
 if __name__ == "__main__":
