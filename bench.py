@@ -188,6 +188,21 @@ def _census_delta(
     died = [k for k in w0 if k not in w1]
     survivors = [k for k in w1 if k in w0]
     cpu_deltas = [w1[k]["cpu_s"] - w0[k]["cpu_s"] for k in survivors]
+    # PID-grain channels (round-12 verdict ask #3): the composition-state
+    # hypothesis needs worker IDENTITIES, not counts — whether a slow
+    # excursion ran on long-lived workers or a fresh cohort, and which
+    # workers actually burned CPU during the bracket. `worked` maps pid ->
+    # cpu_s consumed THIS query (survivors' deltas + spawned totals),
+    # filtered at 0.05 s so JVM-only brackets stay one short line. Pool
+    # is <= 33 processes on this box, so the lists are bounded.
+    worked = {
+        str(k[0]): round(d, 2)
+        for k, d in zip(survivors, cpu_deltas)
+        if d >= 0.05
+    }
+    worked.update(
+        {str(k[0]): w1[k]["cpu_s"] for k in spawned if w1[k]["cpu_s"] >= 0.05}
+    )
     return {
         "key": key,
         "sec": sec,
@@ -195,6 +210,9 @@ def _census_delta(
         "n_after": len(w1),
         "spawned": len(spawned),
         "died": len(died),
+        "spawned_pids": sorted(k[0] for k in spawned),
+        "died_pids": sorted(k[0] for k in died),
+        "worked": worked,
         "pool_cpu_s": round(sum(cpu_deltas) + sum(w1[k]["cpu_s"] for k in spawned), 2),
         "cpu_max_s": round(max(cpu_deltas, default=0.0), 2),
         "rss_max_mb": round(max((w1[k]["rss_mb"] for k in w1), default=0.0), 1),
@@ -209,7 +227,14 @@ def _membw_probe_gbps() -> float | None:
     every query uniformly while loadavg AND steal stay clean — the one
     external signal the other two probes cannot see (r10e: gram-matrix
     artifact tripped on load1 0.25 / steal 0.9%). Calibration on this
-    box: ~6.9 GB/s idle, ~3.5 GB/s under a deliberate 16-way copy burn."""
+    box: ~6.9 GB/s idle, ~3.5 GB/s under a deliberate 16-way copy burn.
+    NOTE: a.copy() allocates a fresh destination every rep, so the
+    destination's first-touch page faults land INSIDE the timed window;
+    readings systematically under-read true copy bandwidth (ADVICE r12).
+    Kept that way deliberately: every historical ledger/census record
+    and the calibration numbers above were taken with this shape, and
+    the probe is a relative burst detector, not an absolute meter —
+    _membw_spot_gbps shares the same flaw for the same reason."""
     try:
         import numpy as np  # noqa: PLC0415
     except ImportError:
@@ -338,11 +363,16 @@ def main() -> None:
         Calibration (two lessons, one per session): 64 MB matches
         _membw_probe_gbps's buffer — the first cut's 16 MB read a
         different, partly-L3-resident regime (~4 GB/s where the probe
-        read 9). And the buffer must be allocated ONCE — np.zeros is
-        lazily zeroed, so a fresh buffer per spot pays first-touch page
+        read 9). And the SOURCE buffer must be allocated ONCE — np.zeros
+        is lazily zeroed, so a fresh source per spot pays first-touch
         faults inside the timed copy (r12z still peaked at 4.35 on a
-        9-10 GB/s host). Spot values from r12x–r12z are comparable only
-        within-session."""
+        9-10 GB/s host). The DESTINATION of a.copy() is still freshly
+        allocated per spot, so destination-side first-touch faults
+        remain inside every timed window (ADVICE r12) — included BY
+        DESIGN: it keeps spots comparable to _membw_probe_gbps and to
+        all r12 ledger records, which share the same shape; both are
+        relative burst detectors, not absolute meters. Spot values from
+        r12x–r12z are comparable only within-session."""
         try:
             import numpy as np  # noqa: PLC0415
         except ImportError:

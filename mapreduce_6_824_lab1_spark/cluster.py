@@ -30,6 +30,8 @@ PLANS.md):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 #: conf that must be set before the JVM/session starts (spark-submit --conf)
@@ -48,10 +50,24 @@ STATIC_CLUSTER_CONF: dict[str, str] = {
     # during JVM-only stages, so on a 1000-executor pipeline every Arrow
     # stage after a shuffle-heavy gap pays 8×(interpreter+numpy/pandas/
     # pyarrow import) PER EXECUTOR. The preload daemon makes respawn a
-    # bare fork and pins one BLAS thread per worker (8 workers × N BLAS
-    # threads oversubscribes the executor). Ship the package via
-    # --py-files/archives; PYTHONPATH must reach it in the executor env.
+    # bare fork. Ship the package via --py-files/archives; PYTHONPATH
+    # must reach it in the executor env — if it cannot, disable via
+    # SPARK_GRAFT_NO_PRELOAD_DAEMON (cluster_conf() drops this key, same
+    # switch session.get_spark honors) or override the conf to
+    # `pyspark.daemon` at submit time; otherwise every worker launch
+    # fails fleet-wide on the import.
     "spark.python.daemon.module": "mapreduce_6_824_lab1_spark.preload_daemon",
+    # One BLAS thread per worker, enforced in the EXECUTOR env rather
+    # than by import-order tricks: the package __init__ setdefaults
+    # these before importing numpy (the daemon launch imports it first),
+    # but executorEnv is the channel that cannot be defeated by a
+    # pre-imported numpy or an unexpected daemon environment (ADVICE
+    # r12). A worker owns one task slot; 8 workers × N BLAS threads
+    # oversubscribes the executor.
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
+    "spark.executorEnv.NUMEXPR_NUM_THREADS": "1",
 }
 
 #: runtime-settable conf (spark.conf.set on a live session)
@@ -121,13 +137,23 @@ PYTHON_CLUSTER_CONF: dict[str, str] = {
 
 
 def cluster_conf() -> dict[str, str]:
-    """The full 100 TB profile (static + runtime + streaming + Python)."""
-    return {
+    """The full 100 TB profile (static + runtime + streaming + Python).
+
+    Honors ``SPARK_GRAFT_NO_PRELOAD_DAEMON`` exactly like
+    :func:`..session.get_spark`: when set, the fork-warming daemon conf
+    is omitted so environments where the package is not importable at
+    worker launch (mis-shipped --py-files, stripped executor image) can
+    fall back to stock ``pyspark.daemon`` without editing code.
+    """
+    conf = {
         **STATIC_CLUSTER_CONF,
         **RUNTIME_CLUSTER_CONF,
         **STREAMING_CLUSTER_CONF,
         **PYTHON_CLUSTER_CONF,
     }
+    if os.environ.get("SPARK_GRAFT_NO_PRELOAD_DAEMON"):
+        conf.pop("spark.python.daemon.module", None)
+    return conf
 
 
 def apply_cluster_profile(spark: SparkSession) -> list[str]:

@@ -21,6 +21,8 @@ cluster is below it — threshold pinned at 0.6.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -558,6 +560,7 @@ def connected_components(
     max_rounds: int = 50,
     loop_partitions: int | None = None,
     local_contraction: bool = True,
+    contraction: str | None = None,
 ) -> DataFrame:
     """Min-label propagation CC over an undirected pair list (doc_a, doc_b).
 
@@ -639,7 +642,53 @@ def connected_components(
         # the persisted blocks' existing layout — zero added shuffle.
         # Sizing stays on n_pairs (an upper bound on contracted edges);
         # AQE coalesces the slack.
-        loop_pairs = _contract_partitions(pairs) if local_contraction else pairs
+        #
+        # `contraction` selects the pre-pass shape (round-12 verdict ask
+        # #5 — cross-partition locality ahead of round 1). Default comes
+        # from SPARK_GRAFT_CC_CONTRACTION (the A/B switch used by
+        # tools/ab_cc_locality.py) falling back to the shipped mode:
+        # - "off":   no pre-pass (the contract-invariant tests use this
+        #            via local_contraction=False)
+        # - "local": one contraction on the existing layout (shipped
+        #            r12; zero added shuffle)
+        # - "two_level": contract, then REPARTITION the already-shrunk
+        #            star edges by doc_a and contract again — a node
+        #            whose edges were scattered across upstream
+        #            partitions carries one star per partition; grouping
+        #            stars by node lets a second local union-find merge
+        #            their targets, swallowing cross-partition chains
+        #            the loop would otherwise spend rounds on. The added
+        #            exchange moves star edges (<= one row per distinct
+        #            node per partition), NOT the corpus-scale pair
+        #            list.
+        # - "range": the verdict's literal suggestion — co-locate pairs
+        #            by min endpoint BEFORE contracting (hash, not
+        #            range: ids carry no component locality, so range
+        #            ordering adds only a sampling job; hashing the min
+        #            already lands every edge sharing its low endpoint
+        #            together). This one DOES exchange the full pair
+        #            list — measured to decide if it's worth it.
+        if contraction is None:
+            contraction = os.environ.get(
+                "SPARK_GRAFT_CC_CONTRACTION",
+                "local" if local_contraction else "off",
+            )
+        if contraction == "local":
+            loop_pairs = _contract_partitions(pairs)
+        elif contraction == "two_level":
+            loop_pairs = _contract_partitions(
+                _contract_partitions(pairs).repartition(
+                    loop_partitions, "doc_a"
+                )
+            )
+        elif contraction == "range":
+            loop_pairs = _contract_partitions(
+                pairs.repartition(
+                    loop_partitions, F.least("doc_a", "doc_b")
+                )
+            )
+        else:  # "off"
+            loop_pairs = pairs
         with scoped_conf(
             spark, {"spark.sql.shuffle.partitions": str(loop_partitions)}
         ):

@@ -41,25 +41,20 @@ unaffected — this is an engine optimization, not a correctness path.
 from __future__ import annotations
 
 import importlib
-import os
 
-# Single-threaded BLAS in workers, pinned BEFORE numpy loads: this box's
-# numpy/OpenBLAS (0.3.23, DYNAMIC_ARCH) spawns its full 32-thread pool AT
-# IMPORT, so an uncapped preload hands every forked worker a broken
-# 32-thread server that re-initializes per child — measured 97.8 s of
-# pool CPU for similarity_knn_clusters' 31-worker stage vs 32.3 s
-# without preload (WORKER_CENSUS.jsonl r12o vs ctlA). One BLAS thread
-# per worker is also simply correct under Spark: a worker owns one task
-# slot, and 32 workers × 32 BLAS threads oversubscribes the box 32×.
-# setdefault, so an operator that genuinely wants threaded BLAS in a
-# single-partition stage can override via the environment.
-for _var in (
-    "OPENBLAS_NUM_THREADS",
-    "OMP_NUM_THREADS",
-    "MKL_NUM_THREADS",
-    "NUMEXPR_NUM_THREADS",
-):
-    os.environ.setdefault(_var, "1")
+# BLAS thread pinning does NOT live here — it CANNOT. The factory's
+# launch shape, `python -m mapreduce_6_824_lab1_spark.preload_daemon
+# <workerModule>`, imports the parent package __init__ (and, through
+# its operator imports, numpy) BEFORE this module body runs, so an env
+# pin here executes after OpenBLAS has already sized its 32-thread pool
+# (ADVICE r12, verified empirically). The pins live at the top of the
+# package __init__ — the first code `python -m` executes — with a
+# belt-and-suspenders spark.executorEnv.* copy in cluster.py so cluster
+# deployments don't depend on the import-order contract. Why 1 thread
+# matters: an uncapped preload hands every forked worker a broken
+# 32-thread OpenBLAS server that re-initializes per child — measured
+# 97.8 s of pool CPU for similarity_knn_clusters' 31-worker stage vs
+# 32.3 s pinned (WORKER_CENSUS.jsonl r12o vs ctlA).
 
 for _mod in ("numpy", "pandas", "pyarrow", "pyarrow.parquet"):
     try:
@@ -67,13 +62,13 @@ for _mod in ("numpy", "pandas", "pyarrow", "pyarrow.parquet"):
     except ImportError:  # environment without the lib: fork cold, as before
         pass
 
-# ORDER CONTRACT: this import must stay AFTER the env pins (numpy reads
-# OPENBLAS_NUM_THREADS at load, and pyspark.daemon may transitively load
-# it) and must see sys.argv UNTOUCHED — pyspark/daemon.py resolves the
-# worker module from sys.argv[1] at MODULE IMPORT time (`python -m
-# <daemonModule> <workerModule>` is the factory's launch shape), so the
-# pass-through works for any `pyspark.*` worker module Spark chooses,
-# not just pyspark.worker.
+# ORDER CONTRACT: this import must stay AFTER the warm-up imports above
+# (so the daemon loop starts with the libraries resident) and must see
+# sys.argv UNTOUCHED — pyspark/daemon.py resolves the worker module
+# from sys.argv[1] at MODULE IMPORT time (`python -m <daemonModule>
+# <workerModule>` is the factory's launch shape), so the pass-through
+# works for any `pyspark.*` worker module Spark chooses, not just
+# pyspark.worker.
 from pyspark.daemon import manager  # noqa: E402
 
 if __name__ == "__main__":

@@ -241,3 +241,29 @@ def test_dedup_embedding_semantics(spark):
         .collect()
     }
     assert all((r.kept_id, r.dup_id) in exact for r in got)
+
+
+@pytest.mark.parametrize("mode", ["off", "local", "two_level", "range"])
+def test_connected_components_contraction_modes_agree(spark, mode):
+    """Round-13 locality A/B (verdict ask #5): every contraction variant
+    — no pre-pass, the shipped partition-local contraction, the
+    two-level star-merge (contract, repartition stars by node, contract
+    again), and the min-endpoint pre-repartition — must reach the SAME
+    fixpoint. Graph chosen so components straddle partitions: two long
+    interleaved paths (even ids / odd ids) plus a self-loop singleton,
+    written across 8 partitions so no partition sees a whole
+    component."""
+    edges = [(i, i + 2) for i in range(0, 60, 2)]  # even path 0..60
+    edges += [(i, i + 2) for i in range(1, 61, 2)]  # odd path 1..61
+    edges += [(99, 99)]  # lone self-loop: must survive as its own rep
+    pairs = spark.createDataFrame(
+        edges, "doc_a long, doc_b long"
+    ).repartition(8)
+    out = {
+        (r.doc_id, r.cluster_rep)
+        for r in connected_components(pairs, contraction=mode).collect()
+    }
+    want = {(i, 0) for i in range(0, 62, 2)}
+    want |= {(i, 1) for i in range(1, 62, 2)}
+    want |= {(99, 99)}
+    assert out == want

@@ -109,3 +109,78 @@ def test_preload_module_importable_and_degrades_without_libs():
         "mapreduce_6_824_lab1_spark.preload_daemon"
     )
     assert hasattr(mod, "manager")
+
+
+def test_blas_pins_execute_before_numpy_loads_in_daemon_import_order():
+    """ADVICE r12 (medium): the pins MUST run before anything in the
+    package imports numpy. The daemon launch shape is `python -m
+    mapreduce_6_824_lab1_spark.preload_daemon`, which imports the parent
+    package __init__ first — so the pins live at the very top of
+    __init__, before the operator imports that pull in numpy. Verified
+    here empirically in a fresh interpreter with the env scrubbed: if
+    the pin ran late, this box's OpenBLAS 0.3.23 would have already
+    spawned its full 32-thread pool at numpy import."""
+    import json  # noqa: PLC0415
+    import subprocess  # noqa: PLC0415
+    import sys  # noqa: PLC0415
+
+    code = (
+        "import os, json, sys\n"
+        "import mapreduce_6_824_lab1_spark.preload_daemon\n"
+        "print(json.dumps({\n"
+        "    'env': os.environ.get('OPENBLAS_NUM_THREADS'),\n"
+        "    'omp': os.environ.get('OMP_NUM_THREADS'),\n"
+        "    'numpy_loaded': 'numpy' in sys.modules,\n"
+        "    'n_threads': len(os.listdir('/proc/self/task')),\n"
+        "}))\n"
+    )
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k
+        not in (
+            "OPENBLAS_NUM_THREADS",
+            "OMP_NUM_THREADS",
+            "MKL_NUM_THREADS",
+            "NUMEXPR_NUM_THREADS",
+        )
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+        timeout=120,
+    )
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["env"] == "1" and got["omp"] == "1"
+    # the package import pulls numpy in (operators need it) — the point
+    # is the pin preceded it, observable as a near-single-thread process
+    assert got["numpy_loaded"] is True
+    assert got["n_threads"] <= 8, f"OpenBLAS pool escaped the pin: {got}"
+
+
+def test_cluster_conf_honors_no_preload_daemon_switch(monkeypatch):
+    """ADVICE r12 (low): the cluster profile must offer the same
+    SPARK_GRAFT_NO_PRELOAD_DAEMON escape as session.get_spark, so a
+    fleet where the package is not importable at worker launch can fall
+    back to stock pyspark.daemon without code edits."""
+    from mapreduce_6_824_lab1_spark.cluster import cluster_conf
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_PRELOAD_DAEMON", raising=False)
+    on = cluster_conf()
+    assert (
+        on["spark.python.daemon.module"]
+        == "mapreduce_6_824_lab1_spark.preload_daemon"
+    )
+    # the executor-env BLAS pins ride along regardless of the daemon
+    for var in ("OPENBLAS", "OMP", "MKL", "NUMEXPR"):
+        assert on[f"spark.executorEnv.{var}_NUM_THREADS"] == "1"
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_PRELOAD_DAEMON", "1")
+    off = cluster_conf()
+    assert "spark.python.daemon.module" not in off
+    assert off["spark.executorEnv.OPENBLAS_NUM_THREADS"] == "1"

@@ -63,3 +63,27 @@ def test_live_scan_shape():
     for (pid, start), info in pool.items():
         assert isinstance(pid, int) and isinstance(start, int)
         assert set(info) == {"ppid", "cpu_s", "rss_mb", "threads"}
+
+
+def test_census_delta_pid_grain_channels():
+    """Round-13 watch instrumentation: the delta must name WHICH workers
+    spawned/died and which burned CPU during the bracket (>= 0.05 s),
+    so a composition-state ruling can distinguish 'slow on a fresh
+    cohort' from 'slow on long-lived workers'."""
+    w0 = {
+        (10, 1): {"ppid": 1, "cpu_s": 1.0, "rss_mb": 50.0, "threads": 2},
+        (11, 2): {"ppid": 10, "cpu_s": 2.0, "rss_mb": 60.0, "threads": 2},
+        (12, 3): {"ppid": 10, "cpu_s": 3.0, "rss_mb": 60.0, "threads": 2},
+    }
+    w1 = {
+        (10, 1): {"ppid": 1, "cpu_s": 1.0, "rss_mb": 50.0, "threads": 2},
+        (11, 2): {"ppid": 10, "cpu_s": 2.5, "rss_mb": 60.0, "threads": 2},
+        # (12, 3) died; (13, 4) spawned and worked
+        (13, 4): {"ppid": 10, "cpu_s": 0.7, "rss_mb": 55.0, "threads": 2},
+    }
+    row = bench._census_delta("k", 1.0, w0, w1)
+    assert row["spawned_pids"] == [13]
+    assert row["died_pids"] == [12]
+    # idle survivor 10 filtered out; survivor 11's delta and spawn 13's
+    # total both appear
+    assert row["worked"] == {"11": 0.5, "13": 0.7}

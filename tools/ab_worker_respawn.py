@@ -37,6 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import bench  # noqa: E402  (reuses census + probes; no main() side effects)
+from tools.probe_worker_lifetime import _my_jvm_pid, _my_pool  # noqa: E402
 from mapreduce_6_824_lab1_spark import QUERIES  # noqa: E402
 from mapreduce_6_824_lab1_spark.session import get_spark  # noqa: E402
 
@@ -45,11 +46,18 @@ WARM_RUNS = 3
 RECOVERY_RUNS = 2
 
 
-def _kill_pool() -> int:
-    """SIGKILL every pooled worker. A daemon's parent (the JVM) is not in
-    the census set; a worker's parent (the daemon) is — so "parent is
-    also in the set" identifies workers exactly. Returns the kill count."""
-    pool = bench._worker_census() or {}
+def _kill_pool(jvm: int) -> int:
+    """SIGKILL every pooled worker belonging to THIS process's JVM.
+
+    The census is filtered to our own JVM subtree (probe_worker_lifetime's
+    _my_pool: daemons whose ppid is our JVM child, plus their workers) —
+    an unfiltered bench._worker_census() matches any pyspark worker on
+    the box, so a concurrent driver_sim/pytest session would get its
+    pool killed and pollute the A/B counts (ADVICE r12). Within the
+    subtree, "parent is also in the set" identifies workers exactly (a
+    daemon's parent is the JVM, which is not in the set). Returns the
+    kill count."""
+    pool = _my_pool(jvm)
     pool_pids = {pid for (pid, _) in pool}
     killed = 0
     for (pid, _), info in pool.items():
@@ -86,6 +94,12 @@ def main() -> None:
         nation.select("n_nationkey").mapInPandas(_warm_pandas, "n long")
     )
 
+    jvm = _my_jvm_pid()
+    if jvm is None:
+        print(json.dumps({"error": "no JVM child found; refusing to kill"}))
+        spark.stop()
+        return
+
     for key in keys:
         fn = QUERIES[key]
 
@@ -97,12 +111,12 @@ def main() -> None:
         warm, warm_pool = [], []
         for _ in range(WARM_RUNS):
             warm.append(run())
-            warm_pool.append(len(bench._worker_census() or {}))
-        pool_before = bench._worker_census() or {}
-        n_killed = _kill_pool()
+            warm_pool.append(len(_my_pool(jvm)))
+        pool_before = _my_pool(jvm)
+        n_killed = _kill_pool(jvm)
         time.sleep(1.0)  # let the daemon reap; avoids racing half-dead pids
         post_kill = run()
-        pool_after = bench._worker_census() or {}
+        pool_after = _my_pool(jvm)
         recovery = [run() for _ in range(RECOVERY_RUNS)]
         warm_med = sorted(warm)[len(warm) // 2]
         print(json.dumps({
