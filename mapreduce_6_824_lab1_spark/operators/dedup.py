@@ -651,27 +651,35 @@ def connected_components(
         #            via local_contraction=False)
         # - "local": one contraction on the existing layout (shipped
         #            r12; zero added shuffle)
-        # - "two_level": contract, then REPARTITION the already-shrunk
-        #            star edges by doc_a and contract again — a node
-        #            whose edges were scattered across upstream
-        #            partitions carries one star per partition; grouping
-        #            stars by node lets a second local union-find merge
-        #            their targets, swallowing cross-partition chains
-        #            the loop would otherwise spend rounds on. The added
-        #            exchange moves star edges (<= one row per distinct
-        #            node per partition), NOT the corpus-scale pair
-        #            list.
+        # - "two_level": SHIPPED DEFAULT since r13 — contract, then
+        #            REPARTITION the already-shrunk star edges by doc_a
+        #            and contract again: a node whose edges were
+        #            scattered across upstream partitions carries one
+        #            star per partition; grouping stars by node lets a
+        #            second local union-find merge their targets,
+        #            swallowing the cross-partition chains the loop
+        #            would otherwise spend rounds on. The added exchange
+        #            moves star edges (<= one row per distinct node per
+        #            partition), NOT the corpus-scale pair list — and
+        #            what it buys is distributed ROUNDS, each a full
+        #            cluster barrier at 1000 executors. Measured
+        #            (SCALING_r13.md, 6-run interleaved both orders,
+        #            outputs identical): similarity_knn_clusters 5 -> 1
+        #            CC rounds, median 6.96 -> 4.90 s at sf0.1;
+        #            dedup_clusters (already 1-round under "local")
+        #            within noise.
         # - "range": the verdict's literal suggestion — co-locate pairs
         #            by min endpoint BEFORE contracting (hash, not
         #            range: ids carry no component locality, so range
         #            ordering adds only a sampling job; hashing the min
         #            already lands every edge sharing its low endpoint
         #            together). This one DOES exchange the full pair
-        #            list — measured to decide if it's worth it.
+        #            list; measured slower than two_level (3 rounds,
+        #            5.63 s median on the kNN key) — kept as an A/B arm.
         if contraction is None:
             contraction = os.environ.get(
                 "SPARK_GRAFT_CC_CONTRACTION",
-                "local" if local_contraction else "off",
+                "two_level" if local_contraction else "off",
             )
         if contraction == "local":
             loop_pairs = _contract_partitions(pairs)
