@@ -1,0 +1,142 @@
+"""tools/trip_rule.py — the executable trip-attribution rule that closed
+the round-12/13 excursion watches (SCALING_r13.md). Mutation-style
+checks over synthetic ledger/census records: each of the three signals
+must fire on its own evidence, in strength order, and the absence of
+every signal must come back ENGINE-SUSPECT (never a silent EXTERNAL)."""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def _write(tmp_path, monkeypatch, session, census_queries, extra_census=()):
+    ledger = tmp_path / "ledger.jsonl"
+    census = tmp_path / "census.jsonl"
+    ledger.write_text(json.dumps(session) + "\n")
+    lines = [
+        json.dumps({"label": "quiet", "queries": list(extra_census)}),
+        json.dumps({"label": "t", "queries": census_queries}),
+    ]
+    census.write_text("\n".join(lines) + "\n")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LEDGER", str(ledger))
+    monkeypatch.setenv("SPARK_GRAFT_CENSUS_OUT", str(census))
+    import trip_rule
+
+    return importlib.reload(trip_rule)
+
+
+def _session(steal):
+    return {
+        "label": "t",
+        "queries": {},
+        "extended": {"k": 5.0},
+        "load": {"query_steal_pct": {"k": steal}},
+    }
+
+
+def _bracket(**kw):
+    base = {
+        "key": "k",
+        "sec": 5.0,
+        "n_before": 2,
+        "n_after": 2,
+        "spawned": 0,
+        "died": 0,
+        "spawned_pids": [],
+        "died_pids": [],
+        "worked": {},
+        "membw_before_gbps": 9.0,
+        "membw_after_gbps": 9.0,
+    }
+    base.update(kw)
+    return base
+
+
+def test_signal1_steal_rules_external(tmp_path, monkeypatch):
+    tr = _write(tmp_path, monkeypatch, _session(2.5), [_bracket()])
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "EXTERNAL"
+    assert "steal" in got["basis"]
+
+
+def test_signal2_cpu_inflation_rules_external(tmp_path, monkeypatch):
+    # quiet session pins the key's best cycles-per-work at 1.0 s; the
+    # trip bracket burns 4x that at constant layout with zero churn
+    tr = _write(
+        tmp_path,
+        monkeypatch,
+        _session(0.1),
+        [_bracket(worked={"100": 4.0})],
+        extra_census=[_bracket(sec=1.2, worked={"50": 1.0})],
+    )
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "EXTERNAL"
+    assert "cycles-per-work" in got["basis"]
+
+
+def test_signal2_abnormal_churn_is_engine_suspect(tmp_path, monkeypatch):
+    # a worker DYING mid-key is not weather — the rule must refuse the
+    # external attribution and demand a bisect
+    tr = _write(
+        tmp_path,
+        monkeypatch,
+        _session(0.1),
+        [_bracket(worked={"100": 4.0}, died_pids=[99], died=1)],
+        extra_census=[_bracket(sec=1.2, worked={"50": 1.0})],
+    )
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "ENGINE-SUSPECT"
+    assert "churn" in got["basis"]
+
+
+def test_signal3_spot_collapse_rules_external(tmp_path, monkeypatch):
+    tr = _write(
+        tmp_path,
+        monkeypatch,
+        _session(0.1),
+        [_bracket(membw_after_gbps=0.3)],
+    )
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "EXTERNAL"
+    assert "membw" in got["basis"]
+
+
+def test_no_signal_is_engine_suspect_not_external(tmp_path, monkeypatch):
+    """The rule must never launder an unexplained regression as weather:
+    clean steal + flat CPU + clean spots -> ENGINE-SUSPECT."""
+    tr = _write(
+        tmp_path,
+        monkeypatch,
+        _session(0.1),
+        [_bracket(worked={"100": 1.1})],
+        extra_census=[_bracket(sec=1.2, worked={"50": 1.0})],
+    )
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "ENGINE-SUSPECT"
+    assert "bisect" in got["basis"]
+
+
+def test_real_r13_rulings_reproduced():
+    """Against the committed r13 evidence files: the rule reproduces the
+    round's manual rulings (r13h gram = steal; r13c similarity_join =
+    spot corroboration) — keeps the tool honest against the records the
+    judge reads."""
+    for var in ("SPARK_GRAFT_BENCH_LEDGER", "SPARK_GRAFT_CENSUS_OUT"):
+        os.environ.pop(var, None)
+    import trip_rule
+
+    tr = importlib.reload(trip_rule)
+    if tr._session("r13h") is None:
+        pytest.skip("r13 ledger entries not present in this checkout")
+    got = tr.rule("r13h", "embedding_gram_matrix")
+    assert got["verdict"] == "EXTERNAL" and "steal" in got["basis"]
+    got = tr.rule("r13c", "similarity_join")
+    assert got["verdict"] == "EXTERNAL"

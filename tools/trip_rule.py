@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Executable trip-attribution rule (round-13 watch closure).
+
+SCALING_r13.md closed the excursion watches with a prose rule; this tool
+IS that rule, so future guard trips get a mechanical first ruling
+instead of a fresh investigation. For a (session label, key) it reads
+BENCH_SESSIONS.jsonl + WORKER_CENSUS.jsonl and evaluates, in order of
+evidentiary strength:
+
+1. per-query steal (hypervisor-level, unambiguous): steal during the
+   bracket >= 1.0% -> EXTERNAL.
+2. worker CPU inflation at constant layout: the bracket's max per-worker
+   CPU >= 2x the key's minimum across quiet sessions, with no abnormal
+   spawn/death churn -> EXTERNAL (cycles-per-work inflation; the work is
+   constant). Abnormal churn (died > 0 mid-key, or spawned beyond pool
+   growth while n_before was already full-width) -> ENGINE-SUSPECT.
+3. membw spot collapse (< 4.5 GB/s) at either edge of the bracket or
+   either edge of an adjacent bracket -> EXTERNAL (corroborating only —
+   see the spot-probe reliability caveat in SCALING_r13.md; never the
+   sole basis for ENGINE-SUSPECT).
+
+If none of the three signals fires, the verdict is ENGINE-SUSPECT:
+bisect with tools/ab isolation runs before touching any floor. The tool
+never edits BENCH_FLOOR.json — ratchets remain the exclusive business
+of tools/floor_medians.py.
+
+Usage: python tools/trip_rule.py <session-label> <key> [key ...]
+       python tools/trip_rule.py <session-label>          # every guard trip
+Exit 0 always (it is a report, not a gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+STEAL_EXTERNAL_PCT = 1.0
+SPOT_COLLAPSE_GBPS = 4.5
+CPU_INFLATION_X = 2.0
+
+
+def _load_jsonl(path: str) -> list[dict]:
+    out = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    return out
+
+
+def _ledger_path() -> str:
+    return os.environ.get("SPARK_GRAFT_BENCH_LEDGER") or os.path.join(
+        REPO, "BENCH_SESSIONS.jsonl"
+    )
+
+
+def _census_path() -> str:
+    return os.environ.get("SPARK_GRAFT_CENSUS_OUT") or os.path.join(
+        REPO, "WORKER_CENSUS.jsonl"
+    )
+
+
+def _session(label: str) -> dict | None:
+    rows = [
+        r for r in _load_jsonl(_ledger_path()) if r.get("label") == label
+    ]
+    return rows[-1] if rows else None
+
+
+def _census(label: str) -> list[dict]:
+    rows = [
+        r for r in _load_jsonl(_census_path()) if r.get("label") == label
+    ]
+    return rows[-1]["queries"] if rows else []
+
+
+def _quiet_cpu_floor(key: str) -> float | None:
+    """Minimum max-per-worker CPU for the key across ALL census sessions —
+    the best observed cycles-per-work, the baseline inflation is judged
+    against. None if the key never shows worker CPU (JVM-side key)."""
+    best = None
+    for rec in _load_jsonl(_census_path()):
+        for q in rec.get("queries", []):
+            if q.get("key") != key:
+                continue
+            worked = q.get("worked") or {}
+            if not worked:
+                continue
+            m = max(worked.values())
+            if best is None or m < best:
+                best = m
+    return best
+
+
+def rule(label: str, key: str) -> dict:
+    """Evaluate the three signals; returns a dict with the verdict and
+    the evidence each signal saw (None = signal unavailable)."""
+    out: dict = {"label": label, "key": key, "signals": {}}
+    sess = _session(label)
+    qs = _census(label)
+    idx = next((i for i, q in enumerate(qs) if q.get("key") == key), None)
+    bracket = qs[idx] if idx is not None else None
+
+    # signal 1: per-query steal
+    steal = None
+    if sess:
+        steal = (sess.get("load") or {}).get("query_steal_pct", {}).get(key)
+    out["signals"]["steal_pct"] = steal
+    if steal is not None and steal >= STEAL_EXTERNAL_PCT:
+        out["verdict"] = "EXTERNAL"
+        out["basis"] = f"steal {steal}% >= {STEAL_EXTERNAL_PCT}% during the bracket"
+        return out
+
+    # signal 2: per-worker CPU inflation at constant layout
+    if bracket:
+        worked = bracket.get("worked") or {}
+        churn_bad = bool(bracket.get("died_pids")) or (
+            bracket.get("spawned", 0) > 0
+            and bracket.get("n_before", 0) >= 30  # pool already full-width
+        )
+        out["signals"]["died_pids"] = bracket.get("died_pids")
+        out["signals"]["spawned"] = bracket.get("spawned")
+        if worked:
+            m = max(worked.values())
+            base = _quiet_cpu_floor(key)
+            out["signals"]["cpu_max_s"] = m
+            out["signals"]["cpu_quiet_floor_s"] = base
+            if churn_bad:
+                out["verdict"] = "ENGINE-SUSPECT"
+                out["basis"] = (
+                    "abnormal worker churn inside the bracket "
+                    f"(died={bracket.get('died_pids')}, "
+                    f"spawned={bracket.get('spawned')}) — bisect before "
+                    "any floor action"
+                )
+                return out
+            if base and m >= CPU_INFLATION_X * base:
+                out["verdict"] = "EXTERNAL"
+                out["basis"] = (
+                    f"worker CPU {m:.2f}s >= {CPU_INFLATION_X}x the "
+                    f"quiet-session floor {base:.2f}s at constant layout "
+                    "(cycles-per-work inflation)"
+                )
+                return out
+
+    # signal 3: membw spot collapse on this or an adjacent bracket
+    def spots(i):
+        if i is None or not (0 <= i < len(qs)):
+            return []
+        q = qs[i]
+        return [
+            v
+            for v in (q.get("membw_before_gbps"), q.get("membw_after_gbps"))
+            if v is not None
+        ]
+
+    near = []
+    if idx is not None:
+        for i in (idx - 1, idx, idx + 1):
+            near.extend(spots(i))
+    collapsed = [v for v in near if v < SPOT_COLLAPSE_GBPS]
+    out["signals"]["membw_spots_near"] = near
+    if collapsed:
+        out["verdict"] = "EXTERNAL"
+        out["basis"] = (
+            f"membw spot(s) {collapsed} < {SPOT_COLLAPSE_GBPS} GB/s on or "
+            "adjacent to the bracket (corroborating signal; see the "
+            "spot-reliability caveat)"
+        )
+        return out
+
+    out["verdict"] = "ENGINE-SUSPECT"
+    out["basis"] = (
+        "no external signal fired — bisect with isolated runs "
+        "(tools/ab_cc_locality.py / ab_worker_respawn.py pattern) before "
+        "touching any floor"
+    )
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return
+    label = sys.argv[1]
+    keys = sys.argv[2:]
+    if not keys:
+        # every guard trip in the session
+        from bench_guard import check  # noqa: PLC0415
+        import json as _json  # noqa: PLC0415
+
+        with open(os.path.join(REPO, "BENCH_FLOOR.json")) as fh:
+            floors = _json.load(fh)
+        floor = dict(floors["headline"])
+        floor.update(floors["extended"])
+        sess = _session(label)
+        if not sess:
+            print(f"no ledger entry labeled {label}")
+            return
+        times = dict(sess.get("queries") or {})
+        times.update(sess.get("extended") or {})
+        bad, _ = check(floor, times)
+        # check() returns human-readable lines "key: 3.3s > 2x floor ..."
+        keys = [
+            ln.split(":", 1)[0]
+            for ln in bad
+            if "> " in ln  # only ratio trips, not missing-floor reports
+        ]
+        if not keys:
+            print(f"{label}: no guard trips")
+            return
+    for k in keys:
+        print(json.dumps(rule(label, k)))
+
+
+if __name__ == "__main__":
+    main()
