@@ -438,10 +438,48 @@ def main() -> None:
             "query_steal_pct": query_steal,
         },
     }
+    attach_weather_and_rulings(record, census_rows)
     print(json.dumps(record))
     _append_ledger(record)
     if census_on and census_rows:
         _append_census(record, census_rows)
+
+
+def attach_weather_and_rulings(record: dict, census_rows: list[dict]) -> None:
+    """Weather index (round-13 verdict ask #2): fold the bracket-grain
+    membw spots into a per-session index IN the ledger record, so the
+    floor/median tools can split evidence by weather without joining
+    the census sidecar by hand. Spot-clean thresholds + calibration
+    live in tools/bench_guard.py (shared with floor_medians).
+
+    Trip rulings (ask #3): every guard trip is ruled mechanically AT
+    RECORD TIME by tools/trip_rule.py and the rulings land in the
+    session's own ledger row (``trip_rulings``; [] = guard-clean). Both
+    are diagnostics: they must never fail the bench, and the rule never
+    touches BENCH_FLOOR.json — floors remain floor_medians' business."""
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import bench_guard  # noqa: PLC0415
+        import trip_rule  # noqa: PLC0415
+
+        weather = bench_guard.weather_from_census(census_rows)
+        if weather is not None:
+            weather["spot_clean"] = bench_guard.spot_clean(weather)
+            record["load"]["weather"] = weather
+        with open(bench_guard.FLOOR_PATH) as fh:
+            floors = json.load(fh)
+        floor = dict(floors["headline"])
+        floor.update(floors["extended"])
+        record["trip_rulings"] = trip_rule.rule_record(
+            record,
+            census_rows,
+            floor,
+            label=os.environ.get("SPARK_GRAFT_SESSION_LABEL"),
+        )
+    except Exception as exc:  # noqa: BLE001 — diagnostics must never fail the bench
+        record["trip_rulings_error"] = repr(exc)
 
 
 def _append_census(record: dict, rows: list[dict]) -> None:

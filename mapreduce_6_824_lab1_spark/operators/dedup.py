@@ -677,10 +677,18 @@ def connected_components(
         #            list; measured slower than two_level (3 rounds,
         #            5.63 s median on the kNN key) — kept as an A/B arm.
         if contraction is None:
-            contraction = os.environ.get(
-                "SPARK_GRAFT_CC_CONTRACTION",
-                "two_level" if local_contraction else "off",
-            )
+            # The env var is an A/B switch, not a policy override: it is
+            # consulted ONLY when the caller left both knobs at their
+            # defaults. A caller that asked for no pre-pass
+            # (local_contraction=False) gets a hard "off" even if a
+            # killed A/B tool leaked SPARK_GRAFT_CC_CONTRACTION into the
+            # environment (ADVICE r13).
+            if local_contraction:
+                contraction = os.environ.get(
+                    "SPARK_GRAFT_CC_CONTRACTION", "two_level"
+                )
+            else:
+                contraction = "off"
         if contraction == "local":
             loop_pairs = _contract_partitions(pairs)
         elif contraction == "two_level":

@@ -77,6 +77,21 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(pairs, max_rounds=2, local_contraction=False)
 
 
+def test_leaked_env_var_cannot_override_explicit_off(spark, monkeypatch):
+    """ADVICE r13: SPARK_GRAFT_CC_CONTRACTION is an A/B switch consulted
+    only when the caller left the knobs at defaults. A leaked env var
+    (an A/B tool killed between set and pop) must NOT turn an explicit
+    local_contraction=False into two_level — the two_level pre-pass
+    flattens the 999-path below, which would silently convert this raise
+    into a converge."""
+    monkeypatch.setenv("SPARK_GRAFT_CC_CONTRACTION", "two_level")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=2, local_contraction=False)
+
+
 def test_connected_components_round_count_pinned(spark):
     """Guard the round-11 seeding win: a 64-node path (worst case per
     node count — one long chain) must converge within 6 rounds under

@@ -9,6 +9,23 @@ import json
 import time
 
 
+def test_qualified_batch_filter():
+    """Round-14 ask #5 plumbing: the min-batches loop counts only
+    post-warm-up batches that processed rows — the same filter the
+    median uses, so 'enough batches' means 'enough SAMPLES'."""
+    from tools.stream_throughput import _qualified
+
+    prog = [
+        {"numInputRows": 10, "processedRowsPerSecond": 1.0},  # warm-up
+        {"numInputRows": 10, "processedRowsPerSecond": 1.0},  # warm-up
+        {"numInputRows": 0},  # empty batch
+        {"numInputRows": 10, "processedRowsPerSecond": 2.0},
+        {"numInputRows": 10},  # no rps field
+        {"numInputRows": 10, "processedRowsPerSecond": 3.0},
+    ]
+    assert [p["processedRowsPerSecond"] for p in _qualified(prog)] == [2.0, 3.0]
+
+
 def test_throughput_shapes_build_and_progress(spark):
     from tools.stream_throughput import _shapes
 

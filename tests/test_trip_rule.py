@@ -124,6 +124,100 @@ def test_no_signal_is_engine_suspect_not_external(tmp_path, monkeypatch):
     assert "bisect" in got["basis"]
 
 
+def test_signal2_worker_count_laundering_blocked(tmp_path, monkeypatch):
+    """ADVICE r13: a quiet session that spread the key over 4 workers
+    must NOT supply the per-worker floor for a 1-worker bracket — the
+    parallelism change alone doubles max-per-worker with zero external
+    interference. Incomparable worker counts -> no signal-2 EXTERNAL."""
+    tr = _write(
+        tmp_path,
+        monkeypatch,
+        _session(0.1),
+        [_bracket(worked={"100": 4.0})],
+        extra_census=[
+            _bracket(sec=1.2, worked={"50": 1.0, "51": 1.0, "52": 1.0, "53": 1.0})
+        ],
+    )
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "ENGINE-SUSPECT"
+
+
+def test_signal2_pool_total_guard_blocks_constant_work(tmp_path, monkeypatch):
+    """ADVICE r13, second arm: same TOTAL work concentrated on fewer
+    workers inflates the max but not the pool total — must not be ruled
+    EXTERNAL as cycles-per-work inflation."""
+    tr = _write(
+        tmp_path,
+        monkeypatch,
+        _session(0.1),
+        [_bracket(worked={"100": 4.0})],  # max 4.0, total 4.0
+        extra_census=[_bracket(sec=1.2, worked={"50": 2.0, "51": 2.0})],
+        # comparable count (2 vs 1 is within 2x); max 2.0, total 4.0:
+        # max ratio 2x fires, total ratio 1x does not -> blocked
+    )
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "ENGINE-SUSPECT"
+
+
+def test_signal2_true_inflation_still_fires(tmp_path, monkeypatch):
+    """Genuine cycles-per-work inflation (max AND total both >= 2x a
+    comparable-width floor) must still be ruled EXTERNAL — the ADVICE
+    guards must not kill the signal itself."""
+    tr = _write(
+        tmp_path,
+        monkeypatch,
+        _session(0.1),
+        [_bracket(worked={"100": 4.0, "101": 4.0})],
+        extra_census=[_bracket(sec=1.2, worked={"50": 1.0, "51": 1.0})],
+    )
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "EXTERNAL"
+    assert "cycles-per-work" in got["basis"]
+
+
+def test_pool_full_width_derived_from_census(tmp_path, monkeypatch):
+    """ADVICE r13: full-width comes from the census itself, not a
+    hardcoded 30. History shows an 8-wide pool; spawn churn at
+    n_before=8 must be classed abnormal -> ENGINE-SUSPECT."""
+    tr = _write(
+        tmp_path,
+        monkeypatch,
+        _session(0.1),
+        [_bracket(worked={"100": 4.0}, spawned=1, n_before=8, n_after=8)],
+        extra_census=[
+            _bracket(sec=1.2, worked={"50": 1.0}, n_before=8, n_after=8)
+        ],
+    )
+    monkeypatch.delenv("SPARK_GRAFT_POOL_FULL_WIDTH", raising=False)
+    assert tr._pool_full_width() == 8
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "ENGINE-SUSPECT"
+    assert "churn" in got["basis"]
+    # env override: a 100-wide pool makes n_before=8 normal growth again
+    monkeypatch.setenv("SPARK_GRAFT_POOL_FULL_WIDTH", "100")
+    got = tr.rule("t", "k")
+    assert "churn" not in got.get("basis", "")
+
+
+def test_rule_record_rules_in_memory_trips(tmp_path, monkeypatch):
+    """bench.py integration surface (round-13 ask #3): an IN-MEMORY
+    record with one guard trip comes back with exactly that key ruled,
+    before anything exists on disk; a clean record -> []."""
+    tr = _write(tmp_path, monkeypatch, _session(0.1), [_bracket()])
+    floor = {"k": 1.0, "ok": 1.0}
+    record = {
+        "queries": {"ok": 0.9},
+        "extended": {"k": 5.0},  # 5x floor, > ABS_SLACK -> trips
+        "load": {"query_steal_pct": {"k": 2.5}},
+    }
+    rulings = tr.rule_record(record, [_bracket()], floor, label="mem")
+    assert [r["key"] for r in rulings] == ["k"]
+    assert rulings[0]["verdict"] == "EXTERNAL"  # steal 2.5% >= 1%
+    assert rulings[0]["label"] == "mem"
+    clean = {"queries": {"ok": 0.9, "k": 1.0}, "load": {}}
+    assert tr.rule_record(clean, [], floor) == []
+
+
 def test_real_r13_rulings_reproduced():
     """Against the committed r13 evidence files: the rule reproduces the
     round's manual rulings (r13h gram = steal; r13c similarity_join =

@@ -37,8 +37,10 @@ from bench_guard import (  # noqa: E402
     SETTLED_LOAD1,
     SETTLED_MEMBW_GBPS,
     SETTLED_STEAL_PCT,
+    census_weather_by_label,
     check,
     ledger_records,
+    spot_clean,
     times_from,
 )
 
@@ -64,9 +66,26 @@ def _settled(parsed: dict) -> bool:
     return not membw or min(membw) >= SETTLED_MEMBW_GBPS
 
 
-def load_sessions(paths: list[str], floor: dict[str, float]):
-    """Filter sessions to settled + guard-clean. ``paths`` entries are
-    file paths, or (name, parsed-record) pairs for ledger entries."""
+def _weather(parsed: dict, name: str, by_label: dict[str, dict]) -> dict | None:
+    """The session's weather index: in-record (r14+ bench.py writes it)
+    or recomputed from the census sidecar by label (r12x–r13v records)."""
+    w = (parsed.get("load") or {}).get("weather")
+    if w:
+        return w
+    return by_label.get(name) or by_label.get(os.path.basename(name))
+
+
+def load_sessions(
+    paths: list[str], floor: dict[str, float], require_spot_clean: bool = True
+):
+    """Filter sessions to settled + guard-clean (+ spot-clean by default
+    — round-13 verdict ask #2: the steal/load criterion alone passes
+    sessions whose own census shows a collapsed-spot storm, dragging the
+    "settled" medians up). Sessions with NO weather index (pre-r12x) are
+    judged on the old columns only, exactly as before — continuity.
+    ``paths`` entries are file paths, or (name, parsed-record) pairs for
+    ledger entries."""
+    by_label = census_weather_by_label() if require_spot_clean else {}
     named: list[tuple[str, dict]] = []
     for p in paths:
         if isinstance(p, tuple):
@@ -95,6 +114,11 @@ def load_sessions(paths: list[str], floor: dict[str, float]):
         if not _settled(parsed):
             skipped.append((p, "not settled"))
             continue
+        if require_spot_clean:
+            clean = spot_clean(_weather(parsed, p, by_label))
+            if clean is False:
+                skipped.append((p, "stormy spots (weather index)"))
+                continue
         used.append((p, times))
     return used, skipped
 
@@ -106,6 +130,12 @@ def main(argv: list[str]) -> int:
     floor.update(floors["extended"])
 
     args = argv[1:]
+    require_spot_clean = True
+    if "--legacy-settled" in args:
+        # old behavior (steal/load/membw columns only) for continuity
+        # with how the r08–r13 medians were taken
+        args = [a for a in args if a != "--legacy-settled"]
+        require_spot_clean = False
     if args[:1] == ["--all-r"]:
         paths = []
         for r in args[1:]:
@@ -137,7 +167,9 @@ def main(argv: list[str]) -> int:
         paths += args[2:]
     else:
         paths = args
-    used, skipped = load_sessions(paths, floor)
+    used, skipped = load_sessions(
+        paths, floor, require_spot_clean=require_spot_clean
+    )
     for p, why in skipped:
         print(f"excluded: {os.path.basename(p)} — {why}")
     print(f"sessions in medians: {len(used)}"

@@ -9,13 +9,22 @@ source through the same stateful shapes the registry exercises:
 - ``dedup``     watermarked dropDuplicates on a rolling key (stream_dedup_watermark)
 - ``session``   watermark + session_window gap agg (stream_session_window)
 
-Each shape runs for --seconds wall-clock at --rate rows/sec and reports
-the mean of the per-batch ``processedRowsPerSecond`` once the stream
+Each shape runs for AT LEAST --seconds wall-clock at --rate rows/sec and
+reports the median per-batch ``processedRowsPerSecond`` once the stream
 warms up (first 2 batches dropped), plus the max batch duration — the
 two numbers that tell you whether a 1000-executor deployment keeps up
 with its ingest. One JSON line to stdout.
 
+A single median needs a SAMPLE (round-13 verdict ask #5: the r13 session
+shape recorded ``batches: 1`` — its batches run ~13 s at the 8 M offered
+rate, so a 25 s window holds one post-warm-up batch and the record was
+not a throughput measurement). Each shape therefore keeps running past
+--seconds until >= --min-batches qualified batches have landed, capped
+at --max-seconds wall-clock; if the cap is hit first, the record says so
+(``capped: true``) instead of pretending the sample was adequate.
+
 Usage:  python tools/stream_throughput.py [--rate 500000] [--seconds 25]
+            [--min-batches 5] [--max-seconds 150]
 """
 
 from __future__ import annotations
@@ -67,9 +76,24 @@ def _shapes(spark, rate):
     }
 
 
+def _qualified(prog: list[dict]) -> list[dict]:
+    """Post-warm-up batches that actually processed rows (first 2
+    progress entries are dropped as warm-up, as every prior record)."""
+    return [
+        p for p in prog[2:]
+        if p.get("numInputRows", 0) > 0 and "processedRowsPerSecond" in p
+    ]
+
+
+def _argint(flag: str, default: int) -> int:
+    return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+
 def main() -> None:
-    rate = int(sys.argv[sys.argv.index("--rate") + 1]) if "--rate" in sys.argv else 500_000
-    seconds = int(sys.argv[sys.argv.index("--seconds") + 1]) if "--seconds" in sys.argv else 25
+    rate = _argint("--rate", 500_000)
+    seconds = _argint("--seconds", 25)
+    min_batches = _argint("--min-batches", 5)
+    max_seconds = _argint("--max-seconds", 150)
 
     from mapreduce_6_824_lab1_spark.session import get_spark
 
@@ -85,26 +109,33 @@ def main() -> None:
             .option("checkpointLocation", f"/tmp/stream_tp_{name}_{time.time_ns()}")
             .start()
         )
-        time.sleep(seconds)
-        prog = [json.loads(str(p)) for p in q.recentProgress]
+        t0 = time.monotonic()
+        prog: list[dict] = []
+        while True:
+            time.sleep(2)
+            elapsed = time.monotonic() - t0
+            prog = [json.loads(str(p)) for p in q.recentProgress]
+            if elapsed >= seconds and len(_qualified(prog)) >= min_batches:
+                break
+            if elapsed >= max_seconds:
+                break
         q.stop()
-        # drop warm-up batches; keep batches that actually processed rows
-        rows = [
-            p for p in prog[2:]
-            if p.get("numInputRows", 0) > 0 and "processedRowsPerSecond" in p
-        ]
+        rows = _qualified(prog)
         if rows:
             rps = sorted(p["processedRowsPerSecond"] for p in rows)
             results[name] = {
                 "median_rows_per_sec": round(rps[len(rps) // 2]),
                 "max_batch_ms": max(p["batchDuration"] for p in rows),
                 "batches": len(rows),
+                "seconds": round(time.monotonic() - t0, 1),
             }
+            if len(rows) < min_batches:
+                results[name]["capped"] = True  # honest: sample inadequate
         else:
             results[name] = {"error": "no progress recorded"}
         print(f"  {name}: {results[name]}", file=sys.stderr)
     print(json.dumps({"rate_rows_per_sec": rate, "seconds_per_shape": seconds,
-                      "shapes": results}))
+                      "min_batches": min_batches, "shapes": results}))
     spark.stop()
 
 

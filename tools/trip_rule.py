@@ -42,6 +42,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 STEAL_EXTERNAL_PCT = 1.0
 SPOT_COLLAPSE_GBPS = 4.5
 CPU_INFLATION_X = 2.0
+# Signal-2 comparability guard (ADVICE r13): the quiet-session CPU floor
+# is only meaningful when the floor bracket ran the key over a similar
+# number of workers — a session that spread the same work over 2x the
+# workers halves max-per-worker and would launder a legitimate
+# parallelism change as EXTERNAL "cycles-per-work inflation".
+WORKER_COUNT_COMPARABLE_X = 2.0
 
 
 def _load_jsonl(path: str) -> list[dict]:
@@ -84,11 +90,17 @@ def _census(label: str) -> list[dict]:
     return rows[-1]["queries"] if rows else []
 
 
-def _quiet_cpu_floor(key: str) -> float | None:
-    """Minimum max-per-worker CPU for the key across ALL census sessions —
-    the best observed cycles-per-work, the baseline inflation is judged
-    against. None if the key never shows worker CPU (JVM-side key)."""
-    best = None
+def _quiet_cpu_floor(
+    key: str, n_workers: int | None = None
+) -> tuple[float, float] | None:
+    """(min max-per-worker CPU, that bracket's total worked CPU) for the
+    key across census sessions — the best observed cycles-per-work the
+    inflation ratio is judged against. When ``n_workers`` is given, only
+    brackets whose worked-worker count is within WORKER_COUNT_COMPARABLE_X
+    of it qualify (ADVICE r13: a quieter session that spread the same work
+    over more workers yields an artificially low per-worker floor). None
+    if no comparable bracket shows worker CPU (JVM-side key)."""
+    best: tuple[float, float] | None = None
     for rec in _load_jsonl(_census_path()):
         for q in rec.get("queries", []):
             if q.get("key") != key:
@@ -96,18 +108,63 @@ def _quiet_cpu_floor(key: str) -> float | None:
             worked = q.get("worked") or {}
             if not worked:
                 continue
+            if n_workers:
+                ratio = len(worked) / n_workers
+                if not (
+                    1.0 / WORKER_COUNT_COMPARABLE_X
+                    <= ratio
+                    <= WORKER_COUNT_COMPARABLE_X
+                ):
+                    continue
             m = max(worked.values())
-            if best is None or m < best:
-                best = m
+            if best is None or m < best[0]:
+                best = (m, sum(worked.values()))
     return best
 
 
-def rule(label: str, key: str) -> dict:
+def _pool_full_width() -> int:
+    """The worker pool's full width, derived from the census itself (the
+    max pool size ever observed) instead of a hardcoded 30-for-this-box
+    constant (ADVICE r13) — on a host with a different pool width the
+    "spawn churn at full width" branch would otherwise never fire.
+    SPARK_GRAFT_POOL_FULL_WIDTH overrides (tests, odd hosts). Falls back
+    to 33 (32 workers + daemon on the reference box) when the census is
+    empty."""
+    env = os.environ.get("SPARK_GRAFT_POOL_FULL_WIDTH")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    widest = 0
+    for rec in _load_jsonl(_census_path()):
+        for q in rec.get("queries", []):
+            widest = max(
+                widest, q.get("n_before", 0), q.get("n_after", 0)
+            )
+    return widest or 33
+
+
+def rule(
+    label: str,
+    key: str,
+    sess: dict | None = None,
+    qs: list[dict] | None = None,
+) -> dict:
     """Evaluate the three signals; returns a dict with the verdict and
-    the evidence each signal saw (None = signal unavailable)."""
+    the evidence each signal saw (None = signal unavailable).
+
+    ``sess`` / ``qs`` inject an in-memory session record and census
+    bracket list (bench.py rules its own trips AT RECORD TIME, before
+    the ledger/census lines exist on disk — round-13 verdict ask #3);
+    left None, both are looked up from the committed files by label.
+    The quiet-CPU floor always reads the census FILE: history judges
+    the bracket, never the bracket itself."""
     out: dict = {"label": label, "key": key, "signals": {}}
-    sess = _session(label)
-    qs = _census(label)
+    if sess is None:
+        sess = _session(label)
+    if qs is None:
+        qs = _census(label)
     idx = next((i for i, q in enumerate(qs) if q.get("key") == key), None)
     bracket = qs[idx] if idx is not None else None
 
@@ -124,17 +181,24 @@ def rule(label: str, key: str) -> dict:
     # signal 2: per-worker CPU inflation at constant layout
     if bracket:
         worked = bracket.get("worked") or {}
+        # pool already full-width: derived from the census, not hardcoded
+        # (ADVICE r13); 90% of the widest pool ever seen reproduces the
+        # old >= 30 cut on the 33-process reference box
+        full_width = _pool_full_width()
         churn_bad = bool(bracket.get("died_pids")) or (
             bracket.get("spawned", 0) > 0
-            and bracket.get("n_before", 0) >= 30  # pool already full-width
+            and bracket.get("n_before", 0) >= int(0.9 * full_width)
         )
         out["signals"]["died_pids"] = bracket.get("died_pids")
         out["signals"]["spawned"] = bracket.get("spawned")
         if worked:
             m = max(worked.values())
-            base = _quiet_cpu_floor(key)
+            total = sum(worked.values())
+            base = _quiet_cpu_floor(key, n_workers=len(worked))
             out["signals"]["cpu_max_s"] = m
-            out["signals"]["cpu_quiet_floor_s"] = base
+            out["signals"]["cpu_total_s"] = round(total, 2)
+            out["signals"]["cpu_quiet_floor_s"] = base and base[0]
+            out["signals"]["cpu_quiet_floor_total_s"] = base and base[1]
             if churn_bad:
                 out["verdict"] = "ENGINE-SUSPECT"
                 out["basis"] = (
@@ -144,11 +208,21 @@ def rule(label: str, key: str) -> dict:
                     "any floor action"
                 )
                 return out
-            if base and m >= CPU_INFLATION_X * base:
+            # Both the per-worker max AND the pool total must inflate:
+            # total CPU is worker-count-invariant, so a parallelism
+            # change (same work, fewer workers) inflates the max but not
+            # the total and correctly falls through (ADVICE r13).
+            if (
+                base
+                and m >= CPU_INFLATION_X * base[0]
+                and total >= CPU_INFLATION_X * base[1]
+            ):
                 out["verdict"] = "EXTERNAL"
                 out["basis"] = (
                     f"worker CPU {m:.2f}s >= {CPU_INFLATION_X}x the "
-                    f"quiet-session floor {base:.2f}s at constant layout "
+                    f"comparable quiet-session floor {base[0]:.2f}s and "
+                    f"pool total {total:.2f}s >= {CPU_INFLATION_X}x "
+                    f"{base[1]:.2f}s at constant layout "
                     "(cycles-per-work inflation)"
                 )
                 return out
@@ -188,6 +262,37 @@ def rule(label: str, key: str) -> dict:
     return out
 
 
+def trip_keys(times: dict[str, float], floor: dict[str, float]) -> list[str]:
+    """Keys whose measured time trips the bench guard's ratio rule."""
+    from bench_guard import check  # noqa: PLC0415
+
+    bad, _ = check(floor, times)
+    # check() returns human-readable lines "key: 3.3s > 2x floor ..."
+    return [
+        ln.split(":", 1)[0]
+        for ln in bad
+        if "> " in ln  # only ratio trips, not missing-floor reports
+    ]
+
+
+def rule_record(
+    record: dict,
+    census_rows: list[dict] | None,
+    floor: dict[str, float],
+    label: str | None = None,
+) -> list[dict]:
+    """Rule every guard trip of an IN-MEMORY bench record (bench.py calls
+    this before appending the ledger, so the session's own line carries
+    its rulings — round-13 verdict ask #3). The rule never edits floors;
+    ENGINE-SUSPECT stays the no-signal default."""
+    times = dict(record.get("queries") or {})
+    times.update(record.get("extended") or {})
+    return [
+        rule(label or "<this-session>", k, sess=record, qs=census_rows or [])
+        for k in trip_keys(times, floor)
+    ]
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         print(__doc__)
@@ -196,7 +301,6 @@ def main() -> None:
     keys = sys.argv[2:]
     if not keys:
         # every guard trip in the session
-        from bench_guard import check  # noqa: PLC0415
         import json as _json  # noqa: PLC0415
 
         with open(os.path.join(REPO, "BENCH_FLOOR.json")) as fh:
@@ -209,13 +313,7 @@ def main() -> None:
             return
         times = dict(sess.get("queries") or {})
         times.update(sess.get("extended") or {})
-        bad, _ = check(floor, times)
-        # check() returns human-readable lines "key: 3.3s > 2x floor ..."
-        keys = [
-            ln.split(":", 1)[0]
-            for ln in bad
-            if "> " in ln  # only ratio trips, not missing-floor reports
-        ]
+        keys = trip_keys(times, floor)
         if not keys:
             print(f"{label}: no guard trips")
             return
