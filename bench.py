@@ -389,6 +389,7 @@ def main() -> None:
         w0 = _worker_census() if census_on else None
         j0 = _jvm_metrics() if census_on else None
         m0 = _membw_spot_gbps() if census_on else None
+        m0b = _membw_spot_gbps() if census_on else None  # paired (see below)
         c0 = _cpu_stat_sample()
         t0 = time.perf_counter()
         materialize(QUERIES[key](spark, sf_dir))
@@ -407,9 +408,24 @@ def main() -> None:
                     row["codeheap_max_mb"] = round(j1[3] / (1 << 20), 1)
                 if m0 is not None:
                     row["membw_before_gbps"] = m0
+                    if m0b is not None:
+                        row["membw_before2_gbps"] = m0b
+                    # paired spots (round-14 probe finding): the FIRST
+                    # copy after a Spark stage frequently lands in a
+                    # transient page-reclaim stall (measured: 5/8 first
+                    # spots read 0.2-0.6 GB/s on an idle box while the
+                    # immediate second copy read 7.7-10.7 every time).
+                    # The second copy is the effective reading; the
+                    # first is kept for continuity with r12x-r13 records
+                    # and because (first collapsed, second collapsed)
+                    # still distinguishes true bus saturation from the
+                    # self-inflicted stall.
                     m1 = _membw_spot_gbps()
+                    m1b = _membw_spot_gbps()
                     if m1 is not None:
                         row["membw_after_gbps"] = m1
+                    if m1b is not None:
+                        row["membw_after2_gbps"] = m1b
                 census_rows.append(row)
 
     times: dict[str, float] = {}

@@ -19,6 +19,7 @@ from tools.bench_guard import (  # noqa: E402
     SPOT_CLEAN_COLLAPSED_FRAC,
     SPOT_CLEAN_MED_GBPS,
     census_weather_by_label,
+    effective_spots,
     spot_clean,
     weather_from_census,
 )
@@ -82,6 +83,85 @@ def test_spot_clean_thresholds_each_matter():
         "spot_med_gbps": SPOT_CLEAN_MED_GBPS - 0.5,
     }
     assert spot_clean(low_med_few_collapsed) is False
+
+
+def test_effective_spots_pair_max():
+    """r14 probe finding: a collapsed FIRST copy with a clean second is
+    the self-inflicted post-stage stall — the effective reading is the
+    pair max. Single-spot (pre-r14) brackets pass through unchanged;
+    a pair where BOTH collapse stays collapsed (true bus saturation)."""
+    paired = {
+        "membw_before_gbps": 0.3,
+        "membw_before2_gbps": 8.9,
+        "membw_after_gbps": 9.1,
+        "membw_after2_gbps": 0.2,
+    }
+    assert effective_spots(paired) == [8.9, 9.1]
+    legacy = {"membw_before_gbps": 0.3, "membw_after_gbps": 9.1}
+    assert effective_spots(legacy) == [0.3, 9.1]
+    both_down = {"membw_before_gbps": 0.3, "membw_before2_gbps": 0.4}
+    assert effective_spots(both_down) == [0.4]
+    assert effective_spots({"key": "q"}) == []
+
+
+def test_weather_uses_effective_spots():
+    """A session whose first copies all self-stalled but whose second
+    copies read clean must classify spot-clean."""
+    rows = [
+        {
+            "membw_before_gbps": 0.3,
+            "membw_before2_gbps": 8.5,
+            "membw_after_gbps": 0.2,
+            "membw_after2_gbps": 9.0,
+        }
+        for _ in range(10)
+    ]
+    w = weather_from_census(rows)
+    assert w["spots_collapsed"] == 0
+    assert spot_clean(w) is True
+
+
+def test_trip_rule_signal3_ignores_self_stalled_first_copy(
+    tmp_path, monkeypatch
+):
+    """Signal 3 must not rule EXTERNAL off a collapsed first copy whose
+    paired second copy read clean — and must still fire when the pair
+    agrees the bus was down."""
+    import importlib
+
+    ledger = tmp_path / "l.jsonl"
+    census = tmp_path / "c.jsonl"
+    sess = {
+        "label": "t",
+        "extended": {"k": 5.0},
+        "load": {"query_steal_pct": {"k": 0.1}},
+    }
+    bracket = {
+        "key": "k",
+        "sec": 5.0,
+        "worked": {},
+        "membw_before_gbps": 0.3,  # self-stall…
+        "membw_before2_gbps": 8.8,  # …second copy clean
+        "membw_after_gbps": 9.0,
+        "membw_after2_gbps": 9.2,
+    }
+    ledger.write_text(json.dumps(sess) + "\n")
+    census.write_text(json.dumps({"label": "t", "queries": [bracket]}) + "\n")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LEDGER", str(ledger))
+    monkeypatch.setenv("SPARK_GRAFT_CENSUS_OUT", str(census))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import trip_rule
+
+    tr = importlib.reload(trip_rule)
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "ENGINE-SUSPECT"  # no laundering off a stall
+    # both copies collapsed -> genuine saturation -> EXTERNAL
+    bracket2 = dict(bracket, membw_before2_gbps=0.4)
+    census.write_text(
+        json.dumps({"label": "t", "queries": [bracket2]}) + "\n"
+    )
+    got = tr.rule("t", "k")
+    assert got["verdict"] == "EXTERNAL" and "membw" in got["basis"]
 
 
 def test_census_weather_by_label(tmp_path, monkeypatch):

@@ -79,16 +79,33 @@ SPOT_CLEAN_COLLAPSED_FRAC = 0.34
 SPOT_COLLAPSE_GBPS = 4.5  # same cut as trip_rule signal 3
 
 
+def effective_spots(q: dict) -> list[float]:
+    """The bracket's effective membw readings: max over each (first,
+    second) copy pair. The r14 probe proved the FIRST copy after a
+    Spark stage frequently lands in a transient page-reclaim stall
+    (5/8 collapsed on an idle box) while the immediate second copy
+    always read clean — a true bus saturation depresses both, so the
+    pair max is the honest reading. Pre-r14 records have no second
+    copy; their single spot passes through unchanged (the 0.34
+    collapsed-fraction calibration absorbs their false-collapse
+    floor)."""
+    out = []
+    for first, second in (
+        ("membw_before_gbps", "membw_before2_gbps"),
+        ("membw_after_gbps", "membw_after2_gbps"),
+    ):
+        pair = [v for v in (q.get(first), q.get(second)) if v is not None]
+        if pair:
+            out.append(max(pair))
+    return out
+
+
 def weather_from_census(queries: list[dict]) -> dict | None:
     """Per-session weather index from the census brackets' membw spots:
-    spot count, collapsed count (< SPOT_COLLAPSE_GBPS), min and median.
-    None when the brackets carry no spots (pre-r12x records)."""
-    spots = [
-        v
-        for q in queries or []
-        for v in (q.get("membw_before_gbps"), q.get("membw_after_gbps"))
-        if v is not None
-    ]
+    spot count, collapsed count (< SPOT_COLLAPSE_GBPS), min and median —
+    over EFFECTIVE readings (pair max; see effective_spots). None when
+    the brackets carry no spots (pre-r12x records)."""
+    spots = [v for q in queries or [] for v in effective_spots(q)]
     if not spots:
         return None
     ordered = sorted(spots)

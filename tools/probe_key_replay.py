@@ -86,21 +86,25 @@ def main() -> None:
     records = []
     for i in range(runs):
         w0 = bench._worker_census()
-        m0 = bench._membw_spot_gbps() if hasattr(bench, "_membw_spot_gbps") else None
+        m0, m0b = bench._membw_spot_gbps(), bench._membw_spot_gbps()
         c0 = bench._cpu_stat_sample()
         t0 = time.perf_counter()
         bench.materialize(QUERIES[key](spark, sf_dir))
         sec = round(time.perf_counter() - t0, 3)
         steal = bench._steal_pct(c0, bench._cpu_stat_sample())
         row = bench._census_delta(key, sec, w0, bench._worker_census()) or {}
+        m1, m1b = bench._membw_spot_gbps(), bench._membw_spot_gbps()
         rec = {
             "run": i,
             "sec": sec,
             "steal_pct": steal,
+            # paired spots — the r14 finding this probe itself produced:
+            # the first post-stage copy self-stalls; pair max is the
+            # effective reading (bench_guard.effective_spots)
             "membw_before_gbps": m0,
-            "membw_after_gbps": bench._membw_spot_gbps()
-            if hasattr(bench, "_membw_spot_gbps")
-            else None,
+            "membw_before2_gbps": m0b,
+            "membw_after_gbps": m1,
+            "membw_after2_gbps": m1b,
             "spawned": row.get("spawned"),
             "died": row.get("died"),
             "worked": row.get("worked"),
@@ -110,14 +114,14 @@ def main() -> None:
         print(json.dumps(rec))
     spark.stop()
 
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_guard import effective_spots  # noqa: PLC0415
+
     quiet = [
         r
         for r in records
         if (r["steal_pct"] or 0) < QUIET_STEAL_PCT
-        and all(
-            v is None or v >= SPOT_COLLAPSE_GBPS
-            for v in (r["membw_before_gbps"], r["membw_after_gbps"])
-        )
+        and all(v >= SPOT_COLLAPSE_GBPS for v in effective_spots(r))
     ]
     secs = sorted(r["sec"] for r in records)
     summary = {

@@ -227,16 +227,16 @@ def rule(
                 )
                 return out
 
-    # signal 3: membw spot collapse on this or an adjacent bracket
+    # signal 3: membw spot collapse on this or an adjacent bracket —
+    # EFFECTIVE readings (pair max): the r14 probe showed the first
+    # copy after a stage self-stalls ~60% of the time, so a collapsed
+    # first spot with a clean second must not corroborate EXTERNAL
     def spots(i):
         if i is None or not (0 <= i < len(qs)):
             return []
-        q = qs[i]
-        return [
-            v
-            for v in (q.get("membw_before_gbps"), q.get("membw_after_gbps"))
-            if v is not None
-        ]
+        from bench_guard import effective_spots  # noqa: PLC0415
+
+        return effective_spots(qs[i])
 
     near = []
     if idx is not None:
