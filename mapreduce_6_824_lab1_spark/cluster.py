@@ -110,6 +110,21 @@ STREAMING_CLUSTER_CONF: dict[str, str] = {
     ),
     "spark.sql.streaming.stateStore.maintenanceInterval": "60s",
     "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+    # Session-window map-side pre-merge: sorts each input partition by
+    # (key, start) and merges overlapping sessions BEFORE the stateful
+    # shuffle. Measured r14 (tools/ab_session_local_merge.py, identity-
+    # verified, deterministic rate-micro-batch batches, interleaved both
+    # orders): on local[32] the extra sort LOSES ~4-10% per batch because
+    # the in-memory shuffle it saves is nearly free — so the engine's
+    # local default stays off. On a network-shuffle cluster the same
+    # workload shape (hundreds of rows per user-session per batch;
+    # 10M-row batches collapsed ~125x here) makes shuffle volume the
+    # dominant term, which is the regime this profile targets — hence on
+    # HERE and off in session.py. Workloads with ~1 row per session per
+    # partition get no collapse and only pay the sort: leave it off.
+    "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition": (
+        "true"
+    ),
 }
 
 
