@@ -124,6 +124,28 @@ def test_no_signal_is_engine_suspect_not_external(tmp_path, monkeypatch):
     assert "bisect" in got["basis"]
 
 
+def test_no_census_basis_names_absent_channels(tmp_path, monkeypatch):
+    """A census-off session (qs empty) must still default ENGINE-SUSPECT
+    (anti-laundering), but the basis must SAY the CPU/spot channels had
+    no data and point at the isolated-replay probe — r14n shipped a gram
+    ENGINE-SUSPECT that read like 'all channels clean' when in fact no
+    channel existed."""
+    tr = _write(tmp_path, monkeypatch, _session(0.1), [_bracket()])
+    got = tr.rule_record(
+        {
+            "queries": {},
+            "extended": {"k": 5.0},
+            "load": {"query_steal_pct": {"k": 0.1}},
+        },
+        None,  # census off
+        {"k": 1.0},
+        label="mem",
+    )[0]
+    assert got["verdict"] == "ENGINE-SUSPECT"
+    assert "ABSENT" in got["basis"]
+    assert "probe_key_replay" in got["basis"]
+
+
 def test_signal2_worker_count_laundering_blocked(tmp_path, monkeypatch):
     """ADVICE r13: a quiet session that spread the key over 4 workers
     must NOT supply the per-worker floor for a 1-worker bracket — the

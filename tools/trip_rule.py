@@ -254,6 +254,23 @@ def rule(
         return out
 
     out["verdict"] = "ENGINE-SUSPECT"
+    if not qs:
+        # Census-off session: signals 2 (per-worker CPU inflation) and 3
+        # (membw spots) had NO DATA, so this default is data-starved, not
+        # evidence-backed — the verdict stays ENGINE-SUSPECT (the
+        # anti-laundering pin), but the basis must say the channels were
+        # absent so a reader runs the isolated-replay probe rather than
+        # treating it as "all channels read clean" (r14n: a gram trip
+        # read ENGINE-SUSPECT solely because the session ran without
+        # SPARK_GRAFT_WORKER_CENSUS=1; the probe then showed the
+        # standing signal-2 mechanism).
+        out["basis"] = (
+            "steal quiet and census channels ABSENT (session ran without "
+            "SPARK_GRAFT_WORKER_CENSUS=1) — CPU-inflation and membw-spot "
+            "signals had no data; probe with tools/probe_key_replay.py "
+            "before touching any floor"
+        )
+        return out
     out["basis"] = (
         "no external signal fired — bisect with isolated runs "
         "(tools/ab_cc_locality.py / ab_worker_respawn.py pattern) before "
