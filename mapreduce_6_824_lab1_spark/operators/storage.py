@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark.catalog import load_table, load_tables
-from mapreduce_6_824_lab1_spark.functions.numeric import cents_sum, hround, sql_hround
+from mapreduce_6_824_lab1_spark.functions.numeric import (
+    cents_sum,
+    hround,
+    sql_cents_sum,
+    sql_hround,
+)
 from mapreduce_6_824_lab1_spark.registry import ORACLES, query
 
 N_BUCKETS = 8
@@ -72,7 +77,13 @@ def bucketed_join_frame(
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            hround(F.sum("l_extendedprice"), 2).alias("total_price"),
+            # cents_sum, not hround(sum(...)): o_orderstatus is a
+            # 3-value column, so each group sums ~N/3 extendedprices —
+            # corpus-grain. The double fold's order noise crossed the
+            # cent digit at sf10 (r14 parity extension caught the flip);
+            # per-row cent quantization + exact long sum is
+            # engine-deterministic at any group size (numeric.py).
+            cents_sum("l_extendedprice").alias("total_price"),
         )
     )
 
@@ -82,7 +93,7 @@ def bucketed_join_frame(
     oracle=f"""
 SELECT o_orderstatus,
        count(*) AS n_items,
-       {sql_hround("sum(l_extendedprice)", 2)} AS total_price
+       {sql_cents_sum("l_extendedprice")} AS total_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """,
