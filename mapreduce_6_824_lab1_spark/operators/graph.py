@@ -411,24 +411,39 @@ def _bfs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     root = docs.agg(F.min("source").alias("node"))
-    visited = root.select("node", F.lit(0).cast("long").alias("hops"))
-    visited = visited.localCheckpoint(eager=True)
-    frontier = visited.select("node")
+    hop0 = root.select(
+        "node", F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint(eager=True)
+    # visited is kept as a UNION of the per-hop checkpointed frames, not
+    # re-checkpointed each hop: every leaf is already materialized, so
+    # the union's lineage is flat (no recompute, no growth) and each hop
+    # pays 2 jobs (frontier materialize + empty probe) instead of 3 —
+    # at cluster scale one fewer full barrier per BFS round. Local r14
+    # A/B (tools/ab_bfs_rounds.py, interleaved both orders, identity-
+    # pinned): medians -9%/-23% across two sessions, minima ~equal —
+    # the win is the barrier count, which local[32] can barely see.
+    hop_frames = [hop0]
+    visited_nodes = hop0.select("node")
+    frontier = hop0.select("node")
     try:
         for depth in range(1, MAX_HOPS + 1):
             nxt = (
                 frontier.join(edges, frontier["node"] == edges["src"])
                 .select(F.col("dst").alias("node"))
                 .distinct()
-                .join(visited, "node", "left_anti")
+                .join(visited_nodes, "node", "left_anti")
                 .localCheckpoint(eager=True)
             )
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(
+            hop_frames.append(
                 nxt.select("node", F.lit(depth).cast("long").alias("hops"))
-            ).localCheckpoint(eager=True)
+            )
+            visited_nodes = visited_nodes.unionByName(nxt)
             frontier = nxt
     finally:
         edges.unpersist()
+    visited = hop_frames[0]
+    for f in hop_frames[1:]:
+        visited = visited.unionByName(f)
     return visited.select(F.col("node").alias("source"), "hops")
