@@ -1128,6 +1128,18 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between one poison row killing a 10⁵-task job and a
     countable quarantine column — the arithmetic sibling of
     source_corrupt_records' parse quarantine.
+
+    BUT try_* is NULL-on-error, not free: Spark's TRY eval mode
+    constructs the arithmetic exception per failing row before
+    swallowing it (r14 sf10 bisect: 83% of rows overflow at this
+    multiplier → 134 s for the bare try_multiply over 15M orders,
+    ~10.7 µs/row, vs 0.32 s when no row throws). So the KNOWN failure
+    domain is excluded by a cheap codegen predicate (the same bound the
+    oracle uses) and try_multiply runs only on rows it will not throw
+    on — kept as the safety net for rows outside the static analysis,
+    which is the correct production pattern: quarantine what you can
+    predict with a predicate; reserve try_* for what you cannot.
+    Measured 0.35 s at sf10, same results (hash-green both scales).
     """
     o = load_table(spark, sf_dir, "orders")
     t = o.select(
@@ -1142,7 +1154,12 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("cents").cast("double"), F.col("d")).alias(
             "ratio"
         ),
-        F.try_multiply(F.col("cents"), F.lit(_MUL_BIG)).alias("big"),
+        F.when(
+            F.col("cents") > F.lit(_MUL_GUARD // _MUL_BIG),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.try_multiply(F.col("cents"), F.lit(_MUL_BIG)))
+        .alias("big"),
     )
     return m.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
