@@ -173,9 +173,22 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters and the md5 projection pushed into the shared scan.
 
     Stage scale notes: the gate is map-only integer arithmetic; dedup is
-    min-of-struct per md5 digest (algebraic, map-side combine — bodies
-    shuffle once, 16-byte keys at 100 TB via the dedup_exact_fulltext
-    digest trick); decontamination broadcasts the EVAL gram set (eval
+    min(doc_id) per (md5 digest, text) group (algebraic, map-side
+    combine — bodies shuffle once at 100 TB via the dedup_exact_fulltext
+    digest trick). Round 14: the winner used to be picked with
+    ``min(struct(doc_id, text, …))`` — a struct-typed aggregation buffer,
+    which HashAggregate cannot hold (UnsafeRow buffers are primitive-only),
+    so Catalyst fell back to SortAggregate and SORTED THE FULL TEXT CORPUS
+    on both sides of the exchange (plan: Sort+SortAggregate partial →
+    Exchange → Sort+SortAggregate final). Grouping by (digest, text) with
+    primitive-only aggregates (min doc_id; n_tokens is text-functional)
+    keeps the identical groups — text determines digest — and restores
+    hash aggregation; ``h`` is recomputed from the winning doc_id, exactly
+    the oracle's ``(doc_id * KNUTH) % MOD``. Plan diff in
+    plans/r14/pipeline_pretraining_corpus_{{before,after}}.txt: 4 Sorts +
+    4 SortAggregates → 0, A/B−verified output-identical (guide §2.3/§2.4:
+    remove per-row work the algorithm never needed);
+    decontamination broadcasts the EVAL gram set (eval
     benchmarks are tiny by construction) into a semi-join marking +
     anti-join drop, so the corpus never shuffles on grams; split/shard
     are pure hash functions of the key (disjoint bit ranges of the same
@@ -199,9 +212,17 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_chars")
     )
     deduped = (
-        gated.groupBy(F.md5("text").alias("digest"))
-        .agg(F.min(F.struct("doc_id", "text", "h", "n_tokens")).alias("s"))
-        .select("s.doc_id", "s.text", "s.h", "s.n_tokens")
+        gated.groupBy(F.md5("text").alias("digest"), "text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.pmod(F.col("doc_id") * _KNUTH, F.lit(_MOD)).alias("h"),
+            "n_tokens",
+        )
     )
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _PP_GRAM

@@ -51,6 +51,47 @@ def test_hot_shingle_cap_keeps_true_pairs(planted_sets):
     assert full[0].jaccard == pytest.approx(9 / 11, abs=1e-4)
 
 
+def test_length_filter_identity_at_boundary(spark):
+    """Round-14 pair-gen length filter: jaccard >= t implies
+    min(na, nb) >= t * max(na, nb), so sub-ratio pairs are pruned inside
+    the lambda before the shuffle. Pins (a) a qualifying pair with
+    skewed-but-passing sizes survives with the exact score, (b) a pair
+    at EXACTLY the size-ratio boundary survives (the 1e-9 slack is
+    conservative under double rounding), (c) a high-overlap pair whose
+    size ratio falls below t is gone — and its absence matches the
+    brute-force result, i.e. the filter changes nothing the final
+    threshold would not also have removed."""
+    rows = [
+        # (b) boundary: E ⊂ F, sizes 6/10 — jaccard 6/10 = 0.6 exactly
+        (200, [f"E{j}" for j in range(6)]),
+        (201, [f"E{j}" for j in range(6)] + [f"F{j}" for j in range(4)]),
+        # (a) qualifying: sizes 10/12, common 9 → 9/13 ≈ 0.692
+        (300, [f"C{j}" for j in range(9)] + ["c_only"]),
+        (301, [f"C{j}" for j in range(9)] + [f"D{j}" for j in range(3)]),
+        # (c) sub-ratio: A ⊂ B with sizes 4/20 → jaccard 4/20 = 0.2
+        (400, [f"A{j}" for j in range(4)]),
+        (401, [f"A{j}" for j in range(4)] + [f"B{j}" for j in range(16)]),
+    ]
+    sets = spark.createDataFrame(rows, "doc_id long, shs array<string>")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sets, threshold=0.6).collect()
+    }
+    # brute-force reference over the same sets at the same threshold
+    want = {}
+    for ia, sa in rows:
+        for ib, sb in rows:
+            if ia < ib:
+                common = len(set(sa) & set(sb))
+                if common:
+                    jac = common / (len(set(sa)) + len(set(sb)) - common)
+                    if jac >= 0.6:
+                        want[(ia, ib)] = round(jac, 4)
+    assert set(got) == set(want) == {(200, 201), (300, 301)}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-4)
+
+
 def test_connected_components_long_path(spark):
     # path graph 0-1-2-...-11: diameter 11 — pointer jumping converges in
     # O(log diameter) rounds, each crossing a per-round checkpoint

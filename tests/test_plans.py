@@ -54,6 +54,28 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def test_pretraining_corpus_hash_aggregates(spark):
+    """Round-14: the exact-dedup stage must HASH-aggregate. The old
+    min(struct(doc_id, text, …)) winner forced a SortAggregate fallback
+    (struct buffers don't fit UnsafeRow's mutable layout), which sorted
+    the full gated TEXT CORPUS on both sides of the exchange — at 100 TB
+    that is two corpus-body sorts the algorithm never needed. Grouping by
+    (digest, text) with primitive-only aggregates restores hash
+    aggregation; this pins the fallback from creeping back."""
+    df = QUERIES["pipeline_pretraining_corpus"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortAggregate" not in plan, plan
+
+
+def test_jaccard_pair_gen_length_filter_in_plan(spark):
+    """Round-14: the size-ratio length filter must sit INSIDE the
+    pair-gen lambda (pre-shuffle, guide §2.3), visible as a filter(...)
+    over the sliced posting list in the Generate node."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "filter(slice(" in plan, plan
+
+
 def test_no_python_udf_in_relational_paths(spark):
     # Python only appears where mandated (mapInPandas in multimodal, RDD in
     # udf_mapreduce); every relational/text/window plan must stay JVM-side.
