@@ -703,11 +703,36 @@ def connected_components(
                 )
             else:
                 contraction = "off"
+        # Contraction task-count bound (round 14, guide §4: the Python
+        # lane's cost here is per-TASK, not per-row — measured 0.3 s of
+        # worker CPU per task at ~190 rows/task, 9 ms of which is the
+        # actual union-find). The pre-pass inherits the producer's
+        # CORPUS-grain layout (32 partitions for the kNN producer at
+        # sf0.1 → 36 Python tasks ≈ 11.7 s pool CPU per run, plus a
+        # ~30-worker spawn storm in a fresh pool). Coalescing the cached
+        # pair blocks to max(loop grain, ~50k pairs/task) — never
+        # INCREASING the partition count — cuts that to ~8 tasks/~3 s
+        # while preserving the at-scale memory bound: the union-find
+        # dict stays ≤ ~2·50k entries per worker, and for corpora past
+        # the loop-partition cap the target exceeds the existing count,
+        # so coalesce degenerates to a no-op and the r12 existing-layout
+        # behavior is unchanged. coalesce is a NARROW dependency over
+        # the persisted blocks — still zero added shuffle.
+        n_layout = pairs.rdd.getNumPartitions()
+        contract_parts = min(
+            n_layout,
+            max(loop_partitions, (n_pairs + 49_999) // 50_000),
+        )
+        cpairs = (
+            pairs.coalesce(contract_parts)
+            if contract_parts < n_layout
+            else pairs
+        )
         if contraction == "local":
-            loop_pairs = _contract_partitions(pairs)
+            loop_pairs = _contract_partitions(cpairs)
         elif contraction == "two_level":
             loop_pairs = _contract_partitions(
-                _contract_partitions(pairs).repartition(
+                _contract_partitions(cpairs).repartition(
                     loop_partitions, "doc_a"
                 )
             )
