@@ -185,7 +185,7 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the identical groups — text determines digest — and restores
     hash aggregation; ``h`` is recomputed from the winning doc_id, exactly
     the oracle's ``(doc_id * KNUTH) % MOD``. Plan diff in
-    plans/r14/pipeline_pretraining_corpus_{{before,after}}.txt: 4 Sorts +
+    plans/r14/pipeline_pretraining_corpus_{before,after}.txt: 4 Sorts +
     4 SortAggregates → 0, A/B−verified output-identical (guide §2.3/§2.4:
     remove per-row work the algorithm never needed);
     decontamination broadcasts the EVAL gram set (eval
