@@ -455,10 +455,29 @@ def main() -> None:
         },
     }
     attach_weather_and_rulings(record, census_rows)
-    print(json.dumps(record))
     _append_ledger(record)
     if census_on and census_rows:
         _append_census(record, census_rows)
+    # The driver captures only the TAIL of stdout (round 14 lost its
+    # round-over-round comparison because round 13's full record, grown by
+    # the load/weather/rulings diagnostics, truncated mid-JSON at the
+    # capture bound). Print a compact record as the FINAL stdout line:
+    # same metric/value/queries/extended entries as always (nothing
+    # removed or renamed), with the diagnostics living only in the
+    # BENCH_SESSIONS.jsonl ledger line written above.
+    compact = {
+        k: record[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "extended",
+            "extended_total",
+            "sf",
+        )
+    }
+    print(json.dumps(compact))
 
 
 def attach_weather_and_rulings(record: dict, census_rows: list[dict]) -> None:
