@@ -173,21 +173,26 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters and the md5 projection pushed into the shared scan.
 
     Stage scale notes: the gate is map-only integer arithmetic; dedup is
-    min(doc_id) per (md5 digest, text) group (algebraic, map-side
-    combine — bodies shuffle once at 100 TB via the dedup_exact_fulltext
-    digest trick). Round 14: the winner used to be picked with
-    ``min(struct(doc_id, text, …))`` — a struct-typed aggregation buffer,
-    which HashAggregate cannot hold (UnsafeRow buffers are primitive-only),
-    so Catalyst fell back to SortAggregate and SORTED THE FULL TEXT CORPUS
-    on both sides of the exchange (plan: Sort+SortAggregate partial →
-    Exchange → Sort+SortAggregate final). Grouping by (digest, text) with
-    primitive-only aggregates (min doc_id; n_tokens is text-functional)
-    keeps the identical groups — text determines digest — and restores
-    hash aggregation; ``h`` is recomputed from the winning doc_id, exactly
-    the oracle's ``(doc_id * KNUTH) % MOD``. Plan diff in
-    plans/r14/pipeline_pretraining_corpus_{before,after}.txt: 4 Sorts +
-    4 SortAggregates → 0, A/B−verified output-identical (guide §2.3/§2.4:
-    remove per-row work the algorithm never needed);
+    min(doc_id) per text group (algebraic, map-side combine; bodies
+    shuffle exactly once at 100 TB — the same volume every prior form
+    paid, since the winning text must survive the exchange either way).
+    Round 14 replaced ``min(struct(doc_id, text, …))`` — a struct-typed
+    aggregation buffer, which HashAggregate cannot hold (UnsafeRow
+    buffers are primitive-only), so Catalyst fell back to SortAggregate
+    and SORTED THE FULL TEXT CORPUS on both sides of the exchange — with
+    grouping on the text plus primitive-only aggregates (min doc_id;
+    n_tokens is text-functional), restoring hash aggregation (plan diff
+    in plans/r14/pipeline_pretraining_corpus_{before,after}.txt: 4 Sorts
+    + 4 SortAggregates → 0). Round 15 dropped the redundant md5(text)
+    grouping column (ADVICE r14): with text itself in the key the digest
+    selected identical groups while costing one full-body md5 per gated
+    row before the shuffle. Oracle caveat (unchanged across all three
+    forms): the oracle partitions by md5(text) alone, so two DISTINCT
+    texts sharing an md5 digest would keep two survivors here and one
+    there — md5 collisions are not constructible by the fixture
+    generator, and no digest-only form can both hash-aggregate and carry
+    the winning text. ``h`` is recomputed from the winning doc_id,
+    exactly the oracle's ``(doc_id * KNUTH) % MOD``;
     decontamination broadcasts the EVAL gram set (eval
     benchmarks are tiny by construction) into a semi-join marking +
     anti-join drop, so the corpus never shuffles on grams; split/shard
@@ -212,7 +217,7 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_chars")
     )
     deduped = (
-        gated.groupBy(F.md5("text").alias("digest"), "text")
+        gated.groupBy("text")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.min("n_tokens").alias("n_tokens"),
