@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_6_824_lab1_spark.catalog import fan_out, load_table
@@ -588,10 +588,11 @@ def connected_components(
 
     Loop discipline (the part that makes iteration cheap): each round's
     ``updated`` frame is materialized EXACTLY ONCE via an eager
-    ``localCheckpoint()`` — the convergence fingerprint and the next
-    round's joins both read the checkpointed blocks, and lineage is
-    truncated every round so round N's plan is always one join deep,
-    never N joins nested. ``hopped`` is persisted across its pointer-jump
+    ``localCheckpoint()`` whose job ALSO carries the convergence
+    fingerprint out as an observed metric (round 15 — one eager job per
+    round, no separate fingerprint action), the next round's joins read
+    the checkpointed blocks, and lineage is truncated every round so
+    round N's plan is always one join deep, never N joins nested. ``hopped`` is persisted across its pointer-jump
     self-join (computed once, read twice) and unpersisted as soon as the
     round's checkpoint lands. Without this the loop recomputed up to 3
     rounds of nested 3-join lineage per convergence count: 55.8 s at
@@ -612,8 +613,10 @@ def connected_components(
     decrease, so sum(label) is strictly decreasing until the fixed point
     and two consecutive equal sums mean converged. The sum is taken in
     decimal(38,0) — a BIGINT sum of 64-bit ids would overflow at real
-    node counts. One scalar action per round — the one legitimate use of
-    a driver-side action in this engine: iteration control, not data.
+    node counts — and rides inside the round's checkpoint job as an
+    observed metric (round 15): one scalar per round still crosses to
+    the driver — iteration control, not data — but no longer as its own
+    job/barrier.
     100 TB: each round = one edge join + one aggregate over node-grain
     state; localCheckpoint keeps state on executors (no DFS round-trip)
     at the cost of recomputing-from-source on executor loss, the right
@@ -752,23 +755,35 @@ def connected_components(
         pairs.unpersist()
 
 
-def _fingerprint(labels: DataFrame):
-    """Exact decimal sum of labels plus the guard that makes NULL honest:
-    sum() is NULL both for an empty frame (legitimately converged) and
-    for a decimal(38,0) overflow (would silently fake convergence via
-    NULL == NULL on two consecutive rounds) — the row count, taken in
-    the same single-action aggregate, tells them apart."""
-    row = labels.agg(
+def _fingerprint_aggs():
+    """The two aggregate expressions every fingerprint form shares."""
+    return (
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if row["s"] is None and row["n"] > 0:
+    )
+
+
+def _fingerprint_guard(s, n):
+    """The guard that makes NULL honest: sum() is NULL both for an empty
+    frame (legitimately converged) and for a decimal(38,0) overflow
+    (would silently fake convergence via NULL == NULL on two consecutive
+    rounds) — the row count, taken in the same single-action aggregate,
+    tells them apart."""
+    if s is None and n > 0:
         raise RuntimeError(
             "connected_components label-sum fingerprint overflowed "
             "decimal(38,0) — node-id magnitudes exceed the convergence "
             "check's range; rescale ids before clustering"
         )
-    return row["s"]
+    return s
+
+
+def _fingerprint(labels: DataFrame):
+    """Exact decimal sum of labels (standalone-action form; the CC loop
+    itself folds the same aggregates into each round's checkpoint job
+    via ``DataFrame.observe`` — see ``_cc_loop``)."""
+    row = labels.agg(*_fingerprint_aggs()).collect()[0]
+    return _fingerprint_guard(row["s"], row["n"])
 
 
 #: rounds taken by the most recent _cc_loop call — A/B instrumentation
@@ -825,9 +840,21 @@ def _cc_loop(
     seed_reps = seeded.select(
         F.col("doc_id").alias("rep_id"), F.col("label").alias("rep_label")
     )
+    # Convergence fingerprints ride INSIDE each materialization job via
+    # DataFrame.observe (round 15, VERDICT r14 ask #6): CollectMetrics
+    # computes the exact decimal label-sum + row count as a side effect
+    # of the SAME job that eagerly checkpoints the frame, so the loop
+    # runs ONE eager job per round instead of two — at 1000 executors
+    # that is one fewer full cluster barrier per round. observe's
+    # metrics are exactly-once per successful job (task retries do not
+    # double-count), and the overflow/empty disambiguation guard is
+    # unchanged (_fingerprint_guard). A/B + identity:
+    # tools/ab_cc_observe.py.
+    seed_obs = Observation()
     labels = (
         seeded.join(seed_reps, seeded["label"] == seed_reps["rep_id"])
         .select("doc_id", F.least("label", "rep_label").alias("label"))
+        .observe(seed_obs, *_fingerprint_aggs())
         .localCheckpoint()
     )
     # Convergence fingerprint: labels only ever DECREASE (each round takes
@@ -838,7 +865,7 @@ def _cc_loop(
     # NULL — indistinguishable from the legitimate empty-input NULL — so
     # _fingerprint disambiguates with the row count and RAISES rather
     # than letting NULL == NULL masquerade as convergence.
-    prev_sum = _fingerprint(labels)
+    prev_sum = _fingerprint_guard(seed_obs.get["s"], seed_obs.get["n"])
     converged = False
     hopped = None
     try:
@@ -862,21 +889,26 @@ def _cc_loop(
                 F.col("doc_id").alias("rep_id"),
                 F.col("hop_label").alias("rep_label"),
             )
-            # ONE materialization per round: eager localCheckpoint
-            # computes `updated` exactly once and truncates lineage; the
-            # convergence fingerprint and next round's input both read
-            # checkpointed blocks
+            # ONE materialization AND one eager job per round: the
+            # localCheckpoint computes `updated` exactly once, truncates
+            # lineage, and carries the convergence fingerprint out as an
+            # observed metric of the same job (no separate fingerprint
+            # action — see the seed-time comment)
+            round_obs = Observation()
             updated = (
                 hopped.join(reps, hopped["hop_label"] == reps["rep_id"])
                 .select(
                     "doc_id",
                     F.least("hop_label", "rep_label").alias("label"),
                 )
+                .observe(round_obs, *_fingerprint_aggs())
                 .localCheckpoint()
             )
             hopped.unpersist()
             hopped = None
-            cur_sum = _fingerprint(updated)
+            cur_sum = _fingerprint_guard(
+                round_obs.get["s"], round_obs.get["n"]
+            )
             labels = updated
             global _LAST_CC_ROUNDS  # noqa: PLW0603 — instrumentation only
             _LAST_CC_ROUNDS = round_no
