@@ -38,7 +38,7 @@ chain tail has out-edges, so the leak is at most one node's damped rank.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -416,25 +416,29 @@ def _bfs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # visited is kept as a UNION of the per-hop checkpointed frames, not
     # re-checkpointed each hop: every leaf is already materialized, so
-    # the union's lineage is flat (no recompute, no growth) and each hop
-    # pays 2 jobs (frontier materialize + empty probe) instead of 3 —
-    # at cluster scale one fewer full barrier per BFS round. Local r14
-    # A/B (tools/ab_bfs_rounds.py, interleaved both orders, identity-
-    # pinned): medians -9%/-23% across two sessions, minima ~equal —
-    # the win is the barrier count, which local[32] can barely see.
+    # the union's lineage is flat (no recompute, no growth). Each hop
+    # pays ONE eager job: round 14 dropped the visited re-checkpoint
+    # (3 -> 2 jobs/hop; tools/ab_bfs_rounds.py, interleaved A/B medians
+    # -9%/-23%), and round 15 folded the empty-frontier probe into the
+    # checkpoint job itself as an observed row count (2 -> 1;
+    # tools/ab_bfs_observe.py — CollectMetrics is exactly-once per job,
+    # and count == 0 is precisely what isEmpty() asked). At cluster
+    # scale each removed job is a full barrier per BFS round.
     hop_frames = [hop0]
     visited_nodes = hop0.select("node")
     frontier = hop0.select("node")
     try:
         for depth in range(1, MAX_HOPS + 1):
+            hop_obs = Observation()
             nxt = (
                 frontier.join(edges, frontier["node"] == edges["src"])
                 .select(F.col("dst").alias("node"))
                 .distinct()
                 .join(visited_nodes, "node", "left_anti")
+                .observe(hop_obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            if nxt.isEmpty():
+            if hop_obs.get["n"] == 0:
                 break
             hop_frames.append(
                 nxt.select("node", F.lit(depth).cast("long").alias("hops"))

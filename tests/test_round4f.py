@@ -153,3 +153,27 @@ def test_bfs_frontier_equals_recursive_cte(spark):
     # hop levels form a contiguous BFS layering from a single root
     assert (bfs["hops"] == 0).sum() == 1
     assert set(bfs["hops"]) == set(range(bfs["hops"].max() + 1))
+
+
+def test_bfs_loop_never_calls_isempty(spark, monkeypatch):
+    """Round 15: the empty-frontier early-exit test rides the hop's
+    checkpoint job as an observed row count (tools/ab_bfs_observe.py:
+    29 -> 25 jobs at sf0.1, one per hop) — the loop must never fall back
+    to a standalone isEmpty() probe job. The monkeypatch makes any such
+    call explode; the BFS result must still be the exact hop table."""
+    from pyspark.sql import DataFrame
+
+    def _boom(_self):
+        raise AssertionError(
+            "DataFrame.isEmpty called from the BFS loop — the empty "
+            "probe must ride the checkpoint job via observe"
+        )
+
+    monkeypatch.setattr(DataFrame, "isEmpty", _boom)
+    bfs = (
+        QUERIES["graph_bfs_frontier"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("source", ignore_index=True)
+    )
+    assert (bfs["hops"] == 0).sum() == 1
+    assert set(bfs["hops"]) == set(range(bfs["hops"].max() + 1))
