@@ -52,6 +52,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Codegen class cache (STATIC conf — must be set at build time).
+        # The 100-entry default thrashes under a many-query session: one
+        # 45-key bench session generates several hundred distinct sources,
+        # so by the time an iterative key re-plans a shape it compiled
+        # minutes ago the entry is evicted and Janino + the JVM JIT pay
+        # again (measured round 15: a WARM re-run of similarity_knn_clusters
+        # recompiled 27-69 sources whose text was bit-identical to the
+        # first run's — tools/probe_codegen_cache.py; census jit_ms 6-10 s
+        # inside that one bracket). 2000 entries holds a whole session's
+        # working set; the same default-100 eviction happens per executor
+        # JVM on a real cluster, where executors are long-lived and the
+        # benefit compounds. Scale-independent; override via env to A/B.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
     )
     if not os.environ.get("SPARK_GRAFT_NO_PRELOAD_DAEMON"):
         # the daemon resolves the module via PYTHONPATH/cwd, not the
