@@ -1,4 +1,6 @@
-"""Capture `.explain("formatted")` for benched query keys into plans/r14/.
+"""Capture `.explain("formatted")` for benched query keys into plans/<round>/.
+
+The round directory defaults to r15 (override with SPARK_GRAFT_PLANS_ROUND).
 
 Round-14 optimization deliverable: the judge cannot run Spark, so every
 plan claim in OPTIMIZATION_r14.md must be checkable against committed
@@ -37,7 +39,7 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     keys = sys.argv[2:] or benched_keys()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     sys.path.insert(0, REPO)
